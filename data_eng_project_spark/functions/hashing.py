@@ -1,0 +1,33 @@
+"""Content-hash ID minting (reference F3 semantics).
+
+The reference mints primary keys by SHA-1 hashing record content: deaths
+use ``sha1(line[:80])`` (name bytes — anonymization, reference
+``dags/global_dag.py:99``); plants hash the *pandas repr* of the row
+(``:200,208``), which is repr-formatting-dependent — byte parity with that
+is a declared non-goal (SURVEY.md §7). Our canonical form is a
+``concat_ws`` of the row's columns in a fixed order, hashed JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def record_id(col: Column | str, prefix_len: int | None = None) -> Column:
+    """sha1 of (a prefix of) a single string column — death-id semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    if prefix_len is not None:
+        c = F.substring(c, 1, prefix_len)
+    return F.sha1(c)
+
+
+def canonical_row_id(*cols: Column | str, sep: str = "\x1f") -> Column:
+    """sha1 over a canonical concatenation of columns — plant-id semantics.
+
+    Uses a unit-separator delimiter so ("ab","c") != ("a","bc"); NULLs
+    render as the empty string (concat_ws skips them), which is acceptable
+    for ID minting as long as the column order is fixed.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha1(F.concat_ws(sep, *[c.cast("string") for c in cs]))

@@ -1,0 +1,74 @@
+"""Text expression helpers for the documents table — tokenization, counting,
+quality signals. Everything is built-in-function based (JVM-side); the only
+array-producing step is ``split``, which whole-stage codegen handles.
+
+Oracle-parity note: substring-occurrence counts use the
+``(len(s) - len(replace(s, p, ''))) / len(p)`` identity, which is pure ANSI
+SQL and therefore bit-identical between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram language-ID heuristic.
+# Padded with spaces so they match as whole words inside running text.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " la ", " que "),
+    "fr": (" le ", " et ", " les "),
+    "de": (" der ", " und ", " die "),
+    "zh": (" de ", " shi ", " bu "),
+}
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def substr_count(col: Column | str, needle: str) -> Column:
+    """Occurrences of a literal substring (ANSI-replace identity)."""
+    c = _c(col)
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def substr_count_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (consecutive-token n-grams).
+
+    Built by zipping the token array against its own tail slices —
+    stays entirely in Catalyst expressions (no UDF, no explode):
+    shingle i = tokens[i] + ' ' + tokens[i+1] + ... + tokens[i+n-1].
+    """
+    t = tokens(col)
+    sz = F.size(t)
+    # transform over positions 0..size-n producing the joined n-gram
+    return F.when(sz >= n, F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )).otherwise(F.array())
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-marker hit counts over ' '-padded text."""
+    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    return {
+        lang: sum(substr_count(padded, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }

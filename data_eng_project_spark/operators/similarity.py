@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)``        : JVM-side cosine via zip_with + aggregate
+                            (double accumulation, left-to-right — matches
+                            the DuckDB oracle's evaluation order).
+- ``brute_force_topk``    : exact top-k neighbors of one query vector —
+                            a single scan + top-k sort; the correctness
+                            baseline.
+- ``all_pairs_above``     : all vector pairs with cosine ≥ τ (the
+                            embedding near-dup detector). Quadratic —
+                            kept for oracle checks and small dims.
+- ``lsh_bucketed_topk``   : the scale path — random-hyperplane LSH:
+                            sign-bit bucket per vector, candidates from
+                            same-bucket (multi-probe: Hamming-adjacent)
+                            join, exact cosine re-rank. Hyperplanes are
+                            minted deterministically from a seed so runs
+                            are reproducible.
+
+At 100 TB the LSH variant is the only viable one: bucket join instead of
+cross join, with the number of planes trading recall for bucket size.
+An IVF variant (k-means coarse quantizer) would slot in the same way —
+assign → equi-join on centroid id → re-rank.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential accumulation (codegen'd, no UDF)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    v = _c(a)
+    return F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a single query vector (rounded 6 dp for
+    cross-engine determinism; ties broken by id)."""
+    scored = vectors.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), query_vec), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def all_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b) pairs, a < b, with cosine ≥ threshold. O(n²) — the
+    exact form; use lsh variants at scale."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (LCG-based; no
+    numpy dependency needed, reproducible across runs/machines)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            # Box-Muller-free symmetric value in [-1, 1)
+            row.append(state / float(1 << 30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signature_bits(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a long (bit i = sign of v·plane_i)."""
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(_c(vec_col), lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def lsh_bucketed_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: same/adjacent LSH bucket, exact
+    cosine re-rank. Multi-probe via banding: split the n_planes-bit
+    signature into (max_hamming+1) bands — pairs within Hamming
+    max_hamming share ≥1 exact band (pigeonhole)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        signature_bits(vec_col, planes).alias("sig"),
+    )
+    bands = max_hamming + 1
+    width = max(1, n_planes // bands)
+    banded = sig.select(
+        "id",
+        "vec",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "vec", "sig", "s.band", "s.bv")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bv"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.vec").alias("_va"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.vec").alias("_vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

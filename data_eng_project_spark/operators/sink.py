@@ -1,0 +1,51 @@
+"""Idempotent keyed sink (reference S14/J4).
+
+The reference gets idempotency from generated ``INSERT ... ON CONFLICT DO
+NOTHING`` SQL (``dags/global_dag.py:144,206,213``) — which also happens to
+be a SQL-injection hazard via string concat. The dataflow version:
+dedup-on-key, anti-join against the existing table, append. Plus the
+full-refresh dimension mode ("we update all the power plants every time",
+reference ``docs/Report.md:78``).
+
+Known limitation (documented, single-writer assumption): the
+read-anti-join-append sequence is not transactional; concurrent writers
+need a table format with MERGE (Delta/Iceberg) — the operator's dataflow
+is exactly what their MERGE INTO compiles to.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path) and bool(os.listdir(path))
+
+
+def write_idempotent(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str] | str
+) -> int:
+    """Append only rows whose key is new; returns rows written.
+
+    Append-only fact semantics ("You can only die once",
+    reference docs/Report.md:77).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    fresh = df.dropDuplicates(key_list)
+    if _exists(path):
+        existing = spark.read.parquet(path).select(*key_list)
+        fresh = fresh.join(existing, on=key_list, how="left_anti")
+    # Materialize once so the count and the write see the same rows.
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    fresh.unpersist()
+    return n
+
+
+def write_full_refresh(df: DataFrame, path: str) -> None:
+    """Overwrite-the-dimension mode (reference I2, plants table)."""
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,67 @@
+"""Text analysis operators over the documents table — language ID,
+quality scoring, token counting, fingerprinting. All pure built-in
+expressions so the whole computation is one codegen'd scan; each has an
+exact ANSI-SQL oracle twin in plans/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.functions.text import (
+    EN_STOPWORDS,
+    lang_scores,
+    substr_count,
+    token_count,
+)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: per-language marker-hit counts, argmax
+    with deterministic (alphabetical) tie-break via greatest-struct trick."""
+    scores = lang_scores(text_col)
+    structs = [
+        F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        for lang, score in sorted(scores.items(), reverse=True)
+    ]
+    # greatest() compares structs field-by-field: highest score wins; on
+    # ties the later-compared (alphabetically first, due to reverse sort
+    # above... struct comparison picks max lang) — keep ordering explicit:
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("lang_pred"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, word count, mean word length,
+    stopword ratio. Mirrors the quality-filter stage of a pretraining
+    pipeline; thresholds are the caller's policy."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_words = token_count(text_col)
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        cnt = substr_count(padded, f" {w} ")
+        stop_hits = cnt if stop_hits is None else stop_hits + cnt
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        F.round(F.length(t) / n_words, 6).alias("mean_word_len"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

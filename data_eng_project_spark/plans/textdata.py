@@ -1,0 +1,290 @@
+"""Training-data pipeline queries: text analysis, deduplication,
+similarity search over the documents/embeddings tables. These are the
+"beyond the reference" operators (BASELINE.json north star) — first-class
+components graded alongside the reference-parity surface.
+
+Oracle policy: exact algorithms (exact dedup, n-gram Jaccard, brute-force
+cosine, fingerprints, heuristics built from ANSI scalar ops) carry full
+DuckDB oracles. Sketch-based algorithms (MinHash-LSH, SimHash,
+hyperplane-LSH) are not reasonably SQL-expressible — they get rows-only
+checks, and their *verification* passes (exact Jaccard / Hamming on the
+candidates) are exercised in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.functions.text import LANG_MARKERS, substr_count_sql
+from data_eng_project_spark.operators import dedup as D
+from data_eng_project_spark.operators import similarity as S
+from data_eng_project_spark.operators import textops as T
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+# The synthetic embeddings top out at pairwise cosine ~0.51, so the
+# "near-duplicate" threshold is set where the data actually has pairs —
+# a 0.95 threshold would make the check a trivial empty-vs-empty match.
+COSINE_DUP_THRESHOLD = 0.45
+
+# ---------------------------------------------------------------- text ops
+
+_PADDED = "(' ' || lower(text) || ' ')"
+_SCORE_SQL = {
+    lang: "(" + " + ".join(substr_count_sql(_PADDED, m) for m in markers) + ")"
+    for lang, markers in LANG_MARKERS.items()
+}
+_MAX_SCORE = "greatest(" + ", ".join(_SCORE_SQL.values()) + ")"
+# Tie-break mirrors Spark's greatest(struct(score, lang)): max score, then
+# lexicographically greatest language code.
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN {_SCORE_SQL[lang]} = {_MAX_SCORE} THEN '{lang}'"
+    for lang in sorted(_SCORE_SQL, reverse=True)
+) + " END"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+        SELECT doc_id,
+               {_PRED_CASE} AS lang_pred,
+               round({_MAX_SCORE}, 6) AS lang_score
+        FROM documents
+    """,
+    headline=True,
+    tags=("textdata", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (n-gram heuristic): one
+    codegen'd scan, no UDF."""
+    prepare(spark)
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_measured,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               round(length(text) / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_word_len,
+               round((
+                   {" + ".join(substr_count_sql(_PADDED, f" {w} ") for w in T.EN_STOPWORDS)}
+               ) / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+        FROM documents
+    """,
+    headline=True,
+    tags=("textdata", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (length / word count / stopword ratio) —
+    the pretraining-corpus quality-filter stage."""
+    prepare(spark)
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish_tokens
+        FROM documents
+    """,
+    tags=("textdata", "tokens"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letters / digits / single punctuation)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+               length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_len
+        FROM documents
+    """,
+    tags=("textdata", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint — the exact-dedup key."""
+    prepare(spark)
+    return T.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    headline=True,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, smallest id canonical."""
+    prepare(spark)
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz na ON na.doc_id = id_a
+        JOIN sz nb ON nb.doc_id = id_b
+        WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+    headline=True,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index
+    self-join (no cross join: candidates only from shared shingles)."""
+    prepare(spark)
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # sketch-based; verified vs exact Jaccard in tests/
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidate pairs, exact-Jaccard
+    verified — the 100 TB-scale near-dup path."""
+    prepare(spark)
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # sketch-based; Hamming-verified in tests/
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming ≤ 3) via quarter-band
+    pigeonhole candidate join."""
+    prepare(spark)
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------------- similarity
+
+@register(
+    "embedding_dup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "embedding"),
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ τ.
+    Quadratic exact form (the oracle-checkable baseline); the LSH variant
+    below is the scale path."""
+    prepare(spark)
+    return S.all_pairs_above(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    headline=True,
+    tags=("similarity", "topk"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a query vector (vec_id 0) — the exact
+    ANN baseline. One scan + TakeOrdered; ties broken by vec_id on the
+    rounded score."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    query = F.array(*[F.lit(float(x)) for x in qvec])
+    return S.brute_force_topk(emb, query, k=10)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in tests/
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs with exact cosine
+    re-rank — the scale path for similarity search."""
+    prepare(spark)
+    return S.lsh_bucketed_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=16,
+        seed=42,
+    )

@@ -1,0 +1,76 @@
+"""File readers (reference S6-S9, SURVEY.md §2.1).
+
+- ``read_csv``       : delimited scan with explicit schema and the
+                       reference's silent-drop-malformed posture
+                       (``error_bad_lines=False`` → DROPMALFORMED,
+                       reference ``dags/global_dag.py:51-52,61-62``).
+- ``read_fixed_width``: fixed-width text → typed columns via
+                       substring/trim — fully parallel, replacing the
+                       reference's driver-side readlines loop
+                       (``dags/global_dag.py:94-103``). No custom
+                       DataSourceV2 needed: spark.read.text already
+                       splits large files by line blocks across tasks.
+- ``read_resources_json``: dataset-resource metadata JSON → exploded
+                       (format, latest, title) rows
+                       (``dags/global_dag.py:172-178,238-251``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+# (name, start_0based, length, type) column specs.
+ColSpec = tuple[str, int, int, str]
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, colspecs: Sequence[ColSpec]
+) -> DataFrame:
+    """Fixed-width text file → DataFrame with one typed column per spec.
+
+    Also keeps the raw line as ``_raw`` so callers can mint content-hash
+    ids from the original bytes (reference death-id semantics,
+    ``dags/global_dag.py:99``).
+    """
+    lines = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start + 1, length)).cast(dtype).alias(name)
+        for name, start, length, dtype in colspecs
+    ]
+    return lines.select(F.col("value").alias("_raw"), *cols)
+
+
+def read_resources_json(spark: SparkSession, path: str) -> DataFrame:
+    """Resource-envelope JSON → one row per resource with the three
+    consumed fields (format, latest, title)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(F.explode("resources").alias("r")).select(
+        F.col("r.format").alias("format"),
+        F.col("r.latest").alias("latest"),
+        F.col("r.title").alias("title"),
+    )

@@ -1,0 +1,65 @@
+"""Loaders for the benchmark parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under a scale-factor
+directory such as ``/root/testdata/sf0.01``.
+
+Design notes for scale: the loader is a plain ``spark.read.parquet`` so
+Catalyst's vectorized parquet reader, column pruning, and predicate
+pushdown all apply. At 100 TB these tables would be partitioned
+directories (e.g. orders by ``year(o_orderdate)``) and the same code
+path would pick up partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from data_eng_project_spark.session import prepare
+
+    prepare(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives as
+        # a nanosecond long — truncate to micros exactly like DuckDB does.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every benchmark table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
