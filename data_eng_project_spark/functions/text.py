@@ -49,20 +49,33 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles as an array<string> (consecutive-token n-grams).
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """n-word shingles from an already-materialized token-array column.
 
-    Built by zipping the token array against its own tail slices —
-    stays entirely in Catalyst expressions (no UDF, no explode):
-    shingle i = tokens[i] + ' ' + tokens[i+1] + ... + tokens[i+n-1].
+    Performance note: the token array MUST be a real column (projected in
+    a prior select), not an inline ``split(...)`` expression — Spark does
+    not apply common-subexpression elimination inside higher-order
+    function lambdas, so an inline split would be re-evaluated per
+    shingle. With a materialized column this is one ``slice``+``array_join``
+    per shingle. (CollapseProject keeps a non-cheap multi-use alias as a
+    separate projection, so the split truly runs once per row.)
     """
-    t = tokens(col)
+    t = _c(tok_col)
     sz = F.size(t)
-    # transform over positions 0..size-n producing the joined n-gram
-    return F.when(sz >= n, F.transform(
-        F.sequence(F.lit(0), sz - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-    )).otherwise(F.array())
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles straight from a text column (convenience form —
+    for hot paths, project ``tokens(col)`` first and use
+    ``shingles_from_tokens``)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

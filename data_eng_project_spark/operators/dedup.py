@@ -22,10 +22,10 @@ explode) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_eng_project_spark.functions.text import tokens, word_shingles
+from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -43,36 +43,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index building block."""
+    """(id, shingle) distinct pairs — the inverted-index building block.
+
+    Tokenizes in its own projection so the split runs once per row (see
+    shingles_from_tokens performance note)."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     return (
-        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("shingle"))
+        toks.select("_id", F.explode(shingles_from_tokens("_toks", n)).alias("shingle"))
         .distinct()
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
+def _verified_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard similarity for all pairs sharing ≥1
-    shingle. Inverted-index formulation: explode to (id, shingle), self
-    equi-join on shingle (id1 < id2), count intersections, then
-    |A∪B| = |A|+|B|-|A∩B|. The equi-join on shingle is the candidate
-    pruner — disjoint documents never meet.
-
-    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
-    """
-    sh = _distinct_shingles(df, text_col, id_col, n)
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    the full (_id, shingle) inverted index."""
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -88,6 +80,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard ≥ threshold, via an inverted-index
+    self-join with the two classic *exact* prunings from the set-similarity
+    join literature (PPJoin family):
+
+    - **prefix filter**: under a global shingle ordering (rarest first),
+      two sets with Jaccard ≥ t must share a shingle within each other's
+      first ``|d| - ceil(t·|d|) + 1`` shingles — so only those prefixes
+      are indexed for candidate generation;
+    - **length filter**: Jaccard ≥ t requires ``t·|A| ≤ |B| ≤ |A|/t``.
+
+    Candidates then get an exact intersection count (join on the *full*
+    index) — the prunings admit no false negatives, so the result equals
+    the naive all-pairs formulation (which is what the DuckDB oracle
+    computes). At scale this turns a quadratic bucket blow-up on common
+    shingles into joins bounded by the rare-prefix buckets.
+    """
+    sh = _distinct_shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        sh.join(freq, on="shingle")
+        .join(sizes, on="_id")
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_id", "shingle", "_n")
+    pa = prefix.select(F.col("_id").alias("id_a"), "shingle", F.col("_n").alias("_na"))
+    pb = prefix.select(F.col("_id").alias("id_b"), "shingle", F.col("_n").alias("_nb"))
+    cand = (
+        pa.join(pb, on="shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_nb") >= F.ceil(F.lit(threshold) * F.col("_na")))
+            & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, threshold)
 
 
 def minhash_signatures(
@@ -127,7 +173,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sh = _distinct_shingles(df, text_col, id_col, shingle_n).persist()
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("_id").agg(*aggs)
+    sig = wide.select(
+        F.col("_id").alias("id"),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
     band_rows = sig.select(
         "id",
         F.explode(
@@ -151,27 +206,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification pass on candidates only.
-    sh = _distinct_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, on="id_a")
-        .join(b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # Exact verification pass on candidates only (shared cached index).
+    return _verified_jaccard(cand, sh, threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
