@@ -1,0 +1,67 @@
+"""Streaming twin of the incremental-file ledger (reference I1/S13).
+
+The reference ingests new death files every ~2 months, tracking processed
+files in a Redis list (``dags/global_dag.py:85-91,106``). Structured
+Streaming's file source does exactly this natively: the checkpoint
+records which files were consumed, ``Trigger.AvailableNow`` drains
+whatever is new and terminates — a scheduled batch job with streaming's
+exactly-once bookkeeping, no Redis required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ingest_new_text_files(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+) -> int:
+    """Drain unprocessed ``.txt`` files from source_dir into output_dir
+    (parquet, append) exactly once; returns the number of batches run.
+
+    Re-running with the same checkpoint ingests only files that appeared
+    since the last run — the checkpoint *is* the ledger.
+    """
+    stream = spark.readStream.format("text").load(source_dir + "/*.txt")
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    progress = query.lastProgress
+    return int(progress["batchId"]) + 1 if progress else 0
+
+
+def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """Open the events table as a (bounded) stream for availableNow
+    processing — used by streaming/windows.py and tests.
+
+    The file stores ts as TIMESTAMP(NANOS): with the nanosAsLong conf
+    (session.prepare) the raw schema carries it as long, and we apply the
+    same ns→µs truncation as tables.load_table after the scan.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from data_eng_project_spark.session import prepare
+
+    import os
+
+    prepare(spark)
+    raw_schema = spark.read.parquet(events_parquet).schema
+    # The streaming file source needs a *directory* base path; point it
+    # at the parent dir and glob-filter to just this table's file(s).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", os.path.basename(events_parquet))
+        .parquet(os.path.dirname(events_parquet))
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream

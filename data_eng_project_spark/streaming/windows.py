@@ -1,0 +1,78 @@
+"""Event-time windowed aggregations over a stream, with watermarks.
+
+The reference is batch-only (SURVEY.md §2.6); these are the engine's
+streaming extensions over the ``events`` surface, built so that with
+``Trigger.AvailableNow`` their final output equals the corresponding
+batch query — which is how tests/ verify them (streaming result ==
+batch/DuckDB oracle of events_hourly_rollup).
+
+At scale: state lives in the state store keyed by (window, event_type) /
+session key; the watermark bounds state size by evicting windows older
+than the allowed lateness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window: count + decimal-exact value sum per
+    (window, event_type) — the streaming twin of events_hourly_rollup."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(38,6)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_avg_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding window (1 hour, slide 15 min) average value per type."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def session_windows_stream(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user with an inactivity gap — the streaming
+    twin of the batch gaps-and-islands sessionize_events query, using
+    Spark's built-in session_window (merging-window state)."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, table_name: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (AvailableNow) into
+    an in-memory sink and return the final result as a batch DataFrame."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(table_name)

@@ -1,0 +1,205 @@
+"""Operator-level unit tests: scalar functions (incl. property tests),
+joins, spatial correctness at cell boundaries, sketch-dedup accuracy,
+similarity recall, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.functions.dates import parse_date_multi
+from data_eng_project_spark.functions.geo import derive_lat, derive_lon, haversine_km
+from data_eng_project_spark.functions.hashing import canonical_row_id
+from data_eng_project_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_eng_project_spark.operators.joins import broadcast_lookup_join
+from data_eng_project_spark.operators.multimodal import attach_fake_media, extract_media_meta
+from data_eng_project_spark.operators.similarity import (
+    all_pairs_above,
+    brute_force_topk,
+    lsh_bucketed_pairs,
+)
+from data_eng_project_spark.operators.spatial import near_join
+
+
+# ---------------------------------------------------------------- scalars
+
+def test_date_parse_formats_and_junk(spark):
+    df = spark.createDataFrame(
+        [("20220804",), ("2022-08-04",), ("garbage",), ("2022130a",), (None,), ("99999999",)],
+        "s string",
+    )
+    out = [r.d for r in df.select(parse_date_multi("s").alias("d")).collect()]
+    assert str(out[0]) == "2022-08-04" and str(out[1]) == "2022-08-04"
+    assert out[2] is None and out[3] is None and out[4] is None
+    # 99999999 matches the digit pattern but is no real date → NULL, no error
+    assert out[5] is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=12))
+def test_date_parse_never_throws(spark, s):
+    """Property (reference F1): parsing is a total function — arbitrary
+    input yields a date or NULL, never an error."""
+    df = spark.createDataFrame([(s,)], "s string")
+    df.select(parse_date_multi("s")).collect()  # must not raise
+
+
+def test_canonical_row_id_separator_safety(spark):
+    df = spark.createDataFrame([("ab", "c"), ("a", "bc")], "x string, y string")
+    ids = [r.i for r in df.select(canonical_row_id("x", "y").alias("i")).collect()]
+    assert ids[0] != ids[1]
+
+
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) ↔ Lyon (45.764, 4.8357) ≈ 391-393 km
+    df = spark.createDataFrame([(48.8566, 2.3522, 45.764, 4.8357)], "a double, b double, c double, d double")
+    km = df.select(haversine_km("a", "b", "c", "d").alias("km")).head().km
+    assert 385 < km < 400
+
+
+# ------------------------------------------------------------------ joins
+
+def test_broadcast_join_is_broadcast(spark):
+    facts = spark.range(1000).withColumnRenamed("id", "k")
+    dim = spark.range(10).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+    out = broadcast_lookup_join(facts, dim, on="k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 10  # inner ⇒ drop-on-miss
+
+
+# ---------------------------------------------------------------- spatial
+
+def test_near_join_equals_brute_force(spark):
+    """Grid-join correctness incl. cell boundaries: compare against the
+    naive cross-join + haversine filter on a derived point cloud."""
+    points = spark.range(300).select(
+        F.col("id").alias("pid"),
+        derive_lat("id").alias("lat"),
+        derive_lon("id").alias("lon"),
+    )
+    sites = spark.range(40).select(
+        (F.col("id") * 7 + 3).alias("sid"),
+    ).select(
+        "sid",
+        derive_lat("sid").alias("site_lat"),
+        derive_lon("sid").alias("site_lon"),
+    )
+    radius = 400.0
+    fast = {
+        (r.pid, r.sid)
+        for r in near_join(points, sites, radius_km=radius).collect()
+    }
+    brute = {
+        (r.pid, r.sid)
+        for r in points.crossJoin(sites)
+        .withColumn("d", haversine_km("lat", "lon", "site_lat", "site_lon"))
+        .filter(F.col("d") <= radius)
+        .collect()
+    }
+    assert fast == brute and len(brute) > 0
+
+
+# ------------------------------------------------------------------ dedup
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+    words = base.split()
+    docs = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, " ".join(words[:-2] + ["this", "evening"])),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles at scale"),
+        (4, "another unrelated short document mentioning nothing in common whatsoever here"),
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_ngram_jaccard_finds_near_dups(near_dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(near_dup_docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.3
+    assert not any({a, b} & {3, 4} for (a, b) in pairs)
+
+
+def test_minhash_lsh_matches_exact_on_strong_pairs(near_dup_docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(near_dup_docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(near_dup_docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # LSH output is verified with exact Jaccard → subset; strong pairs
+    # (J=1.0) are found with near-certainty at 16 bands.
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_simhash_finds_exact_dups(near_dup_docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(near_dup_docs, "text", "doc_id").collect()}
+    assert pairs.get((0, 1)) == 0  # identical text → identical fingerprint
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    # plant two near-duplicates of vector 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.01 for x in base]))
+    rows.append((101, [x * 1.02 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_planted(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).head().embedding
+    topk = brute_force_topk(vectors, F.array(*[F.lit(float(x)) for x in q]), k=3)
+    ids = [r.vec_id for r in topk.collect()]
+    assert set(ids) == {0, 100, 101}
+
+
+def test_lsh_pairs_recall_on_planted(vectors):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in all_pairs_above(vectors, threshold=0.98).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(vectors, threshold=0.98, dim=16).collect()
+    }
+    # near-identical vectors share all hyperplane signs → full recall there
+    assert (0, 100) in approx and (0, 101) in approx
+    assert approx <= exact
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_meta_deterministic(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark")], "doc_id long, text string")
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    m1 = {r.doc_id: r for r in extract_media_meta(media).collect()}
+    m2 = {r.doc_id: r for r in extract_media_meta(media).collect()}
+    assert m1[1].checksum == m2[1].checksum  # deterministic
+    assert m1[1].n_bytes == len(b"hello world")
+    assert 64 <= m1[1].width < 256 and 64 <= m1[1].height < 256

@@ -1,0 +1,93 @@
+"""Sources (CSV drop-malformed, fixed-width, JSON resources, incremental
+ledger) and the idempotent keyed sink."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.sink import write_full_refresh, write_idempotent
+from data_eng_project_spark.sources.ledger import mark_processed, new_files
+from data_eng_project_spark.sources.readers import (
+    read_csv,
+    read_fixed_width,
+    read_resources_json,
+)
+
+
+def test_csv_drop_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a;b;c\n1;x;2.5\nmalformed_line_only_one_field\n2;y;3.5\n")
+    df = read_csv(spark, str(p), schema="a int, b string, c double", sep=";")
+    rows = df.collect()
+    assert len(rows) == 2  # malformed row silently dropped (reference S6)
+    assert {r.a for r in rows} == {1, 2}
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    p = tmp_path / "fw.txt"
+    p.write_text("ABC  42xy\nDEF  77zw\n")
+    df = read_fixed_width(
+        spark, str(p), [("name", 0, 5, "string"), ("num", 5, 2, "int"), ("tag", 7, 2, "string")]
+    )
+    rows = {r.name: r for r in df.collect()}
+    assert rows["ABC"].num == 42 and rows["ABC"].tag == "xy"
+    assert rows["DEF"].num == 77
+    assert rows["ABC"]._raw.startswith("ABC")
+
+
+def test_resources_json(spark, tmp_path):
+    p = tmp_path / "res.json"
+    p.write_text(
+        json.dumps(
+            {
+                "resources": [
+                    {"format": "csv", "latest": "https://x/a.csv", "title": "a"},
+                    {"format": "pdf", "latest": "https://x/b.pdf", "title": "b"},
+                ]
+            }
+        )
+    )
+    df = read_resources_json(spark, str(p))
+    assert df.count() == 2
+    csvs = df.filter(F.col("format") == "csv").collect()
+    assert len(csvs) == 1 and csvs[0].title == "a"
+
+
+def test_incremental_ledger(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ledger = str(tmp_path / "ledger")
+    (src / "f1.txt").write_text("one")
+    (src / "f2.txt").write_text("two")
+    first = new_files(spark, str(src), ledger, suffix=".txt")
+    assert first.count() == 2
+    mark_processed(spark, first, ledger)
+    # nothing new → empty
+    assert new_files(spark, str(src), ledger, suffix=".txt").count() == 0
+    # a new file arrives → only it is returned (left_anti, reference J2)
+    (src / "f3.txt").write_text("three")
+    third = new_files(spark, str(src), ledger, suffix=".txt").collect()
+    assert [r.file_path.endswith("f3.txt") for r in third] == [True]
+
+
+def test_idempotent_sink(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], "id int, v string")
+    n1 = write_idempotent(spark, df, path, keys="id")
+    assert n1 == 2  # in-batch dedup on key
+    # writing the same batch again is a no-op (ON CONFLICT DO NOTHING)
+    n2 = write_idempotent(spark, df, path, keys="id")
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == 2
+    # new key appends
+    n3 = write_idempotent(spark, spark.createDataFrame([(3, "c")], "id int, v string"), path, "id")
+    assert n3 == 1 and spark.read.parquet(path).count() == 3
+
+
+def test_full_refresh_dimension(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    write_full_refresh(spark.createDataFrame([(1,)], "k int"), path)
+    write_full_refresh(spark.createDataFrame([(2,), (3,)], "k int"), path)
+    assert {r.k for r in spark.read.parquet(path).collect()} == {2, 3}

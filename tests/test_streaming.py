@@ -1,0 +1,66 @@
+"""Structured Streaming: exactly-once file ingest (checkpoint-as-ledger)
+and windowed aggregations whose AvailableNow result equals batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.streaming.incremental import (
+    ingest_new_text_files,
+    read_events_stream,
+)
+from data_eng_project_spark.streaming.windows import (
+    hourly_counts_stream,
+    run_available_now,
+    session_windows_stream,
+)
+from data_eng_project_spark.tables import load_table, table_path
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_file_ingest_exactly_once(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (src / "a.txt").write_text("r1\nr2\n")
+    ingest_new_text_files(spark, str(src), ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+    # re-run: nothing new → no duplicate rows (checkpoint is the ledger)
+    ingest_new_text_files(spark, str(src), ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+    # new file → only its rows appended
+    (src / "b.txt").write_text("r3\n")
+    ingest_new_text_files(spark, str(src), ckpt, out)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_hourly_equals_batch(spark):
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    result = run_available_now(hourly_counts_stream(stream), "t_hourly")
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(38,6)").alias("total_value"),
+        )
+    )
+    a = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+
+
+def test_streaming_session_windows(spark):
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    result = run_available_now(session_windows_stream(stream, gap="30 minutes"), "t_sessions")
+    rows = result.collect()
+    assert len(rows) > 0
+    # every session is non-empty and well-ordered
+    assert all(r.n_events >= 1 and r.session_start <= r.session_end for r in rows)
+    # session count per user matches the batch gaps-and-islands count
+    from data_eng_project_spark.plans import REGISTRY
+
+    batch_sessions = REGISTRY["sessionize_events"].fn(spark, SF)
+    assert result.count() == batch_sessions.count()
