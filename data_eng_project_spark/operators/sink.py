@@ -49,3 +49,27 @@ def write_idempotent(
 def write_full_refresh(df: DataFrame, path: str) -> None:
     """Overwrite-the-dimension mode (reference I2, plants table)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned lake layout — the 100 TB posture for fact tables
+    (e.g. deaths by year(date_of_death), events by date): gives every
+    downstream query partition pruning for free and bounds file sizes."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table_name: str, bucket_col: str, num_buckets: int = 32
+) -> None:
+    """Bucketed managed table: co-locates both sides of a recurring join
+    key so the join is shuffle-free (Spark reads matching buckets
+    directly). The lakehouse answer to 'this join runs every hour'."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

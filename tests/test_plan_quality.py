@@ -1,0 +1,68 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100× scale-up must hold in the compiled plan, not just in our
+intentions — pushdown reaches the scan, small dims broadcast, top-k
+compiles to TakeOrdered, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_eng_project_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_shipdate_filter_and_partial_aggs(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # reached the parquet scan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_q1_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema must not include unused columns like l_partkey/l_suppkey.
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read and "l_suppkey" not in read and "l_linenumber" not in read
+
+
+def test_q5_broadcasts_dimensions_no_cartesian(spark):
+    plan = _plan(spark, "q5_region_supplier_revenue")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed to scan
+
+
+def test_q3_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q3_top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+
+
+def test_flagship_is_equi_join_not_cross(spark):
+    """The spatial join must compile to a hash equi-join on grid cells —
+    the whole point of the operator vs the oracle's cross join."""
+    plan = _plan(spark, "flagship_points_near_sites")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_similarity_topk_no_python_udf(spark):
+    """Cosine scoring must stay JVM-side (zip_with/aggregate), not fall
+    into a Python UDF evaluation node."""
+    plan = _plan(spark, "similarity_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "events_hourly_rollup", "dedup_exact", "lang_id_heuristic"],
+)
+def test_single_table_queries_have_no_shuffle_beyond_agg(spark, name):
+    """Single-table scan+agg queries should contain at most the one
+    aggregation exchange (plus AQE reads) — no stray repartitions."""
+    plan = _plan(spark, name)
+    assert plan.count("Exchange hashpartitioning") <= 1
