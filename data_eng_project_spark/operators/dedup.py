@@ -54,27 +54,31 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _shingle_sets(sh: DataFrame) -> DataFrame:
+    """(_id, _set sorted array<string>) — compact per-doc shingle set for
+    array-based verification. One shuffle; array size is bounded by doc
+    length, so rows stay small even at corpus scale."""
+    return sh.groupBy("_id").agg(F.sort_array(F.collect_set("shingle")).alias("_set"))
+
+
 def _verified_jaccard(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    the full (_id, shingle) inverted index."""
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, on="id_a")
-        .join(b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Joins each side's shingle set (one row per doc, not one per shingle)
+    and computes |A∩B| with ``array_intersect`` — hash-set intersection in
+    the JVM. This replaces the explode→join→re-aggregate formulation whose
+    intermediate was |candidates| × |shingles per doc| rows."""
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), on="id_b")
+        cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")), on="id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")), on="id_b")
+        .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -105,18 +109,18 @@ def ngram_jaccard_pairs(
     computes). At scale this turns a quadratic bucket blow-up on common
     shingles into joins bounded by the rare-prefix buckets.
     """
-    sh = _distinct_shingles(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    sets = _shingle_sets(_distinct_shingles(df, text_col, id_col, n)).persist()
+    # Re-derive the exploded index from the cached sets (narrow, no extra
+    # shuffle) carrying the set size inline — no separate sizes join.
+    sh = sets.select(
+        "_id", F.size("_set").alias("_n"), F.explode("_set").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-    ranked = (
-        sh.join(freq, on="shingle")
-        .join(sizes, on="_id")
-        .withColumn(
-            "_rank",
-            F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
-            ),
-        )
+    ranked = sh.join(freq, on="shingle").withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
+        ),
     )
     prefix = ranked.filter(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
@@ -133,7 +137,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_jaccard(cand, sh, threshold)
+    return _verified_jaccard(cand, sets, threshold)
 
 
 def minhash_signatures(
@@ -173,15 +177,18 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = _distinct_shingles(df, text_col, id_col, shingle_n).persist()
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = sh.groupBy("_id").agg(*aggs)
-    sig = wide.select(
+    sets = _shingle_sets(_distinct_shingles(df, text_col, id_col, shingle_n)).persist()
+    # Signatures straight from the cached set arrays: sig[i] =
+    # min_j xxhash64(i, set[j]) via transform+array_min — per-row array
+    # math in codegen, no second groupBy over an exploded index.
+    def _minhash(seed: int) -> F.Column:
+        # NB: the lambda must take exactly one arg — a two-arg lambda
+        # would be treated as transform's (element, index) form.
+        return F.array_min(F.transform("_set", lambda s: F.xxhash64(F.lit(seed), s)))
+
+    sig = sets.select(
         F.col("_id").alias("id"),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature"),
     )
     band_rows = sig.select(
         "id",
@@ -206,8 +213,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification pass on candidates only (shared cached index).
-    return _verified_jaccard(cand, sh, threshold)
+    # Exact verification pass on candidates only (shared cached sets).
+    return _verified_jaccard(cand, sets, threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:

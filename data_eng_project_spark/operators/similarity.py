@@ -176,3 +176,60 @@ def lsh_bucketed_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means over the corpus (pyspark.ml — the
+    fit is distributed), returning (assigned_df with a ``_cluster``
+    column, centroid list). At 100 TB the model is fit on a sample and
+    the assignment is one narrow map over the corpus; the assignment
+    column is what you'd persist as the index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "_cluster")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` clusters whose
+    centroids are most cosine-similar to the query, brute-force only
+    inside them. Scan cost drops by ~n_probe/n_clusters vs exact; recall
+    is tested against brute_force_topk in tests/test_operators.py."""
+    assigned, centroids = ivf_assign(vectors, n_clusters, seed, id_col, vec_col)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -_cos(query, centroids[i]))
+    probe = ranked[:n_probe]
+    cands = assigned.filter(F.col("_cluster").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,121 @@
+"""Temporal join operators: as-of join and bounded range (interval)
+self-join.
+
+The reference is batch-only with no temporal joins (SURVEY.md §2.3 —
+"no sort-merge, nested-loop, as-of, or interval joins"); these are the
+extension operators a time-series / training-data pipeline needs, built
+as compositions of existing DataFrame ops so Catalyst plans them as
+ordinary shuffles:
+
+- ``asof_join``  : the classic union-merge formulation — one shuffle on
+  the key, a single ordered window pass, no join node at all. This is
+  the scale path: cost is sort+scan of |left|+|right| per key, versus
+  the naive "join all earlier rows then argmax" which explodes to
+  |left| × |matching right| intermediates.
+- ``range_pairs``: pairs of rows within a time gap, via gap-sized time
+  bucketing that turns the pure inequality predicate into an equi-join
+  (same trick as the spatial grid join in operators/spatial.py): each
+  right row lands in its own bucket and its predecessor, so every
+  qualifying pair shares exactly one bucket — a superset candidate set
+  with no duplicates, then the exact filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right_ts <= left_ts`` for the same key (inclusive, backward as-of).
+
+    Right rows must be unique per (key, ts) — pre-aggregate the right
+    side first for deterministic results (the oracle does the same).
+
+    Implementation: tag right rows 0 and left rows 1, union them on a
+    common schema, and take ``last(payload, ignorenulls)`` over a window
+    ordered by (ts, tag) — the tag makes a right row at exactly left_ts
+    sort *before* the left row, giving inclusive semantics. One shuffle
+    on the key; no row explosion regardless of how many right rows
+    precede a left row.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_tag") == 1).select(
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{payload_cols[0]}").isNotNull())
+    return out
+
+
+def range_pairs(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    max_gap_seconds: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """All ordered pairs (a, b) with ``a.ts < b.ts <= a.ts + gap`` (and
+    equal ``partition_cols``, if given) — an interval self-join.
+
+    Scalable form: bucket timestamps into gap-sized cells; a qualifying
+    pair's b-row lies in a's bucket or the next one, so exploding the
+    b side into (its bucket, its bucket − 1) and equi-joining on the
+    bucket covers every pair exactly once. The inequality predicate is
+    then applied to the candidate superset. Shuffle is linear in input
+    (2× one side), never quadratic.
+    """
+    parts = partition_cols or []
+    bucket = (F.unix_timestamp(F.col(ts_col)) / max_gap_seconds).cast("long")
+    a = df.select(
+        *parts,
+        F.col(id_col).alias("id_a"),
+        F.col(ts_col).alias("ts_a"),
+        bucket.alias("_cell"),
+    )
+    b = df.select(
+        *parts,
+        F.col(id_col).alias("id_b"),
+        F.col(ts_col).alias("ts_b"),
+        F.explode(F.array(bucket, bucket - 1)).alias("_cell"),
+    )
+    # Exact boundary semantics: compare integer microseconds, not doubles
+    # (an epoch-seconds double can't represent micros exactly).
+    gap_us = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (
+        a.join(b, on=parts + ["_cell"])
+        .filter((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))
+        .select(*parts, "id_a", "id_b", gap_us.alias("gap_us"))
+    )

@@ -22,4 +22,5 @@ from data_eng_project_spark.plans import analytics2  # noqa: E402,F401
 from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401
+from data_eng_project_spark.plans import temporal  # noqa: E402,F401
 from data_eng_project_spark.plans import textdata  # noqa: E402,F401

@@ -234,3 +234,141 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "percentile_price_quartiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("analytics", "percentile"),
+)
+def percentile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per group (linear-interpolation percentile — the
+    same definition as the oracle's quantile_cont). Spark's `percentile`
+    is a full-sort-per-group aggregate; at scale you'd flip to
+    approx_percentile, which is sketch-based and engine-specific."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("median"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True `.pivot()` (wide output). The pivot values are declared
+    explicitly — at scale, never let Spark run the implicit
+    distinct-values pre-query."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, status, n FROM wide
+        UNPIVOT (n FOR status IN (status_O, status_F, status_P))
+    """,
+    tags=("analytics", "unpivot"),
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/unpivot: wide per-status counts back to long form."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["status_O", "status_F", "status_P"],
+        "status",
+        "n",
+    )
+
+
+@register(
+    "stratified_sample_deterministic",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sampled_value
+        FROM orders
+        WHERE o_orderkey % 10 < (CASE o_orderstatus
+                                 WHEN 'O' THEN 1 WHEN 'F' THEN 5 ELSE 10 END)
+        GROUP BY o_orderstatus
+    """,
+    tags=("analytics", "sampling"),
+)
+def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (10% of 'O', 50% of
+    'F', 100% of others) keyed on a deterministic function of the row id
+    — reproducible across engines and runs, unlike seeded `sampleBy`,
+    and a pure pushdown-friendly filter at scale."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 5)
+        .otherwise(10)
+    )
+    return (
+        orders.filter((F.col("o_orderkey") % 10) < rate)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,6)").alias(
+                "sampled_value"
+            ),
+        )
+    )

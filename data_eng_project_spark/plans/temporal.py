@@ -1,0 +1,91 @@
+"""Temporal-join query surface: backward as-of join and bounded-gap
+interval self-join over the ``events`` stream table.
+
+The reference has no temporal joins (SURVEY.md §2.3); these are the
+standard time-series extensions, implemented scale-first in
+operators/temporal.py (union-merge as-of: one shuffle, no explosion;
+bucketed range join: inequality → equi-join). DuckDB's native ASOF JOIN
+and inequality joins provide independent oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.temporal import asof_join, range_pairs
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+
+@register(
+    "asof_latest_order",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("temporal", "asof"),
+    headline=True,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent order at event time
+    (backward inclusive as-of). Right side is pre-aggregated to one row
+    per (custkey, orderdate) so the match is deterministic."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_orderdate").alias("asof_orderdate"),
+    )
+
+
+@register(
+    "events_within_minute",
+    oracle="""
+        SELECT a.event_type,
+               a.event_id AS id_a,
+               b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a
+        JOIN events b
+          ON a.event_type = b.event_type
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    """,
+    tags=("temporal", "rangejoin"),
+)
+def events_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs of same-type events ≤ 1 minute apart — an interval
+    self-join the oracle runs as a pure inequality join; ours compiles to
+    a bucketed equi-join (see range_pairs) whose shuffle stays linear."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    pairs = range_pairs(
+        events, ts_col="ts", id_col="event_id", max_gap_seconds=60,
+        partition_cols=["event_type"],
+    )
+    return pairs.select("event_type", "id_a", "id_b", "gap_us")

@@ -288,3 +288,19 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=16,
         seed=42,
     )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # k-means is iterative (non-SQL-expressible); recall vs
+    # brute force asserted in tests/test_operators.py
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, probe the best
+    clusters, exact cosine inside them — the other standard ANN scale
+    path (scan ~n_probe/n_clusters of the corpus)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.ivf_topk(emb, qvec, k=10, n_clusters=16, n_probe=4)

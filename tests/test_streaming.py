@@ -52,6 +52,35 @@ def test_streaming_hourly_equals_batch(spark):
     assert a == b
 
 
+def test_stateful_profile_converges_to_batch(spark):
+    """applyInPandasWithState custom operator: after draining the whole
+    (bounded) stream, the last emitted profile per user must equal the
+    batch aggregation of the same input."""
+    from data_eng_project_spark.streaming.stateful import (
+        running_user_profile_batch,
+        running_user_profile_stream,
+    )
+
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    emitted = run_available_now(
+        running_user_profile_stream(stream), "t_profiles", output_mode="update"
+    )
+    # update-mode emits one row per user per micro-batch; state is
+    # cumulative, so the converged value is the row with max n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    last = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = running_user_profile_batch(load_table(spark, SF, "events"))
+    a = {(r.user_id, r.n_events, round(r.total_value, 6), r.last_ts) for r in last.collect()}
+    b = {(r.user_id, r.n_events, round(r.total_value, 6), r.last_ts) for r in batch.collect()}
+    assert a == b
+
+
 def test_streaming_session_windows(spark):
     stream = read_events_stream(spark, table_path(SF, "events"))
     result = run_available_now(session_windows_stream(stream, gap="30 minutes"), "t_sessions")
