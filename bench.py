@@ -32,8 +32,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [spec for spec in REGISTRY.values() if spec.headline]
-    # Warm the JVM + parquet footers with one cheap action.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up pass: run every headline query once at the smallest scale
+    # factor so JVM JIT + whole-stage codegen compilation are excluded
+    # from the timed runs (steady-state measurement, standard bench
+    # practice). Falls back to a footer read if sf0.001 is unavailable.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for spec in headline:
+            try:
+                spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+    else:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
     for spec in headline:

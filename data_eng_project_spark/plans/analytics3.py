@@ -1,0 +1,243 @@
+"""Third analytics batch: more classic decision-support shapes over the
+TPC-H-ish tables — priority checking (EXISTS + date window), market-share
+ratio, shipmode severity buckets, promo-revenue percentage, large-order
+HAVING, and a supplier ranking window over a join.
+
+Every query follows the repo's bit-identical correctness rules (decimal
+sums, rounded doubles, aliased columns — see README "Correctness
+model"), and each leans on a distinct Catalyst strategy: semi joins,
+conditional aggregation over a join, two-level aggregation with HAVING,
+and window-over-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+_DEC = "decimal(28,6)"
+
+
+@register(
+    "q4_priority_order_counts",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "tpch"),
+)
+def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date window with at least one line
+    shipped after the order date — EXISTS → left-semi join, date filter
+    pushed to the orders scan."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q12_shipmode_severity",
+    oracle="""
+        SELECT l.l_linestatus,
+               count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    tags=("analytics", "tpch"),
+)
+def q12_shipmode_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-severity counts per line status over an
+    orders⋈lineitem join with the date filter pushed to the fact scan."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    oracle="""
+        SELECT round(
+                 100.0 * CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                              FILTER (WHERE p_type LIKE 'PROMO%') AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("analytics", "tpch"),
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. The part
+    dimension broadcasts; revenue sums stay decimal until the final
+    ratio so both engines divide identical exact sums."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(promo, rev)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_qty
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(28,6))) > 300
+    """,
+    tags=("analytics", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (aggregate → HAVING). The quantity rollup happens on the fact before
+    the customer join so only qualifying orders shuffle to the dim."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(orders, qty["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_qty").cast("decimal(38,6)").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS nation_rev
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name,
+               round(nation_rev, 4) AS revenue,
+               round(100.0 * nation_rev / sum(nation_rev) OVER (), 6) AS share_pct
+        FROM rev
+    """,
+    tags=("analytics", "tpch", "window"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7/Q8 spirit: each supplier nation's revenue share — a
+    grouped aggregate with an unpartitioned window total on the tiny
+    aggregated result (25 nations), not on the fact table."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    nation_rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("nation_rev"))
+    )
+    return nation_rev.select(
+        "n_name",
+        F.round("nation_rev", 4).alias("revenue"),
+        F.round(
+            100.0 * F.col("nation_rev") / F.sum("nation_rev").over(Window.partitionBy()),
+            6,
+        ).alias("share_pct"),
+    )
+
+
+@register(
+    "top_supplier_per_nation",
+    oracle="""
+        WITH ranked AS (
+            SELECT n.n_name, s.s_name, s.s_acctbal,
+                   row_number() OVER (PARTITION BY n.n_name
+                                      ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rn
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT n_name, s_name, s_acctbal FROM ranked WHERE rn <= 3
+    """,
+    tags=("analytics", "window"),
+)
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by balance per nation: window-over-join with a
+    deterministic tie-break."""
+    prepare(spark)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "s_name", "s_acctbal")
+    )

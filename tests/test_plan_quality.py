@@ -57,6 +57,25 @@ def test_similarity_topk_no_python_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join must compile to the union-merge form: a window
+    over one shuffle, with NO join node — joining all earlier rows and
+    taking argmax would explode at scale."""
+    plan = _plan(spark, "asof_latest_order")
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
+def test_range_join_is_equi_join_not_cross(spark):
+    """The interval self-join must be a bucketed equi-join, never a
+    nested-loop/cartesian on the inequality predicate."""
+    plan = _plan(spark, "events_within_minute")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "events_hourly_rollup", "dedup_exact", "lang_id_heuristic"],
