@@ -1,0 +1,78 @@
+"""Connected components over a pair graph — duplicate-cluster assembly.
+
+Pairwise near-dup detection (operators/dedup.py) emits edges; the
+deliverable of a dedup stage is the *cluster*: every document labeled
+with its component's canonical (minimum) id, so "keep one per cluster"
+is a single filter. Components are computed with iterative min-label
+propagation — each round, every node takes the minimum label among
+itself and its neighbors; a fixpoint is reached after O(diameter)
+rounds. Near-dup graphs have tiny diameters (dup clusters are near-
+cliques), so this converges in a handful of rounds.
+
+Scale design: each round is one join + one groupBy (shuffle on node id —
+AQE-coalesced); lineage is cut every round with ``localCheckpoint`` so
+the plan doesn't grow unboundedly; convergence is detected from a
+1-row aggregate (sum of labels, strictly decreasing until fixpoint) —
+no data rows ever reach the driver. This is the DataFrame variant of
+the classic Pregel-style label propagation; for adversarial
+billion-edge graphs you'd switch to the large-star/small-star
+alternation, which drops the round count to O(log n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with its component's
+    minimum node id. Returns (id, component). Nodes appear iff they occur
+    in at least one edge."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # cut lineage each round
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:  # min-propagation is monotone ⇒ fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select("id", "comp")
+
+
+def dedup_cluster_assignments(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, component, is_canonical) for every doc in ≥1 near-dup
+    pair; downstream keeps ``is_canonical`` rows only."""
+    comps = connected_components(pairs, id_a, id_b)
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

@@ -214,6 +214,41 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_supplier_revenue",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("analytics", "skew", "salting"),
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim revenue rollup executed through the explicit salted join
+    (operators/skew.py) — the hot-key mitigation for when AQE skew
+    splitting isn't enough. The oracle runs the plain join: salting must
+    be semantically invisible, and this query proves it on real data."""
+    prepare(spark)
+    from data_eng_project_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        salted_join(li, sup, on="s_suppkey", num_salts=8)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+        )
+    )
+
+
+@register(
     "top_supplier_per_nation",
     oracle="""
         WITH ranked AS (

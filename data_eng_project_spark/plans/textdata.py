@@ -146,10 +146,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH words AS (
+# Shared CTE chain computing exact 3-gram-shingle Jaccard pairs in
+# DuckDB SQL — used by the pair oracle and (wrapped in WITH RECURSIVE)
+# by the cluster oracle.
+_NGRAM_CTES = f"""
+        words AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS w,
                    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
@@ -166,14 +167,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT id_a, id_b,
-               round(i / (na.n + nb.n - i), 6) AS jaccard
-        FROM inter
-        JOIN sz na ON na.doc_id = id_a
-        JOIN sz nb ON nb.doc_id = id_b
-        WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
-    """,
+        ), pairs AS (
+            SELECT id_a, id_b,
+                   round(i / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz na ON na.doc_id = id_a
+            JOIN sz nb ON nb.doc_id = id_b
+            WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+        )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_NGRAM_CTES} SELECT id_a, id_b, jaccard FROM pairs",
     headline=True,
     tags=("dedup", "jaccard"),
 )
@@ -188,6 +194,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=JACCARD_THRESHOLD,
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_CTES},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS component,
+               least(src, min(dst)) = src AS is_canonical
+        FROM reach GROUP BY src
+    """,
+    tags=("dedup", "clusters", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over the exact-Jaccard
+    pair graph via iterative min-label propagation (O(diameter) rounds,
+    one join+groupBy per round — see operators/clusters.py). The oracle
+    computes the same components with a recursive transitive closure,
+    which only an exact pair graph makes feasible."""
+    prepare(spark)
+    from data_eng_project_spark.operators.clusters import dedup_cluster_assignments
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dedup_cluster_assignments(pairs)
 
 
 @register(

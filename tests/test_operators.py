@@ -211,6 +211,23 @@ def test_ivf_topk_recall_vs_brute_force(vectors):
     ] == exact
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 (propagation needs >1 round), a 2-clique, and an
+    isolated pair — all labeled with the component minimum."""
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
 # ------------------------------------------------------------- temporal
 
 def test_asof_join_inclusive_and_unmatched(spark):
