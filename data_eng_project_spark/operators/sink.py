@@ -51,6 +51,33 @@ def write_full_refresh(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC twin of write_idempotent — the Spark form of the reference's
+    generated ``INSERT ... ON CONFLICT DO NOTHING`` Postgres scripts
+    (reference dags/global_dag.py:144,206,213 + :381-397): dedup on the
+    key, anti-join against the live table, append only the new rows.
+    Same single-writer caveat as write_idempotent; no SQL-string
+    generation, so the reference's injection hazard disappears.
+
+    Untestable in this container (no database); exercised structurally
+    via the parquet twin, which shares the dedup/anti-join path.
+    """
+    props = properties or {}
+    new = df.dropDuplicates([key])
+    try:
+        existing = df.sparkSession.read.jdbc(url, table, properties=props).select(key)
+        new = new.join(existing, on=key, how="left_anti")
+    except Exception:
+        pass  # table absent on first write
+    new.write.jdbc(url, table, mode="append", properties=props)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

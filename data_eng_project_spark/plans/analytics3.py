@@ -214,6 +214,69 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_max_order_per_customer",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def q2_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery per group — Catalyst
+    decorrelates it into an aggregate + equi-join (no per-row re-scan)."""
+    prepare(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q15_top_revenue_suppliers",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_rev
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue rollup reused twice (join input + scalar
+    max) — exact decimal revenue so the max-equality filter is
+    deterministic across engines."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .cast("decimal(38,6)")
+            .alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        sup.join(rev, sup["s_suppkey"] == rev["l_suppkey"])
+        .join(F.broadcast(max_rev), rev["total_rev"] == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
     "salted_join_supplier_revenue",
     oracle="""
         SELECT s.s_suppkey, s.s_name,

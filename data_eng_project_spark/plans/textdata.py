@@ -126,6 +126,45 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "winnowing_fingerprints",
+    oracle=r"""
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                  i -> substr(md5(substr(t, i::INT, 5)), 1, 16)) AS hs
+            FROM norm
+        ), winnowed AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                      i -> list_min(list_slice(hs, i::INT, i::INT + 3))))) AS fps
+            FROM grams
+        )
+        SELECT doc_id,
+               len(fps) AS n_fingerprints,
+               fps[1] AS min_fp,
+               fps[len(fps)] AS max_fp
+        FROM winnowed
+    """,
+    tags=("textdata", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5 char grams, window w=4):
+    per-doc selected-hash set summary. See operators/textops.py."""
+    prepare(spark)
+    fps = T.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.element_at("fps", 1).alias("min_fp"),
+        F.element_at("fps", -1).alias("max_fp"),
+    )
+
+
 # ------------------------------------------------------------------ dedup
 
 @register(

@@ -252,6 +252,34 @@ def test_asof_join_inclusive_and_unmatched(spark):
     assert out == {1: "a", 2: "c", 3: "c", 4: None}
 
 
+def test_asof_join_equals_naive_on_random_data(spark):
+    """Randomized (seeded) equivalence: the union-merge as-of must agree
+    with the obvious per-row reference implementation."""
+    import random
+
+    from data_eng_project_spark.operators.temporal import asof_join
+
+    rnd = random.Random(1234)
+    left = [(i, rnd.randint(0, 5), rnd.randint(0, 100)) for i in range(200)]
+    right_keys = {(rnd.randint(0, 5), rnd.randint(0, 100)) for _ in range(60)}
+    right = [(k, ts, f"p{k}_{ts}") for k, ts in right_keys]
+
+    ldf = spark.createDataFrame(left, "event_id long, k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload string")
+    got = {
+        r.event_id: r.asof_payload
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+    }
+
+    def naive(k, ts):
+        cands = [(rts, p) for (rk, rts, p) in right if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    assert got == {eid: naive(k, ts) for (eid, k, ts) in left}
+
+
 def test_range_pairs_equals_naive(spark):
     from data_eng_project_spark.operators.temporal import range_pairs
 
