@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Scale probe: replicate the sf0.1 tables N× (with key offsets so ids
+stay unique and join fan-outs stay realistic) into a temp lake, then
+time the headline queries there.
+
+Usage: python tools/scale_probe.py [N] [out_dir]
+
+This is the 10×-growth rehearsal for the 100 TB posture: a query whose
+runtime grows super-linearly here has a shuffle or candidate-set problem
+that a cluster will magnify, not hide.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_eng_project_spark.plans import REGISTRY  # noqa: E402
+from data_eng_project_spark.session import get_session  # noqa: E402
+from data_eng_project_spark.tables import TABLE_NAMES, table_path  # noqa: E402
+
+# key columns to offset per replica so replicated rows stay distinct
+_OFFSETS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# text perturbation so replicated documents aren't byte-identical
+_PERTURB_TEXT = True
+
+
+def build(spark, src_dir: str, out_dir: str, n: int) -> None:
+    for name in TABLE_NAMES:
+        src = table_path(src_dir, name)
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if name in _OFFSETS:
+            parts = []
+            for i in range(n):
+                p = df
+                for c in _OFFSETS[name]:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+                if name == "documents" and _PERTURB_TEXT and i > 0:
+                    p = p.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" replica {i}"))
+                    )
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df  # dimensions stay fixed — realistic star-schema growth
+        out.write.mode("overwrite").parquet(table_path(out_dir, name))
+        print(f"built {name}: {out.count()} rows")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{n}"
+    src_dir = "/root/testdata/sf0.1"
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(table_path(out_dir, "lineitem")):
+        build(spark, src_dir, out_dir, n)
+
+    headline = [s for s in REGISTRY.values() if s.headline]
+    times = {}
+    for spec in headline:
+        t0 = time.perf_counter()
+        spec.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+        times[spec.name] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"{spec.name}: {times[spec.name]}s")
+    print({"total": round(sum(times.values()), 2), "n": n, "queries": times})
+
+
+if __name__ == "__main__":
+    main()
