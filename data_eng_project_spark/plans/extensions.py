@@ -12,7 +12,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_eng_project_spark.operators.multimodal import attach_fake_media, extract_media_meta
+from data_eng_project_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_meta,
+    frame_sample_stub,
+    resize_images_stub,
+)
+from pyspark.sql import functions as F
 from data_eng_project_spark.plans.registry import register
 from data_eng_project_spark.session import prepare
 from data_eng_project_spark.streaming.incremental import read_events_stream
@@ -52,3 +58,34 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_fake_media(docs))
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle=None,  # stubbed video decode; schema/plumbing surface
+    tags=("multimodal", "video"),
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index
+    (every second of fake duration) for each video payload."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_stub(attach_fake_media(docs), every_ms=1000)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=None,  # stubbed pixel work; schema/plumbing surface
+    tags=("multimodal", "image"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plumbing (binary in → binary out
+    through Arrow): emits source/target dimensions per image; pixel work
+    is the clearly-marked stub."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images_stub(attach_fake_media(docs), max_side=224)
+    return out.select(
+        "doc_id", "src_width", "src_height", "out_width", "out_height",
+        F.length("out_payload").alias("out_bytes"),
+    )

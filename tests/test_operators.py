@@ -192,6 +192,24 @@ def test_lsh_pairs_recall_on_planted(vectors):
     assert approx <= exact
 
 
+def test_blocked_all_pairs_equals_exact(vectors):
+    """The GEMM-blocked all-pairs must produce the same pair set as the
+    zip_with exact form, with cosines agreeing to float-ulp level."""
+    from data_eng_project_spark.operators.similarity import all_pairs_above_blocked
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in all_pairs_above(vectors, threshold=0.9).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in all_pairs_above_blocked(vectors, threshold=0.9, n_blocks=4).collect()
+    }
+    assert set(blocked) == set(exact) and len(exact) > 0
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
 def test_ivf_topk_recall_vs_brute_force(vectors):
     from data_eng_project_spark.operators.similarity import ivf_topk
 
