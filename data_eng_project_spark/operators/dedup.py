@@ -61,11 +61,15 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     return toks.select("_id", F.explode(hashed).alias("shingle")).distinct()
 
 
-def _shingle_sets(sh: DataFrame) -> DataFrame:
-    """(_id, _set sorted array<string>) — compact per-doc shingle set for
-    array-based verification. One shuffle; array size is bounded by doc
-    length, so rows stay small even at corpus scale."""
-    return sh.groupBy("_id").agg(F.sort_array(F.collect_set("shingle")).alias("_set"))
+def _shingle_sets_direct(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(_id, _set sorted array<long>) — per-doc shingle set computed
+    entirely row-local (tokenize → shingle → hash → array_distinct →
+    array_sort): ZERO shuffles, unlike the explode→distinct→collect_set
+    formulation this replaced (which paid two. See _distinct_shingles for
+    the hashed-shingle exactness note.)"""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    hashed = F.transform(shingles_from_tokens("_toks", n), lambda s: F.xxhash64(s))
+    return toks.select("_id", F.array_sort(F.array_distinct(hashed)).alias("_set"))
 
 
 def _verified_jaccard(
@@ -124,7 +128,7 @@ def ngram_jaccard_pairs(
     result equals the naive all-pairs formulation (which is what the
     DuckDB oracle computes).
     """
-    sets = _shingle_sets(_distinct_shingles(df, text_col, id_col, n)).persist()
+    sets = _shingle_sets_direct(df, text_col, id_col, n).persist()
     # Re-derive the exploded index from the cached sets (narrow, no extra
     # shuffle) carrying the set size inline — no separate sizes join.
     sh = sets.select(
@@ -206,7 +210,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sets = _shingle_sets(_distinct_shingles(df, text_col, id_col, shingle_n)).persist()
+    # NB: repartition before the signature pass — the set build is narrow,
+    # so a small input file would otherwise pin the heavy per-row hash
+    # work (num_hashes × |set| per doc) to the scan's few partitions. At
+    # lake scale inputs arrive in many splits and this spread is a no-op
+    # cost-wise; locally it is what buys the parallelism.
+    sets = (
+        _shingle_sets_direct(df, text_col, id_col, shingle_n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+    )
     # Signatures straight from the cached set arrays: sig[i] =
     # min_j xxhash64(i, set[j]) via transform+array_min — per-row array
     # math in codegen, no second groupBy over an exploded index.

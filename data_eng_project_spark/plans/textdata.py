@@ -128,6 +128,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "winnowing_fingerprints",
+    headline=True,
     oracle=r"""
         WITH norm AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -380,6 +381,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # numpy GEMM path: cosines differ from the sequential-
     # sum oracle in the last float ulp; pair-set equality vs the exact
     # operator is asserted in tests/test_operators.py
+    headline=True,
     tags=("similarity", "dedup", "embedding", "gemm"),
 )
 def embedding_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:

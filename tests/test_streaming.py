@@ -52,6 +52,24 @@ def test_streaming_hourly_equals_batch(spark):
     assert a == b
 
 
+def test_streaming_sliding_window_equals_batch(spark):
+    """Sliding windows (1h window, 15min slide): each event lands in 4
+    windows; the streamed result must equal the batch window() twin."""
+    from data_eng_project_spark.streaming.windows import sliding_avg_stream
+
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    result = run_available_now(sliding_avg_stream(stream), "t_sliding")
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+    a = {(r.window_start, r.event_type, round(r.avg_value, 9)) for r in result.collect()}
+    b = {(r.window_start, r.event_type, round(r.avg_value, 9)) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_stateful_profile_converges_to_batch(spark):
     """applyInPandasWithState custom operator: after draining the whole
     (bounded) stream, the last emitted profile per user must equal the
