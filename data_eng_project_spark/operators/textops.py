@@ -97,7 +97,11 @@ def winnowing_fingerprints(
         f"i -> array_min(slice(_hs, i, {w})))"
     )
     return (
+        # repartition: ~1 md5 per character of text is heavy per-row work;
+        # without it a single-split input file pins the whole corpus to
+        # one task (no-op at lake scale, decisive on local small files).
         df.select(F.col(id_col), norm.alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col), grams.alias("_hs"))
         .select(F.col(id_col), F.array_sort(F.array_distinct(wins)).alias("fps"))
     )

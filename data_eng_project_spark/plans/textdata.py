@@ -127,6 +127,35 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    oracle=rf"""
+        WITH canon AS (
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        ), feat AS (
+            SELECT doc_id, source, n_chars,
+                   {_PRED_CASE} AS lang_pred,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM feat JOIN canon ON feat.doc_id = canon.keep_id
+        WHERE lang_pred = 'en' AND n_words >= 20
+        GROUP BY source
+    """,
+    tags=("pipeline", "textdata", "composite"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-corpus cleaning flow (language filter →
+    quality filter → exact-dedup canonical → per-source stats), verified
+    end-to-end against one SQL oracle — see pipelines/corpus.py."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.corpus import clean_corpus, corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(clean_corpus(docs, lang="en", min_words=20))
+
+
+@register(
     "winnowing_fingerprints",
     headline=True,
     oracle=r"""

@@ -81,6 +81,15 @@ def get_session(app_name: str = "data-eng-project-spark", cpus: int | None = Non
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Local-mode split sizing: benchmark tables are single sub-128MB
+        # parquet files, which the default maxPartitionBytes turns into
+        # ONE scan task — serializing every scan+partial-agg on a 32-core
+        # box. 8MB splits ≈ input/cores here. A production cluster keeps
+        # the 128MB default (its files arrive in many splits already);
+        # this is builder-time local tuning, not engine semantics, so it
+        # deliberately does NOT go in prepare()/_RUNTIME_CONFS.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
