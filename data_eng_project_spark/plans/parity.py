@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_eng_project_spark.fixtures import FIXTURE_DIR, ensure_reference_fixtures
 from data_eng_project_spark.functions.dates import parse_date_multi
 from data_eng_project_spark.operators.joins import (
     anti_join,
@@ -19,6 +20,10 @@ from data_eng_project_spark.operators.joins import (
 from data_eng_project_spark.plans.registry import register
 from data_eng_project_spark.session import prepare
 from data_eng_project_spark.tables import load_table
+
+# Fixture files must exist before the driver evaluates either the Spark
+# queries or the DuckDB oracles that read them (see fixtures.py).
+ensure_reference_fixtures()
 
 
 @register(
@@ -291,3 +296,94 @@ def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("bigint").alias("k_value"),
     )
+
+
+@register(
+    "deaths_pipeline_e2e",
+    oracle=f"""
+        WITH raw AS (
+            SELECT column0 AS line
+            FROM read_csv('{FIXTURE_DIR}/deaths.txt', delim='|', quote='',
+                          header=false, columns={{'column0': 'VARCHAR'}})
+        ), parsed AS (
+            SELECT CAST(coalesce(try_strptime(substr(line, 82, 8), '%Y%m%d'),
+                                 try_strptime(substr(line, 82, 8), '%Y-%m-%d'))
+                        AS DATE) AS date_of_birth,
+                   CAST(coalesce(try_strptime(substr(line, 155, 8), '%Y%m%d'),
+                                 try_strptime(substr(line, 155, 8), '%Y-%m-%d'))
+                        AS DATE) AS date_of_death,
+                   trim(substr(line, 163, 5)) AS insee_code
+            FROM raw
+        ), geo AS (
+            SELECT * FROM read_csv('{FIXTURE_DIR}/geo.csv', header=true)
+        )
+        SELECT date_of_birth, date_of_death, latitude, longitude
+        FROM parsed JOIN geo ON parsed.insee_code = geo.code_commune_INSEE
+        WHERE date_of_birth IS NOT NULL AND date_of_death IS NOT NULL
+          AND NOT isnan(latitude) AND NOT isnan(longitude)
+    """,
+    tags=("parity", "pipeline", "S8", "F1", "J1", "P4"),
+)
+def deaths_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE death-staging pipeline end-to-end
+    (dags/global_dag.py:75-149): fixed-width scan → byte-offset slicing →
+    never-throw multi-format date parse → broadcast INSEE-geo join with
+    drop-on-miss → NaN/NULL validity filter — on reference-format fixture
+    files, against a DuckDB oracle that re-reads the same files. The
+    sha1 id column is dropped for the comparison (DuckDB has no sha1);
+    its semantics are pinned by tests/test_pipelines.py."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.deaths import run
+
+    d = ensure_reference_fixtures()
+    return run(spark, f"{d}/deaths.txt", f"{d}/geo.csv").drop("id")
+
+
+@register(
+    "plants_pipeline_e2e",
+    oracle=f"""
+        WITH n AS (
+            SELECT *, 'NUCLEAR' AS plant_type
+            FROM read_csv('{FIXTURE_DIR}/nuclear.csv', delim=';', header=true,
+                          all_varchar=true)
+        ), t AS (
+            SELECT *, 'THERMAL' AS plant_type
+            FROM read_csv('{FIXTURE_DIR}/thermal.csv', delim=';', header=true,
+                          all_varchar=true)
+        ), u AS (
+            SELECT * FROM n UNION ALL BY NAME SELECT * FROM t
+        ), parsed AS (
+            SELECT centrale AS plant_name,
+                   plant_type,
+                   fuel AS fuel_type,
+                   CAST(coalesce(
+                       try_strptime(date_de_mise_en_service_industrielle, '%Y%m%d'),
+                       try_strptime(date_de_mise_en_service_industrielle, '%Y-%m-%d'))
+                       AS DATE) AS creation_date,
+                   CAST(puissance_installee AS DOUBLE) AS plant_power,
+                   CAST(string_split(point_gps_wsg84, ',')[1] AS DOUBLE) AS latitude,
+                   CAST(string_split(point_gps_wsg84, ',')[2] AS DOUBLE) AS longitude
+            FROM u
+        )
+        SELECT plant_name, plant_type, fuel_type, creation_date,
+               plant_power, latitude, longitude
+        FROM parsed
+        WHERE creation_date IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY plant_name
+                                   ORDER BY creation_date ASC, plant_power DESC) = 1
+    """,
+    tags=("parity", "pipeline", "S6", "J3", "A1", "F1", "F4"),
+)
+def plants_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's power-plants integration end-to-end
+    (dags/global_dag.py:50-67,188-221): ;-separated CSV staging →
+    union-with-discriminator (nuclear ∪ thermal) → multi-format date
+    parse with drop-on-unparseable → GPS split → first-wins dedup on
+    plant name — reference-format fixtures, DuckDB oracle re-reading the
+    same files. Canonical id dropped for comparison (see
+    deaths_pipeline_e2e)."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.plants import build_power_plants
+
+    d = ensure_reference_fixtures()
+    return build_power_plants(spark, f"{d}/nuclear.csv", f"{d}/thermal.csv").drop("id")
