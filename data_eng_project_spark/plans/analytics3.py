@@ -460,3 +460,109 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, count(*) AS n_customers
+        FROM per_cust
+        GROUP BY n_orders
+    """,
+    tags=("analytics", "tpch", "outerjoin"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-order-count histogram via LEFT OUTER
+    join — customers with zero orders must survive to the n_orders=0
+    bucket (count(o_orderkey) ignores the NULLs the outer join mints)."""
+    prepare(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q16_parts_never_ordered",
+    oracle="""
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity > 45)
+        GROUP BY p_brand
+    """,
+    tags=("analytics", "tpch", "nullaware"),
+)
+def q16_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 spirit: NOT IN subquery — Catalyst plans a null-aware
+    anti join (NOT IN is NOT the same as a plain anti join when the
+    subquery can produce NULLs; here the SQL form exercises that exact
+    planning path); the subquery is windowed to high-quantity lines so
+    the result is non-empty (114 parts at sf0.01 — a 0-row result would
+    be a trivial oracle match)."""
+    prepare(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity > 45)
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "full_outer_activity_reconciliation",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        ), o AS (
+            SELECT o_custkey AS user_id, count(*) AS n_orders
+            FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        )
+        SELECT coalesce(e.user_id, o.user_id) AS user_id,
+               coalesce(e.n_events, 0) AS n_events,
+               coalesce(o.n_orders, 0) AS n_orders,
+               (e.user_id IS NULL) AS orders_only,
+               (o.user_id IS NULL) AS events_only
+        FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    tags=("analytics", "outerjoin", "reconciliation"),
+)
+def full_outer_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two activity sources (event counts vs
+    order counts per user) — rows surviving from either side with
+    presence flags; the audit-join every pipeline migration needs."""
+    prepare(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ej, oj = e.alias("e"), o.alias("o")
+    return ej.join(oj, F.col("e.user_id") == F.col("o.user_id"), "full_outer").select(
+        F.coalesce(F.col("e.user_id"), F.col("o.user_id")).alias("user_id"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("e.user_id").isNull().alias("orders_only"),
+        F.col("o.user_id").isNull().alias("events_only"),
+    )

@@ -57,6 +57,25 @@ def test_similarity_topk_no_python_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q6_all_filters_reach_scan_no_join(spark):
+    # NB: toString() truncates the PushedFilters list, so assert on the
+    # leading IsNotNull entries (proof the columns reached the scan) and
+    # the first comparison's prefix rather than every comparison.
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+    )
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_node not in plan
+
+
+def test_q19_disjunction_keeps_equi_join(spark):
+    plan = _plan(spark, "q19_disjunctive_predicates")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_join_is_window_not_join(spark):
     """The as-of join must compile to the union-merge form: a window
     over one shuffle, with NO join node — joining all earlier rows and
