@@ -47,6 +47,38 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+        SELECT a.event_type,
+               a.event_id AS id_a,
+               b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a
+        JOIN events b
+          ON a.event_type = b.event_type
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    """,
+    tags=("streaming", "join", "temporal"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join (watermarked both sides, bounded
+    state) drained with AvailableNow — checked against the same batch
+    inequality-join oracle as events_within_minute: the stream's final
+    output equals the batch answer."""
+    prepare(spark)
+    from data_eng_project_spark.streaming.windows import stream_stream_pairs
+
+    a = read_events_stream(spark, table_path(sf_dir, "events"))
+    b = read_events_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(
+        stream_stream_pairs(a, b),
+        f"mem_sspairs_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@register(
     "multimodal_media_meta",
     oracle=None,  # binary + mapInPandas plumbing; deterministic fake decode
     tags=("multimodal",),

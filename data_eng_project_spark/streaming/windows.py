@@ -63,6 +63,47 @@ def session_windows_stream(events_stream: DataFrame, gap: str = "30 minutes") ->
     )
 
 
+def stream_stream_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    partition_col: str = "event_type",
+    id_col: str = "event_id",
+    max_gap: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pairs of same-``partition_col`` events
+    with ``a.ts < b.ts <= a.ts + max_gap`` — the streaming twin of the
+    batch interval join (operators/temporal.range_pairs), verified
+    equal in tests.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound, so Spark can size the join state buffer and evict rows older
+    than the watermark — without the bound, state would grow forever.
+    """
+    wa = a.withWatermark("ts", watermark).select(
+        F.col(partition_col).alias("_pa"),
+        F.col(id_col).alias("id_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    wb = b.withWatermark("ts", watermark).select(
+        F.col(partition_col).alias("_pb"),
+        F.col(id_col).alias("id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = wa.join(
+        wb,
+        F.expr(
+            f"_pa = _pb AND ts_b > ts_a AND ts_b <= ts_a + INTERVAL {max_gap}"
+        ),
+    )
+    return joined.select(
+        F.col("_pa").alias("event_type"),
+        "id_a",
+        "id_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+
+
 def run_available_now(df: DataFrame, table_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow) into
     an in-memory sink and return the final result as a batch DataFrame.

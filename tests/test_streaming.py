@@ -99,6 +99,29 @@ def test_stateful_profile_converges_to_batch(spark):
     assert a == b
 
 
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """Stream-stream time-bounded join drained with AvailableNow must
+    equal the batch interval join over the same events."""
+    from data_eng_project_spark.operators.temporal import range_pairs
+    from data_eng_project_spark.streaming.windows import stream_stream_pairs
+
+    a = read_events_stream(spark, table_path(SF, "events"))
+    b = read_events_stream(spark, table_path(SF, "events"))
+    streamed = run_available_now(
+        stream_stream_pairs(a, b), "t_ss_pairs", output_mode="append"
+    )
+    batch = range_pairs(
+        load_table(spark, SF, "events"),
+        ts_col="ts",
+        id_col="event_id",
+        max_gap_seconds=60,
+        partition_cols=["event_type"],
+    )
+    s = {(r.event_type, r.id_a, r.id_b, r.gap_us) for r in streamed.collect()}
+    bt = {(r.event_type, r.id_a, r.id_b, r.gap_us) for r in batch.collect()}
+    assert s == bt and len(s) > 0
+
+
 def test_streaming_session_windows(spark):
     stream = read_events_stream(spark, table_path(SF, "events"))
     result = run_available_now(session_windows_stream(stream, gap="30 minutes"), "t_sessions")
