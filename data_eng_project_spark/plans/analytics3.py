@@ -566,3 +566,55 @@ def full_outer_activity_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         F.col("e.user_id").isNull().alias("orders_only"),
         F.col("o.user_id").isNull().alias("events_only"),
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ), hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), agg AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT h.window_start, t.event_type,
+               coalesce(a.n_events, 0) AS n_events
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN agg a ON a.window_start = h.window_start
+                       AND a.event_type = t.event_type
+    """,
+    tags=("analytics", "timeseries", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the timescale-style dense time series):
+    every (hour, type) cell exists, zero-filled where no events landed.
+    The dense hour spine is generated distributed (sequence+explode on
+    the 1-row bounds aggregate crossed with the tiny type dim) — no
+    driver-side date loop."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("window_start")
+    )
+    types = events.select("event_type").distinct()
+    agg = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    grid = hours.crossJoin(types)
+    return grid.join(agg, on=["window_start", "event_type"], how="left").select(
+        "window_start",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
