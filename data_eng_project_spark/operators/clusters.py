@@ -44,20 +44,33 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
-            .localCheckpoint()  # cut lineage each round
+        labels = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
         )
+        if rnd >= 2:
+            # Pointer jumping (path halving): also adopt the label OF our
+            # label — long chains collapse in O(log diameter) combined
+            # rounds instead of O(diameter). Near-dup graphs are near-
+            # cliques that converge within ~3 rounds, so the extra
+            # shuffle is only paid by graphs that actually need it.
+            # Monotone (labels only decrease) ⇒ fixpoint test unaffected.
+            hop = labels.select(
+                F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+            )
+            labels = labels.join(hop, labels["comp"] == hop["_pid"], "left").select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
+            )
+        labels = labels.localCheckpoint()  # cut lineage each round
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:  # min-propagation is monotone ⇒ fixpoint
             break

@@ -246,6 +246,22 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_long_path_converges_fast(spark):
+    """A 200-node path needs ~199 rounds of plain neighbor-min
+    propagation; with per-round pointer jumping it must converge well
+    within 15 rounds. Guards the O(log diameter) behavior, not just
+    correctness."""
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=15)
+    assert got.count() == n
+    assert got.agg(F.max("comp")).collect()[0][0] == 1
+
+
 # ------------------------------------------------------------- temporal
 
 def test_asof_join_inclusive_and_unmatched(spark):
