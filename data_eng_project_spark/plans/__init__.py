@@ -20,6 +20,7 @@ from data_eng_project_spark.plans.registry import REGISTRY, QuerySpec, register 
 from data_eng_project_spark.plans import analytics  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics2  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics3  # noqa: E402,F401
+from data_eng_project_spark.plans import analytics4  # noqa: E402,F401
 from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401

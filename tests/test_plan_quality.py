@@ -104,3 +104,48 @@ def test_single_table_queries_have_no_shuffle_beyond_agg(spark, name):
     aggregation exchange (plus AQE reads) — no stray repartitions."""
     plan = _plan(spark, name)
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q7_pushdown_and_broadcast(spark):
+    """Q7: shipdate range reaches the fact scan; the nation-filtered
+    supplier/customer sides broadcast; the pair disjunction never
+    degrades the equi-joins to a nested loop."""
+    plan = _plan(spark, "q7_nation_pair_volume")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to parquet
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_single_fact_shuffle(spark):
+    """Q9: all three dims broadcast, so the only hash exchange is the
+    final group-by — the fact table is never shuffled for a join."""
+    plan = _plan(spark, "q9_profit_by_nation_year")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q11_scans_fact_once(spark):
+    """Q11: the global total is re-derived from the per-part aggregate;
+    the per-part subtree is referenced twice in the DAG but AQE's
+    exchange reuse collapses it — the executed plan must carry a
+    ReusedExchange so the fact is physically scanned once."""
+    df = REGISTRY["q11_important_parts"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_q21_semi_and_anti_share_key(spark):
+    """Q21: EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti equi-joins on
+    l_orderkey with residual inequality conditions — no nested loop."""
+    plan = _plan(spark, "q21_sole_late_suppliers")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q22_anti_join_prunes_orders_scan(spark):
+    """Q22: the 1999+ date filter must reach the orders scan feeding the
+    anti join, and the scalar threshold broadcasts."""
+    plan = _plan(spark, "q22_idle_customers")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LeftAnti" in plan
