@@ -79,6 +79,45 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication proven end-to-end: the input
+    is the events table delivered TWICE (two file copies — an
+    at-least-once source), the stream dedups on event_id with
+    ``dropDuplicatesWithinWatermark``, and the drained result must equal
+    the batch oracle over the ORIGINAL single-copy table — exactly-once
+    delivery recovered from at-least-once input."""
+    import os
+    import shutil
+    import tempfile
+
+    prepare(spark)
+    from data_eng_project_spark.streaming.windows import dedup_events_stream
+
+    src = table_path(sf_dir, "events")
+    dup_dir = tempfile.mkdtemp(prefix="spark_graft_dup_events_")
+    shutil.copyfile(src, os.path.join(dup_dir, "copy_a.parquet"))
+    shutil.copyfile(src, os.path.join(dup_dir, "copy_b.parquet"))
+    stream = read_events_stream(spark, os.path.join(dup_dir, "*.parquet"))
+    deduped = dedup_events_stream(stream).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return run_available_now(
+        deduped, f"mem_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+
+@register(
     "multimodal_media_meta",
     oracle=None,  # binary + mapInPandas plumbing; deterministic fake decode
     tags=("multimodal",),

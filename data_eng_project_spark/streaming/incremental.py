@@ -38,7 +38,9 @@ def ingest_new_text_files(
     return int(progress["batchId"]) + 1 if progress else 0
 
 
-def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_parquet: str, **reader_options: str
+) -> DataFrame:
     """Open the events table as a (bounded) stream for availableNow
     processing — used by streaming/windows.py and tests.
 
@@ -57,11 +59,12 @@ def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
     raw_schema = spark.read.parquet(events_parquet).schema
     # The streaming file source needs a *directory* base path; point it
     # at the parent dir and glob-filter to just this table's file(s).
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", os.path.basename(events_parquet))
-        .parquet(os.path.dirname(events_parquet))
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", os.path.basename(events_parquet)
     )
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(os.path.dirname(events_parquet))
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream

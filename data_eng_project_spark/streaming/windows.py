@@ -119,3 +119,26 @@ def run_available_now(df: DataFrame, table_name: str, output_mode: str = "comple
     query.awaitTermination()
     spark = df.sparkSession
     return spark.table(table_name)
+
+
+def dedup_events_stream(
+    events_stream: DataFrame, watermark: str = "45 days"
+) -> DataFrame:
+    """Exactly-once event delivery from an at-least-once source:
+    watermarked streaming deduplication on the event key.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    drops re-deliveries arriving within the watermark delay, then
+    expires the entry — bounded state, unlike plain ``dropDuplicates``
+    whose state grows forever on an unbounded stream. The watermark is
+    therefore the *redelivery horizon*: pick it ≥ the source's maximum
+    redelivery lag (45 days covers the synthetic events table's whole
+    span, so every duplicate is caught in tests).
+
+    Append-mode safe (rows emit immediately; state is only for
+    suppression), so it composes with a downstream sink without waiting
+    for window finalization.
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -134,3 +134,29 @@ def test_streaming_session_windows(spark):
 
     batch_sessions = REGISTRY["sessionize_events"].fn(spark, SF)
     assert result.count() == batch_sessions.count()
+
+
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress re-deliveries that
+    arrive in a LATER micro-batch (not just within one): two copies of
+    the events file forced into separate triggers via maxFilesPerTrigger,
+    watermark covering the full redelivery horizon."""
+    import shutil
+    import uuid as _uuid
+
+    from data_eng_project_spark.streaming.windows import dedup_events_stream
+
+    src = table_path(SF, "events")
+    shutil.copyfile(src, str(tmp_path / "copy_a.parquet"))
+    shutil.copyfile(src, str(tmp_path / "copy_b.parquet"))
+    stream = read_events_stream(
+        spark, str(tmp_path / "*.parquet"), maxFilesPerTrigger="1"
+    )
+    out = run_available_now(
+        dedup_events_stream(stream).select("event_id"),
+        f"mem_xbatch_{_uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    n_batch = load_table(spark, SF, "events").count()
+    assert out.count() == n_batch
+    assert out.distinct().count() == n_batch
