@@ -404,3 +404,74 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "window_function_suite",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cum_dist,
+               lag(c_acctbal) OVER w AS prev_bal,
+               lead(c_acctbal) OVER w AS next_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("analytics", "window"),
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window-function breadth — ntile, percent_rank,
+    cume_dist, lag, lead over one window spec. The ORDER BY carries the
+    unique-key tie-break (c_custkey) so ntile bucket boundaries are
+    total-order deterministic across engines. Partitioning by
+    (segment, nation) keeps ~125 groups — at 100 TB a segment-only
+    window would funnel the table through 5 partitions; composite keys
+    are the scale-out lever for window work."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+
+
+@register(
+    "approx_price_quartiles",
+    oracle=None,  # sketch output is engine-specific; accuracy vs the
+    # exact percentile_price_quartiles is asserted in
+    # tests/test_operators.py::test_approx_quartiles_close_to_exact
+    tags=("analytics", "sketch", "percentile"),
+)
+def approx_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quartiles (Greenwald-Khanna approx_percentile,
+    accuracy 10000 → ≤0.01% rank error): the 100 TB path where the exact
+    per-group full sort of `percentile_price_quartiles` is replaced by a
+    mergeable constant-memory sketch — one pass, partial-aggregable,
+    no sort."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("median"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
+        )
+    )

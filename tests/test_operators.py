@@ -347,3 +347,26 @@ def test_multimodal_meta_deterministic(spark):
     assert m1[1].checksum == m2[1].checksum  # deterministic
     assert m1[1].n_bytes == len(b"hello world")
     assert 64 <= m1[1].width < 256 and 64 <= m1[1].height < 256
+
+
+def test_approx_quartiles_close_to_exact(spark):
+    """The Greenwald-Khanna sketch at accuracy 10000 must land within
+    0.5% relative error of the exact per-group quartiles — the evidence
+    that the 100 TB sketch path answers the same question as the exact
+    sort path."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["percentile_price_quartiles"].fn(spark, sf).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["approx_price_quartiles"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "median", "p75"):
+            assert abs(a[col] - e[col]) <= 0.005 * abs(e[col]), (flag, col, a[col], e[col])
