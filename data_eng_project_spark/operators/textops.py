@@ -105,3 +105,51 @@ def winnowing_fingerprints(
         .select(F.col(id_col), grams.alias("_hs"))
         .select(F.col(id_col), F.array_sort(F.array_distinct(wins)).alias("fps"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    Distributed shape (the classic two-aggregation corpus statistic):
+    tokenize → explode → (doc, term) counts [shuffle 1] → term document
+    frequencies from the tf relation [shuffle 2, vocabulary-sized] →
+    idf joined back (vocabulary is orders smaller than the corpus, so
+    AQE broadcasts it) → per-doc top-k window. Corpus size N rides in
+    as a broadcast one-row aggregate, never a driver-side collect.
+
+    Determinism for cross-engine parity: tf and df are integers, idf is
+    ln((N+1)/(df+1)) computed in double from those integers — identical
+    on any IEEE-754 engine — and the top-k window breaks tfidf ties on
+    the term string.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "_tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.round("_tfidf", 6).alias("tfidf"),
+        )
+    )

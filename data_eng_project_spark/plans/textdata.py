@@ -438,3 +438,176 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.ivf_topk(emb, qvec, k=10, n_clusters=16, n_probe=4)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf_raw,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC,
+                                tf.term
+                   ) AS rn
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf
+        FROM scored WHERE rn <= 3
+    """,
+    tags=("textdata", "tfidf"),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic term weighting: per-document top-3 terms by
+    smoothed TF-IDF (see operators/textops.tfidf_top_terms for the
+    distributed two-aggregation shape). The reference has no corpus
+    analytics at all (its text handling is fixed-width slicing,
+    dags/global_dag.py:96-138); this is the training-data-pipeline
+    extension of the documents table."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs)
+
+
+@register(
+    "crossmodal_dup_consensus",
+    oracle=f"""
+        WITH {_NGRAM_CTES}
+        SELECT p.id_a, p.id_b, p.jaccard,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS cosine,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6)
+                   >= {COSINE_DUP_THRESHOLD} AS both_modalities
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+    """,
+    tags=("dedup", "similarity", "crossmodal"),
+)
+def crossmodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate consensus: every TEXT near-dup pair
+    (3-gram Jaccard ≥ τ_text) enriched with the EMBEDDING cosine of the
+    same two documents (vec_id ≡ doc_id in the driver's tables), flagged
+    when both modalities agree. The scale shape: the pair list is tiny
+    relative to the corpus, so the two embedding attachments are
+    fact-to-fact equi-joins on id that AQE resolves as broadcasts of the
+    pair side — never a second all-pairs pass over vectors."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD)
+    ea = emb.select(F.col("vec_id").alias("_ida"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("_idb"), F.col("embedding").alias("_vb"))
+    cos = F.round(S.cosine("_va", "_vb"), 6)
+    return (
+        pairs.join(ea, F.col("id_a") == F.col("_ida"))
+        .join(eb, F.col("id_b") == F.col("_idb"))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            cos.alias("cosine"),
+            (cos >= F.lit(COSINE_DUP_THRESHOLD)).alias("both_modalities"),
+        )
+    )
+
+
+@register(
+    "bm25_search",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        ), tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE term = 'spark') AS tf1,
+                   count(*) FILTER (WHERE term = 'merge') AS tf2,
+                   count(*) FILTER (WHERE term = 'window') AS tf3,
+                   count(*) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        g AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   count(*) FILTER (WHERE tf1 > 0) AS df1,
+                   count(*) FILTER (WHERE tf2 > 0) AS df2,
+                   count(*) FILTER (WHERE tf3 > 0) AS df3
+            FROM per_doc
+        )
+        SELECT doc_id,
+               round(
+                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                     * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                     * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                     * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS bm25
+        FROM per_doc CROSS JOIN g
+        ORDER BY ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                     * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                     * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                     * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)) DESC,
+                 doc_id
+        LIMIT 10
+    """,
+    tags=("textdata", "search", "bm25"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query
+    {spark, merge, window}: per-doc term frequencies and length from one
+    tokenize+group pass, corpus stats (N, avgdl, per-term df) as a
+    broadcast one-row aggregate, score as a FIXED-ORDER three-term sum
+    so double addition is deterministic cross-engine, TakeOrdered top-10.
+    The per-term tf columns come from conditional aggregation — the
+    query never re-scans or re-shuffles per query term (at 100 TB each
+    extra term is one more conditional agg column, not another join)."""
+    prepare(spark)
+    terms = ["spark", "merge", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = tok.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i+1}")
+            for i, t in enumerate(terms)
+        ],
+        F.count(F.lit(1)).alias("dl"),
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i+1}") > 0, 1)).alias(f"df{i+1}")
+            for i in range(len(terms))
+        ],
+    )
+    dl_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i+1}"), F.col(f"df{i+1}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
+        term_score = idf * (tf * F.lit(2.2)) / (tf + dl_norm)
+        score = term_score if score is None else score + term_score
+    return (
+        per_doc.join(F.broadcast(g))
+        .select("doc_id", score.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("_s", 6).alias("bm25"))
+    )
