@@ -510,17 +510,17 @@ def crossmodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD)
     ea = emb.select(F.col("vec_id").alias("_ida"), F.col("embedding").alias("_va"))
     eb = emb.select(F.col("vec_id").alias("_idb"), F.col("embedding").alias("_vb"))
-    cos = F.round(S.cosine("_va", "_vb"), 6)
+    # Materialize the rounded cosine in its own projection: higher-order
+    # lambda expressions (zip_with/aggregate) get no CSE, so reusing the
+    # raw expression in two output columns would evaluate the dot product
+    # twice per pair.
     return (
         pairs.join(ea, F.col("id_a") == F.col("_ida"))
         .join(eb, F.col("id_b") == F.col("_idb"))
         .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            cos.alias("cosine"),
-            (cos >= F.lit(COSINE_DUP_THRESHOLD)).alias("both_modalities"),
+            "id_a", "id_b", "jaccard", F.round(S.cosine("_va", "_vb"), 6).alias("cosine")
         )
+        .withColumn("both_modalities", F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
     )
 
 
@@ -610,4 +610,45 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_s").desc(), "doc_id")
         .limit(10)
         .select("doc_id", F.round("_s", 6).alias("bm25"))
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+        WITH comps AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+                   AS centroid
+        FROM comps
+        GROUP BY label, dim
+    """,
+    tags=("similarity", "embedding", "vectoragg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the vector-aggregation shape
+    behind SemDeDup-style semantic pruning and IVF coarse quantizers:
+    posexplode flattens vectors to (label, dim, value) so the mean is a
+    plain grouped aggregate over label×dim cells — every dimension
+    averages in parallel across the cluster instead of reducing whole
+    vectors through one combiner. Components sum in decimal (order-free,
+    exact) via an explicit float→double→decimal cast chain shared with
+    the oracle; mean lands in double."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
     )

@@ -91,3 +91,27 @@ def test_full_refresh_dimension(spark, tmp_path):
     write_full_refresh(spark.createDataFrame([(1,)], "k int"), path)
     write_full_refresh(spark.createDataFrame([(2,), (3,)], "k int"), path)
     assert {r.k for r in spark.read.parquet(path).collect()} == {2, 3}
+
+
+def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
+    """ORC as an alternate columnar interchange format: write → read
+    roundtrips rows exactly, and predicate pushdown reaches the ORC scan
+    the same way it does for parquet."""
+    from data_eng_project_spark.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    from pyspark.sql import functions as F
+
+    a = src.agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)"))).collect()[0][0]
+    assert a == b
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
