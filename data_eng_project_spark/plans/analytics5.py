@@ -1,0 +1,202 @@
+"""Fifth analytics batch: behavioral / operational analytics over the
+events and orders tables — funnel conversion, weekly cohort retention,
+SCD Type-2 interval construction, and single-pass data profiling.
+
+These are the product-analytics and warehouse-maintenance shapes a team
+replacing the reference's Postgres serving layer (SURVEY §0) would run
+daily; none need anything beyond declarative DataFrame ops, and each is
+oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+_DEC = "decimal(28,6)"
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS tc
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.tv
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS tp
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after_view,
+               (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage is the
+    per-user min timestamp of the stage event STRICTLY AFTER the user's
+    previous-stage time — three groupBys chained by equi-joins on
+    user_id, so every stage shuffles on the same key and AQE reuses the
+    partitioning. Stage populations shrink monotonically; the final
+    counts are one-row aggregates."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                                 date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_n
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_n, count(*) AS n_active_users
+        FROM activity GROUP BY cohort_week, week_n
+    """,
+    tags=("analytics", "events", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by the week of
+    their first event; activity counted as distinct (user, week-offset)
+    cells. Week arithmetic stays in whole days ÷ 7 (both engines
+    truncate weeks to Monday, so the difference is always a multiple of
+    7 — no engine-specific week-diff semantics). Two shuffles: per-user
+    min, then the cohort-cell distinct+count."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "scd2_customer_status",
+    oracle="""
+        SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("analytics", "scd", "window"),
+)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 interval construction: each
+    customer's order-status change stream becomes [valid_from, valid_to)
+    rows via a single lead() window — the standard warehouse pattern for
+    turning event logs into temporally-joinable dimensions (pairs with
+    the as-of join in plans/temporal.py for point-in-time lookups). One
+    shuffle, partitioned by the dimension key; the unique o_orderkey
+    tie-break makes interval boundaries deterministic."""
+    prepare(spark)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               count(DISTINCT o_custkey) AS n_customers,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order,
+               count(*) FILTER (WHERE o_totalprice IS NULL) AS null_prices,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_price,
+               round(CAST(min(o_totalprice) AS DOUBLE), 6) AS min_price,
+               round(CAST(max(o_totalprice) AS DOUBLE), 6) AS max_price
+        FROM orders
+    """,
+    tags=("analytics", "profiling"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (the data-quality summary a pipeline
+    emits before publishing a partition): row/null/distinct counts,
+    value ranges, exact-decimal mean — every statistic partial-aggregable
+    in one scan except the two exact distincts, which Spark expands with
+    one extra exchange; at 100 TB you'd flip those to HLL
+    (approx_count_distinct, see approx_distinct_users)."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_prices"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+        F.round(F.min("o_totalprice").cast("double"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice").cast("double"), 6).alias("max_price"),
+    )
