@@ -68,3 +68,37 @@ def read_events_stream(
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def stream_upsert_events(
+    spark: SparkSession,
+    events_parquet: str,
+    out_path: str,
+    checkpoint: str,
+    **reader_options: str,
+) -> None:
+    """Stream → idempotent keyed parquet sink via foreachBatch.
+
+    Each micro-batch routes through operators/sink.write_idempotent, so
+    the sink holds exactly-once rows even when (a) the source redelivers
+    events across batches and (b) a failed batch is replayed from the
+    checkpoint: the anti-join on event_id makes the batch write an
+    upsert, and the checkpoint makes progress tracking transactional.
+    This is the Structured-Streaming equivalent of the reference's
+    INSERT … ON CONFLICT DO NOTHING Postgres load
+    (dags/global_dag.py:144,206,213).
+    """
+    from data_eng_project_spark.operators.sink import write_idempotent
+
+    stream = read_events_stream(spark, events_parquet, **reader_options)
+
+    def _upsert(batch_df, batch_id: int) -> None:
+        write_idempotent(batch_df.sparkSession, batch_df, out_path, "event_id")
+
+    (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

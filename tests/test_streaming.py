@@ -160,3 +160,59 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
     n_batch = load_table(spark, SF, "events").count()
     assert out.count() == n_batch
     assert out.distinct().count() == n_batch
+
+
+def test_stream_foreachbatch_idempotent_sink(spark, tmp_path):
+    """Streaming foreachBatch → keyed idempotent parquet sink: duplicate
+    deliveries across micro-batches AND a full re-run of the stream must
+    leave exactly one row per event_id in the sink."""
+    import shutil
+
+    from data_eng_project_spark.streaming.incremental import stream_upsert_events
+
+    src = table_path(SF, "events")
+    shutil.copyfile(src, str(tmp_path / "copy_a.parquet"))
+    shutil.copyfile(src, str(tmp_path / "copy_b.parquet"))
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_upsert_events(
+        spark, str(tmp_path / "*.parquet"), out, ckpt, maxFilesPerTrigger="1"
+    )
+    n_batch = load_table(spark, SF, "events").count()
+    assert spark.read.parquet(out).count() == n_batch
+    # Re-run with a FRESH checkpoint (worst case: all progress lost) —
+    # the keyed sink, not the checkpoint, is the dedup authority.
+    stream_upsert_events(
+        spark, str(tmp_path / "*.parquet"), out, str(tmp_path / "ckpt2")
+    )
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == n_batch
+    assert sunk.select("event_id").distinct().count() == n_batch
+
+
+def test_csv_permissive_keeps_corrupt_record(spark, tmp_path):
+    """PERMISSIVE mode must load well-formed rows AND surface malformed
+    lines in _corrupt_record instead of dropping them silently — the
+    quarantine path a production ingest needs next to DROPMALFORMED."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,x\n2,y,EXTRA,COLS\n3,z\n")
+    schema = StructType(
+        [
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "EXTRA" in bad[0]["_corrupt_record"]
+    df.unpersist()
