@@ -149,3 +149,30 @@ def test_q22_anti_join_prunes_orders_scan(spark):
     plan = _plan(spark, "q22_idle_customers")
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "LeftAnti" in plan
+
+
+def test_funnel_stages_shuffle_on_one_key(spark):
+    """Funnel: every stage groups/joins on user_id only — no exchange on
+    any other key should appear (the chain re-uses one partitioning)."""
+    plan = _plan(spark, "funnel_conversion")
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}, keys
+
+
+def test_scd2_single_window_shuffle(spark):
+    """SCD2: one window over the dimension key — exactly one hash
+    exchange and no join nodes."""
+    plan = _plan(spark, "scd2_customer_status")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan
+
+
+def test_profile_orders_single_scan(spark):
+    """Profiling reads the table once (the two exact distincts expand to
+    extra aggregation exchanges, not extra scans)."""
+    plan = _plan(spark, "profile_orders")
+    assert plan.count("FileScan parquet") == 1
