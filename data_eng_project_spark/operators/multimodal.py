@@ -149,3 +149,114 @@ def decode_frame(payload: bytes, frame_idx: int) -> bytes:
         "frame decode requires pyav/ffmpeg; install a codec and replace "
         "_fake_decode/decode_frame (plumbing in extract_media_meta is real)"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel path: uncompressed raw-RGB images (8-byte header: width,
+# height as big-endian uint32, then h×w×3 uint8 pixels). No codec library
+# needed, so decode and resize below are real computation, not stubs —
+# the compressed-format path (PNG/JPEG via PIL) remains the stub above.
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+_RAW_HDR = struct.Struct(">II")
+
+
+def encode_raw_image(arr: "np.ndarray") -> bytes:
+    """h×w×3 uint8 array → raw-RGB payload."""
+    h, w = arr.shape[:2]
+    return _RAW_HDR.pack(w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_raw_image(payload: bytes) -> "np.ndarray":
+    """Raw-RGB payload → h×w×3 uint8 array. REAL decode (header parse +
+    buffer reshape), not a fake."""
+    w, h = _RAW_HDR.unpack_from(payload)
+    return np.frombuffer(payload, dtype=np.uint8, offset=_RAW_HDR.size).reshape(h, w, 3)
+
+
+def bilinear_resize(img: "np.ndarray", ow: int, oh: int) -> "np.ndarray":
+    """Vectorized bilinear resample (align-corners=False, the PIL/OpenCV
+    convention): target pixel centers map to source coordinates, the four
+    neighbors blend by fractional distance. Pure numpy gather — no
+    per-pixel Python."""
+    h, w = img.shape[:2]
+    # Source coordinates of each target pixel center.
+    xs = (np.arange(ow) + 0.5) * (w / ow) - 0.5
+    ys = (np.arange(oh) + 0.5) * (h / oh) - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    p = img.astype(np.float64)
+    top = p[y0[:, None], x0[None, :]] * (1 - fx) + p[y0[:, None], x1[None, :]] * fx
+    bot = p[y1[:, None], x0[None, :]] * (1 - fx) + p[y1[:, None], x1[None, :]] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def attach_raw_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mint a deterministic raw-RGB image per row (dimensions and pixel
+    gradient derived from the id), via mapInPandas so the pixel buffers
+    are built executor-side in numpy — the driver never sees a blob."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                w = 32 + int(doc_id) % 97
+                h = 24 + int(doc_id) % 71
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), int(doc_id) % 256, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                ids.append(doc_id)
+                payloads.append(encode_raw_image(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def resize_raw_images(media_df: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL aspect-preserving bilinear resize of raw-RGB payloads in
+    Arrow batches: decode (reshape) → numpy bilinear → re-encode. Same
+    partition-preserving mapInPandas shape as the stub path, but the
+    pixels are actually computed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "src_width", "src_height",
+                "out_width", "out_height", "out_payload",
+            )}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_raw_image(bytes(pl))
+                h, w = img.shape[:2]
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                out = bilinear_resize(img, ow, oh)
+                rows["doc_id"].append(doc_id)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_payload"].append(encode_raw_image(out))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, src_width int, src_height int, "
+            "out_width int, out_height int, out_payload binary"
+        ),
+    )

@@ -160,3 +160,35 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_width", "src_height", "out_width", "out_height",
         F.length("out_payload").alias("out_bytes"),
     )
+
+
+@register(
+    "multimodal_resize_raw",
+    oracle=None,  # binary pixel output; resize correctness is asserted
+    # by property tests (constant-color preservation, gradient
+    # linearity, identity resize) in tests/test_operators.py
+    tags=("multimodal", "resize"),
+)
+def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline over an uncompressed raw-RGB format: mint
+    deterministic gradient images executor-side, then bilinear-resize
+    them in Arrow batches (operators/multimodal.bilinear_resize — actual
+    pixel math, unlike the codec-stubbed PNG path). Output keeps only
+    narrow typed columns plus a checksum of the resized payload, so the
+    driver compare never ships pixel buffers."""
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_images,
+        resize_raw_images,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_raw_images(attach_raw_images(docs), max_side=64)
+    return resized.select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        F.sha1("out_payload").alias("out_checksum"),
+    )

@@ -370,3 +370,48 @@ def test_approx_quartiles_close_to_exact(spark):
         a = approx[flag]
         for col in ("p25", "median", "p75"):
             assert abs(a[col] - e[col]) <= 0.005 * abs(e[col]), (flag, col, a[col], e[col])
+
+
+def test_bilinear_resize_properties():
+    """The real resize path: constant images stay constant, a horizontal
+    gradient stays monotone, identity-size resize is exact."""
+    import numpy as np
+
+    from data_eng_project_spark.operators.multimodal import (
+        bilinear_resize,
+        decode_raw_image,
+        encode_raw_image,
+    )
+
+    const = np.full((40, 60, 3), 137, dtype=np.uint8)
+    out = bilinear_resize(const, 17, 11)
+    assert out.shape == (11, 17, 3) and (out == 137).all()
+
+    grad = np.zeros((8, 256, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(256, dtype=np.uint8)[None, :]
+    small = bilinear_resize(grad, 64, 8)[:, :, 0].astype(int)
+    assert (np.diff(small, axis=1) >= 0).all()  # monotone preserved
+    assert small[0, 0] <= 8 and small[0, -1] >= 247  # endpoints near range
+
+    img = np.random.default_rng(7).integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert (bilinear_resize(img, 31, 23) == img).all()  # identity
+    assert (decode_raw_image(encode_raw_image(img)) == img).all()  # codec roundtrip
+
+
+def test_resize_raw_images_distributed(spark):
+    """The mapInPandas resize: every output dimension respects max_side,
+    aspect ratio is preserved to rounding, and results are deterministic
+    across runs (stable checksums)."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r for r in REGISTRY["multimodal_resize_raw"].fn(spark, sf).collect()}
+    b = {r["doc_id"]: r for r in REGISTRY["multimodal_resize_raw"].fn(spark, sf).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["out_checksum"] == b[k]["out_checksum"]
+        r = a[k]
+        assert max(r["out_width"], r["out_height"]) <= 64
+        scale = min(1.0, 64 / max(r["src_width"], r["src_height"]))
+        assert r["out_width"] == max(1, round(r["src_width"] * scale))
+        assert r["out_height"] == max(1, round(r["src_height"] * scale))
