@@ -260,3 +260,80 @@ def resize_raw_images(media_df: DataFrame, max_side: int = 64) -> DataFrame:
             "out_width int, out_height int, out_payload binary"
         ),
     )
+
+
+# Raw-PCM audio: 12-byte header (sample_rate uint32, n_samples uint32,
+# n_channels uint32, big-endian) then int16 little-endian samples. As
+# with raw-RGB above, no codec is needed, so decode and the feature
+# extractor are real computation.
+
+_PCM_HDR = struct.Struct(">III")
+
+
+def encode_raw_audio(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """1-D int16 array → raw-PCM payload (mono)."""
+    return _PCM_HDR.pack(sample_rate, samples.shape[0], 1) + samples.astype(
+        "<i2"
+    ).tobytes()
+
+
+def decode_raw_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Raw-PCM payload → (int16 sample array, sample_rate)."""
+    sr, n, _ch = _PCM_HDR.unpack_from(payload)
+    samples = np.frombuffer(payload, dtype="<i2", offset=_PCM_HDR.size, count=n)
+    return samples, sr
+
+
+def attach_raw_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mint a deterministic mono sine tone per row (frequency and length
+    derived from the id) executor-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                sr = 8000
+                freq = 100 + int(doc_id) % 900
+                n = sr // 2 + (int(doc_id) % 1000)  # 0.5-0.625 s
+                t = np.arange(n, dtype=np.float64) / sr
+                wave = (0.5 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                ids.append(doc_id)
+                payloads.append(encode_raw_audio(wave, sr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def extract_audio_features(media_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction in Arrow batches: duration, RMS
+    amplitude (normalized to [-1,1] full scale), zero-crossing rate
+    (Hz), and peak amplitude — the waveform statistics a training
+    pipeline filters on (silence/clipping detection, tone screening)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "zero_cross_rate_hz", "peak",
+            )}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr = decode_raw_audio(bytes(pl))
+                x = samples.astype(np.float64) / 32767.0
+                n = x.shape[0]
+                crossings = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(int(round(1000.0 * n / sr)))
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                rows["zero_cross_rate_hz"].append(float(crossings * sr / (2.0 * n)))
+                rows["peak"].append(float(np.max(np.abs(x))))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, sample_rate int, n_samples int, duration_ms int, "
+            "rms double, zero_cross_rate_hz double, peak double"
+        ),
+    )

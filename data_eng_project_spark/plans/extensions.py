@@ -192,3 +192,34 @@ def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.sha1("out_payload").alias("out_checksum"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,  # waveform feature output; physics-based property tests
+    # (sine RMS = A/sqrt(2), ZCR = tone frequency) in tests/test_operators.py
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline over raw-PCM payloads: mint deterministic sine
+    tones executor-side, then extract duration/RMS/zero-crossing-rate/
+    peak in Arrow batches (operators/multimodal.extract_audio_features —
+    actual DSP, no codec required). Rounded to 6 dp so the rows-only
+    check is run-stable."""
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_audio,
+        extract_audio_features,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_audio_features(attach_raw_audio(docs))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate_hz", 6).alias("zero_cross_rate_hz"),
+        F.round("peak", 6).alias("peak"),
+    )

@@ -415,3 +415,20 @@ def test_resize_raw_images_distributed(spark):
         scale = min(1.0, 64 / max(r["src_width"], r["src_height"]))
         assert r["out_width"] == max(1, round(r["src_width"] * scale))
         assert r["out_height"] == max(1, round(r["src_height"] * scale))
+
+
+def test_audio_features_match_physics(spark):
+    """The real audio path: a pure sine of amplitude A must measure
+    RMS ≈ A/√2 and a zero-crossing rate ≈ its frequency."""
+    import math
+
+    from data_eng_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["multimodal_audio_features"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        freq = 100 + r["doc_id"] % 900
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01, r
+        assert abs(r["zero_cross_rate_hz"] - freq) < freq * 0.02, r
+        assert 0.45 <= r["peak"] <= 0.5
+        assert abs(r["duration_ms"] - 1000 * r["n_samples"] / r["sample_rate"]) <= 1
