@@ -223,3 +223,32 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zero_cross_rate_hz", 6).alias("zero_cross_rate_hz"),
         F.round("peak", 6).alias("peak"),
     )
+
+
+@register(
+    "multimodal_video_frames_raw",
+    oracle=None,  # per-frame stats; invariants (sample cadence, constant
+    # luma across frames of the sweep pattern) tested in tests/test_operators.py
+    tags=("multimodal", "video"),
+)
+def multimodal_video_frames_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline over raw frame sequences: mint deterministic
+    clips executor-side, sample every 6th frame, and compute per-frame
+    statistics (mean luma, frame checksum) in the same Arrow batch —
+    the explode happens before rows leave Python, so no whole-clip blobs
+    cross stages (operators/multimodal.sample_raw_frames)."""
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_video,
+        sample_raw_frames,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = sample_raw_frames(attach_raw_video(docs), every_n=6)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "frame_sha1",
+    )

@@ -432,3 +432,27 @@ def test_audio_features_match_physics(spark):
         assert abs(r["zero_cross_rate_hz"] - freq) < freq * 0.02, r
         assert 0.45 <= r["peak"] <= 0.5
         assert abs(r["duration_ms"] - 1000 * r["n_samples"] / r["sample_rate"]) <= 1
+
+
+def test_video_frame_sampling_real(spark):
+    """The real video path: sampling cadence is every 6th frame; the
+    sweep pattern puts exactly one bright column in every frame, so mean
+    luma is identical across a clip's frames; checksums are stable."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    name = "multimodal_video_frames_raw"
+    rows = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in list(by_doc.items())[:50]:
+        n_frames = 12 + doc_id % 25
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(0, n_frames, 6))
+        lumas = {r["mean_luma"] for r in rs}
+        assert len(lumas) == 1  # one bright bar per frame → constant mean
+    again = {(r["doc_id"], r["frame_idx"]): r["frame_sha1"]
+             for r in REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()}
+    for r in rows:
+        assert again[(r["doc_id"], r["frame_idx"])] == r["frame_sha1"]
