@@ -200,3 +200,141 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice").cast("double"), 6).alias("min_price"),
         F.round(F.max("o_totalprice").cast("double"), 6).alias("max_price"),
     )
+
+
+@register(
+    "null_safe_join_counts",
+    oracle="""
+        WITH keyed AS (
+            SELECT CASE WHEN event_type = 'error' THEN NULL
+                        ELSE event_type END AS type_key,
+                   value
+            FROM events
+        ),
+        dim AS (SELECT DISTINCT type_key FROM keyed)
+        SELECT d.type_key, count(*) AS n_events,
+               sum(CAST(k.value AS DECIMAL(28,6))) AS total_value
+        FROM keyed k JOIN dim d ON k.type_key IS NOT DISTINCT FROM d.type_key
+        GROUP BY d.type_key
+    """,
+    tags=("analytics", "join", "nullsafe"),
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (Spark `<=>` ≡ SQL IS NOT DISTINCT
+    FROM): a derived key maps one event type to NULL, and the join
+    against the distinct-key dimension must still pair those rows —
+    NULL matches NULL, exactly once. Compiles to a plain hash join on
+    the null-safe comparator, not a nested loop; the dimension side
+    broadcasts."""
+    prepare(spark)
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("type_key"),
+        "value",
+    )
+    dim = keyed.select("type_key").distinct().withColumnRenamed("type_key", "_dk")
+    return (
+        keyed.join(F.broadcast(dim), F.col("type_key").eqNullSafe(F.col("_dk")))
+        .groupBy(F.col("_dk").alias("type_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "locf_user_values",
+    oracle="""
+        SELECT event_id, user_id,
+               last_value(gappy IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+            FROM events
+        ) g
+    """,
+    tags=("analytics", "window", "gapfill"),
+)
+def locf_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a sparse sensor stream:
+    every 5th reading is (deterministically) dropped, then filled from
+    the user's most recent non-null value with an IGNORE NULLS running
+    last_value — the standard LOCF gap-fill, one window shuffle on the
+    series key. Leading gaps (no prior observation) stay NULL on both
+    engines."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    g = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("gappy"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.last("gappy", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "zscore_outlier_events",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+            FROM events GROUP BY event_type
+        ),
+        scored AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - s1 / n) / sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1))
+                       AS z
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT event_id, event_type, value, round(z, 6) AS zscore
+        FROM scored WHERE abs(z) > 3.0
+    """,
+    tags=("analytics", "quality", "outliers"),
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection (the numeric-quality filter a
+    training pipeline runs before ingesting telemetry): per-group mean
+    and sample variance derived from EXACT decimal Σx and Σx² — so the
+    doubles that feed the z-score are bit-identical across engines and
+    the |z|>3 cut selects identical rows — then one broadcast join back
+    to score the stream. Single fact scan for stats (decimal partial
+    aggs), single scan to score; no window, no sort."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - mean * mean * F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats.withColumnRenamed("event_type", "_et")),
+                F.col("event_type") == F.col("_et"))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("zscore", 6).alias("zscore"))
+    )
