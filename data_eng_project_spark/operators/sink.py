@@ -100,3 +100,53 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target_file_mb files. Streaming/incremental sinks accrete small
+    files (every micro-batch appends a few); scans then pay per-file
+    open/footer costs and lose row-group-sized reads — at 100 TB the
+    small-file problem IS the read-performance problem. Returns
+    (files_before, files_after).
+
+    The rewrite goes through a temp dir + atomic-ish rename so a crash
+    mid-compaction never leaves the table truncated.
+    """
+    import math
+    import os
+    import shutil
+
+    files_before = [
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in files_before)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = [
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    return len(files_before), len(files_after)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int = 8
+) -> None:
+    """Range-clustered parquet layout for data skipping: rows are
+    range-partitioned then sorted within each file on sort_cols, so
+    every file covers a DISJOINT range and its row-group min/max
+    statistics let any engine skip whole files for selective predicates
+    on those columns — poor-man's Z-order for one sort dimension; the
+    layout tool behind 'filters on ts should not read 100 TB'."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
