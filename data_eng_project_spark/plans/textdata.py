@@ -652,3 +652,129 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@register(
+    "hybrid_search",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        ), tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE term = 'spark') AS tf1,
+                   count(*) FILTER (WHERE term = 'merge') AS tf2,
+                   count(*) FILTER (WHERE term = 'window') AS tf3,
+                   count(*) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        g AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   count(*) FILTER (WHERE tf1 > 0) AS df1,
+                   count(*) FILTER (WHERE tf2 > 0) AS df2,
+                   count(*) FILTER (WHERE tf3 > 0) AS df3
+            FROM per_doc
+        ),
+        scored AS (
+            SELECT doc_id,
+                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                       * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                       * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                       * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       AS bm25
+            FROM per_doc CROSS JOIN g
+        ),
+        withcos AS (
+            SELECT s.doc_id, s.bm25,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) AS cos
+            FROM scored s
+            JOIN embeddings e ON e.vec_id = s.doc_id
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        bounds AS (
+            SELECT min(bm25) AS bmin, max(bm25) AS bmax,
+                   min(cos) AS cmin, max(cos) AS cmax
+            FROM withcos
+        ),
+        fused AS (
+            SELECT doc_id,
+                   0.5 * ((bm25 - bmin) / (bmax - bmin))
+                 + 0.5 * ((cos - cmin) / (cmax - cmin)) AS score
+            FROM withcos CROSS JOIN bounds
+        )
+        SELECT doc_id, round(score, 6) AS hybrid_score
+        FROM fused
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("textdata", "search", "hybrid", "embedding"),
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval (the RAG ranking shape): BM25
+    for the fixed term query {spark, merge, window} fused 50/50 with
+    embedding cosine against the vec_id-0 query vector, both min-max
+    normalized over the candidate corpus. Every float derives from
+    integers or fixed-order arithmetic shared with the oracle, so
+    normalization bounds, fusion, and the top-10 cut are bit-identical
+    cross-engine. Plan: one tokenize+agg pass (BM25), one equi-join to
+    attach vectors, a one-row bounds broadcast, TakeOrdered top-k —
+    at 100 TB the cosine re-rank runs only on documents, never a second
+    all-pairs pass."""
+    prepare(spark)
+    terms = ["spark", "merge", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = tok.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i+1}")
+            for i, t in enumerate(terms)
+        ],
+        F.count(F.lit(1)).alias("dl"),
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i+1}") > 0, 1)).alias(f"df{i+1}")
+            for i in range(len(terms))
+        ],
+    )
+    dl_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    bm25 = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i+1}"), F.col(f"df{i+1}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
+        term_score = idf * (tf * F.lit(2.2)) / (tf + dl_norm)
+        bm25 = term_score if bm25 is None else bm25 + term_score
+    scored = per_doc.join(F.broadcast(g)).select("doc_id", bm25.alias("bm25"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    query = F.array(*[F.lit(float(x)) for x in qvec])
+    withcos = scored.join(
+        emb.select(F.col("vec_id").alias("_vid"), "embedding"),
+        F.col("doc_id") == F.col("_vid"),
+    ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
+    bounds = withcos.agg(
+        F.min("bm25").alias("bmin"),
+        F.max("bm25").alias("bmax"),
+        F.min("cos").alias("cmin"),
+        F.max("cos").alias("cmax"),
+    )
+    fused = withcos.join(F.broadcast(bounds)).select(
+        "doc_id",
+        (
+            F.lit(0.5) * ((F.col("bm25") - F.col("bmin")) / (F.col("bmax") - F.col("bmin")))
+            + F.lit(0.5) * ((F.col("cos") - F.col("cmin")) / (F.col("cmax") - F.col("cmin")))
+        ).alias("score"),
+    )
+    return (
+        fused.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("hybrid_score"))
+    )
