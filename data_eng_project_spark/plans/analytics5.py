@@ -338,3 +338,45 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 3.0)
         .select("event_id", "event_type", "value", F.round("zscore", 6).alias("zscore"))
     )
+
+
+@register(
+    "sql_api_revenue_report",
+    oracle="""
+        SELECT n.n_name AS nation, o.o_orderpriority,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name, o.o_orderpriority
+    """,
+    tags=("analytics", "sql-api"),
+)
+def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-SQL front door: tables registered as temp views, the
+    query expressed as ONE spark.sql string (same text a BI tool would
+    send), Catalyst planning it identically to the DataFrame API —
+    broadcastable dims, pushed date filter, distinct-agg expansion.
+    Everything else in this registry uses the DataFrame API; this entry
+    proves the SQL surface serves the same engine."""
+    prepare(spark)
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, o.o_orderpriority,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
+                   AS revenue
+        FROM v_lineitem l
+        JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+        JOIN v_customer c ON c.c_custkey = o.o_custkey
+        JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name, o.o_orderpriority
+        """
+    )
