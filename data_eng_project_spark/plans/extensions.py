@@ -102,8 +102,19 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = table_path(sf_dir, "events")
     dup_dir = tempfile.mkdtemp(prefix="spark_graft_dup_events_")
-    shutil.copyfile(src, os.path.join(dup_dir, "copy_a.parquet"))
-    shutil.copyfile(src, os.path.join(dup_dir, "copy_b.parquet"))
+    # The table may be a single parquet file (driver testdata) or a
+    # Spark-written directory of part-files — duplicate either layout
+    # into a flat dir of files.
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            for tag in ("a", "b"):
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(dup_dir, f"{tag}_{i}.parquet")
+                )
+    else:
+        shutil.copyfile(src, os.path.join(dup_dir, "copy_a.parquet"))
+        shutil.copyfile(src, os.path.join(dup_dir, "copy_b.parquet"))
     stream = read_events_stream(spark, os.path.join(dup_dir, "*.parquet"))
     deduped = dedup_events_stream(stream).select(
         "event_id",
