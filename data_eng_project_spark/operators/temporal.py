@@ -119,3 +119,40 @@ def range_pairs(
         .filter((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))
         .select(*parts, "id_a", "id_b", gap_us.alias("gap_us"))
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the sequential
+    recurrence (y_t = α·x_t + (1-α)·y_{t-1}) that no fixed-frame window
+    function can express, implemented the Spark-idiomatic way for
+    order-dependent per-key state in BATCH: groupBy(key).applyInPandas,
+    sort inside the group, one vectorized pandas ewm pass per Arrow
+    batch. State never crosses keys, so the operator scales out on the
+    key hash like any aggregation; a single pathological key is a skew
+    problem exactly like any groupBy (salt or split upstream).
+
+    The streaming twin of this pattern is
+    streaming/stateful.running_user_profile_stream
+    (applyInPandasWithState).
+    """
+    import pandas as pd
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        out = pdf[[id_col, key_col, value_col]].copy()
+        out["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return out
+
+    schema = f"{id_col} long, {key_col} long, {value_col} double, ewma double"
+    return df.select(id_col, key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        ewma, schema=schema
+    )

@@ -380,3 +380,49 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name, o.o_orderpriority
         """
     )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(min(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS lo,
+                   CAST(max(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS hi
+            FROM orders
+        )
+        SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0)
+                    AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               round(lo + CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0)
+                               AS BIGINT) * ((hi - lo) / 10.0), 6) AS bucket_lo
+        FROM orders CROSS JOIN b
+        GROUP BY 1, 3
+    """,
+    tags=("analytics", "profiling", "histogram"),
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bin histogram of order prices — the distribution
+    summary behind data-drift monitors. Bin edges derive from exact
+    decimal min/max cast to double, bucketing is the same
+    floor((v-lo)/w) expression on both engines (max clamped into the
+    last bin), so bucket boundaries are bit-identical. One scan for
+    bounds (broadcast one-row), one scan to bucket."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.min(F.col("o_totalprice").cast(_DEC)).cast("double").alias("lo"),
+        F.max(F.col("o_totalprice").cast(_DEC)).cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(9.0)
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(b))
+        .groupBy(
+            bucket.alias("bucket"),
+            F.round(F.col("lo") + bucket * width, 6).alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("bucket", "n_orders", "bucket_lo")
+    )

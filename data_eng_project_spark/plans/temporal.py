@@ -89,3 +89,19 @@ def events_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["event_type"],
     )
     return pairs.select("event_type", "id_a", "id_b", "gap_us")
+
+
+@register(
+    "ewma_user_values",
+    oracle=None,  # sequential recurrence; exact pandas twin asserted in
+    # tests/test_operators.py::test_ewma_matches_sequential_recurrence
+    tags=("temporal", "stateful", "pandas-udf"),
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α=0.3) — the order-dependent
+    recurrence computed via applyInPandas (see operators/temporal.
+    ewma_per_key); one key-hash shuffle, vectorized pandas inside."""
+    prepare(spark)
+    from data_eng_project_spark.operators.temporal import ewma_per_key
+
+    return ewma_per_key(load_table(spark, sf_dir, "events"))

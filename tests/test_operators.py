@@ -456,3 +456,28 @@ def test_video_frame_sampling_real(spark):
              for r in REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()}
     for r in rows:
         assert again[(r["doc_id"], r["frame_idx"])] == r["frame_sha1"]
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    """The applyInPandas EWMA must equal the hand-rolled sequential
+    recurrence y_t = a*x_t + (1-a)*y_{t-1} per user, in order."""
+    from data_eng_project_spark.plans import REGISTRY
+    from data_eng_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in REGISTRY["ewma_user_values"].fn(spark, sf).collect()
+    }
+    rows = (
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        y = by_user.get(r["user_id"])
+        y = r["value"] if y is None else 0.3 * r["value"] + 0.7 * y
+        by_user[r["user_id"]] = y
+        assert got[r["event_id"]] == round(y, 6), r["event_id"]
+    assert len(got) == len(rows)
