@@ -426,3 +426,38 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .select("bucket", "n_orders", "bucket_lo")
     )
+
+
+@register(
+    "trailing_hour_sum",
+    oracle="""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_in_hour,
+               sum(CAST(value AS DECIMAL(28,6))) OVER w AS hour_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "window", "temporal"),
+)
+def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding frame (RANGE, not ROWS): each event's trailing
+    one-hour activity per user. Spark expresses interval frames as
+    rangeBetween over the epoch-microsecond ordering — the same instants
+    the oracle's RANGE INTERVAL frame covers, including tie/peer-row
+    semantics. One window shuffle on the series key; decimal sums keep
+    the frame aggregate exact."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.sum(F.col("value").cast(_DEC)).over(w).alias("hour_sum"),
+    )

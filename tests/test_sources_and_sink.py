@@ -115,3 +115,19 @@ def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on the lake: a sink that gained a column mid-
+    stream reads back as one table with mergeSchema — old files surface
+    NULL for the new column, and filters on it still prune correctly."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(df.columns) == ["id", "score", "v"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    assert df.filter(F.col("score").isNotNull()).count() == 1
