@@ -46,6 +46,7 @@ def _volume() -> F.Column:
 
 @register(
     "q7_nation_pair_volume",
+    headline=True,
     oracle="""
         SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
         FROM (

@@ -22,6 +22,7 @@ _DEC = "decimal(28,6)"
 
 @register(
     "funnel_conversion",
+    headline=True,
     oracle="""
         WITH v AS (
             SELECT user_id, min(ts) AS tv FROM events
@@ -292,6 +293,7 @@ def locf_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "zscore_outlier_events",
+    headline=True,
     oracle="""
         WITH stats AS (
             SELECT event_type,

@@ -656,6 +656,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hybrid_search",
+    headline=True,
     oracle="""
         WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
