@@ -463,3 +463,100 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_hour"),
         F.sum(F.col("value").cast(_DEC)).over(w).alias("hour_sum"),
     )
+
+
+@register(
+    "pareto_customer_revenue",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(28,6))) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                   sum(revenue) OVER () AS total_rev,
+                   row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
+            FROM per_cust
+        )
+        SELECT o_custkey, rnk, revenue,
+               round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+                   AS cum_share
+        FROM ranked
+        WHERE CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
+    """,
+    tags=("analytics", "window", "pareto"),
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: the customers who make up the first 80% of
+    revenue, via an exact-decimal running sum over the revenue-ranked
+    customer list. The cumulative window is unpartitioned BUT runs over
+    the per-customer aggregate (|customers|, not |orders|) — the
+    pre-aggregation is what keeps a global-ordered window viable at
+    scale. Cumulative and total sums stay decimal (exact) until the
+    final share division."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    cum = F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("revenue").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    share = cum.cast("double") / total.cast("double")
+    return (
+        per_cust.select(
+            "o_custkey",
+            F.row_number().over(w).alias("rnk"),
+            "revenue",
+            share.alias("_share"),
+        )
+        .filter(F.col("_share") <= 0.8)
+        .select("o_custkey", "rnk", "revenue", F.round("_share", 6).alias("cum_share"))
+    )
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle="""
+        WITH order_parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders_together
+        FROM order_parts a
+        JOIN order_parts b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """,
+    tags=("analytics", "basket", "selfjoin"),
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the recommendation shape): part
+    pairs appearing in ≥2 common orders, from a distinct-projected
+    self-join on the order key. The join fans out per order as
+    C(parts_in_order, 2) — bounded by basket size (~7), NOT by table
+    size, so the candidate count stays ~20× orders at any scale; the
+    '<' predicate halves it and dedups mirror pairs."""
+    prepare(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("_ok") == F.col("_ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 2)
+    )
