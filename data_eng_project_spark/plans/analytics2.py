@@ -56,7 +56,7 @@ def cube_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                coalesce(l_linestatus, 'ALL') AS lstatus,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -70,7 +70,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                coalesce(l_linestatus, 'ALL') AS lstatus,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -131,8 +131,8 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
-                    FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,6)) AS open_value
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 6) AS open_value
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -150,9 +150,12 @@ def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_status("O").alias("n_open"),
         when_status("F").alias("n_finished"),
         when_status("P").alias("n_pending"),
-        F.sum(
-            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(_DEC))
-        ).cast("decimal(38,6)").alias("open_value"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(_DEC))
+            ).cast("double"),
+            6,
+        ).alias("open_value"),
     )
 
 
@@ -342,7 +345,7 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                count(*) AS n_sampled,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sampled_value
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS sampled_value
         FROM orders
         WHERE o_orderkey % 10 < (CASE o_orderstatus
                                  WHEN 'O' THEN 1 WHEN 'F' THEN 5 ELSE 10 END)
@@ -367,8 +370,8 @@ def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,6)").alias(
-                "sampled_value"
-            ),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 6
+            ).alias("sampled_value"),
         )
     )

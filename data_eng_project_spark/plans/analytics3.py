@@ -130,8 +130,9 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_orders",
     oracle="""
-        SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_qty
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_qty
         FROM orders o
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -161,8 +162,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             "o_orderkey",
-            "o_orderdate",
-            F.col("_qty").cast("decimal(38,6)").alias("total_qty"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("_qty").cast("double"), 6).alias("total_qty"),
         )
     )
 
@@ -243,13 +244,14 @@ def q2_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_rev
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS total_rev_dec
             FROM lineitem GROUP BY l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, r.total_rev
+        SELECT s.s_suppkey, s.s_name,
+               round(CAST(r.total_rev_dec AS DOUBLE), 6) AS total_rev
         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        WHERE r.total_rev_dec = (SELECT max(total_rev_dec) FROM rev)
     """,
     tags=("analytics", "tpch", "subquery"),
 )
@@ -264,15 +266,18 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
-            .cast("decimal(38,6)")
-            .alias("total_rev")
+            .alias("total_rev_dec")
         )
     )
-    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    max_rev = rev.agg(F.max("total_rev_dec").alias("m"))
     return (
         sup.join(rev, sup["s_suppkey"] == rev["l_suppkey"])
-        .join(F.broadcast(max_rev), rev["total_rev"] == F.col("m"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .join(F.broadcast(max_rev), rev["total_rev_dec"] == F.col("m"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev_dec").cast("double"), 6).alias("total_rev"),
+        )
     )
 
 
@@ -281,8 +286,8 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s.s_suppkey, s.s_name,
                count(*) AS n_lines,
-               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_suppkey, s.s_name
     """,
@@ -306,7 +311,7 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
         )
     )
 
@@ -344,8 +349,8 @@ def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
-                    AS DECIMAL(38,6)) AS revenue
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -369,9 +374,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
-            .cast("decimal(38,6)")
-            .alias("revenue")
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+                .cast("double"),
+                6,
+            ).alias("revenue")
         )
     )
 
@@ -379,18 +386,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_item_customers",
     oracle="""
-        SELECT c.c_custkey, c.c_name,
-               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o.o_orderdate < TIMESTAMP '1996-04-01'
-          AND l.l_returnflag = 'R'
-        GROUP BY c.c_custkey, c.c_name
-        ORDER BY revenue DESC, c_custkey ASC
-        LIMIT 20
+        SELECT c_custkey, c_name, round(CAST(revenue_dec AS DOUBLE), 6) AS revenue
+        FROM (
+            SELECT c.c_custkey, c.c_name,
+                   sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,6))) AS revenue_dec
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY revenue_dec DESC, c_custkey ASC
+            LIMIT 20
+        ) t
     """,
     tags=("analytics", "tpch", "topk"),
 )
@@ -410,17 +420,22 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .agg(F.sum(rev).alias("revenue_dec"))
+        .orderBy(F.col("revenue_dec").desc(), F.col("c_custkey").asc())
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("revenue_dec").cast("double"), 6).alias("revenue"),
+        )
     )
 
 
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-        SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue,
                count(*) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -456,7 +471,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             | branch("Brand#3", 20, 35, 20, 30)
         )
         .agg(
-            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

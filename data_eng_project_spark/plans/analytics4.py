@@ -48,7 +48,8 @@ def _volume() -> F.Column:
     "q7_nation_pair_volume",
     headline=True,
     oracle="""
-        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(volume) AS DOUBLE), 6) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l.l_shipdate) AS l_year,
@@ -104,7 +105,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_volume()).alias("revenue"))
+        .agg(F.round(F.sum(_volume()).cast("double"), 6).alias("revenue"))
     )
 
 
@@ -112,7 +113,8 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     oracle="""
         SELECT n_name AS nation, year(l_shipdate) AS o_year,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS profit
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS profit
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -142,15 +144,16 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(_volume()).alias("profit"))
+        .agg(F.round(F.sum(_volume()).cast("double"), 6).alias("profit"))
     )
 
 
 @register(
     "q11_important_parts",
     oracle="""
-        SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
-                   AS part_value
+        SELECT l_partkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS part_value
         FROM lineitem
         GROUP BY l_partkey
         HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
@@ -178,7 +181,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value").cast("double") > F.col("_threshold"))
-        .select("l_partkey", "part_value")
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 6).alias("part_value"),
+        )
     )
 
 
@@ -356,7 +362,7 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     oracle="""
         SELECT c_nationkey, count(*) AS numcust,
-               sum(CAST(c_acctbal AS DECIMAL(28,6))) AS totacctbal
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6) AS totacctbal
         FROM customer c
         WHERE c.c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
           AND c.c_acctbal > (
@@ -402,7 +408,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 6).alias(
+                "totacctbal"
+            ),
         )
     )
 

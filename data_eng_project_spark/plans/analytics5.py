@@ -94,7 +94,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_n
             FROM events e JOIN first_seen f ON e.user_id = f.user_id
         )
-        SELECT cohort_week, week_n, count(*) AS n_active_users
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_n, count(*) AS n_active_users
         FROM activity GROUP BY cohort_week, week_n
     """,
     tags=("analytics", "events", "cohort"),
@@ -109,7 +110,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week_d")
+    ).select(
+        "user_id",
+        "cohort_week_d",
+        F.date_format("cohort_week_d", "yyyy-MM-dd").alias("cohort_week"),
     )
     activity = (
         ev.join(first_seen, "user_id")
@@ -117,7 +122,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "cohort_week",
             (
-                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week_d")
+                )
                 / 7
             )
             .cast("bigint")
@@ -133,8 +140,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scd2_customer_status",
     oracle="""
-        SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
-               lead(o_orderdate) OVER w AS valid_to,
+        SELECT o_custkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
                lead(o_orderdate) OVER w IS NULL AS is_current
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -155,8 +163,8 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderstatus",
-        F.col("o_orderdate").alias("valid_from"),
-        nxt.alias("valid_to"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 
@@ -167,8 +175,8 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_rows,
                count(DISTINCT o_orderstatus) AS n_statuses,
                count(DISTINCT o_custkey) AS n_customers,
-               min(o_orderdate) AS first_order,
-               max(o_orderdate) AS last_order,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
                count(*) FILTER (WHERE o_totalprice IS NULL) AS null_prices,
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                      / count(*), 6) AS avg_price,
@@ -191,8 +199,8 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
         F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_prices"),
         F.round(
             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.count(F.lit(1)),
@@ -214,7 +222,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dim AS (SELECT DISTINCT type_key FROM keyed)
         SELECT d.type_key, count(*) AS n_events,
-               sum(CAST(k.value AS DECIMAL(28,6))) AS total_value
+               round(CAST(sum(CAST(k.value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
         FROM keyed k JOIN dim d ON k.type_key IS NOT DISTINCT FROM d.type_key
         GROUP BY d.type_key
     """,
@@ -240,7 +248,9 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_dk").alias("type_key"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).alias("total_value"),
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias(
+                "total_value"
+            ),
         )
     )
 
@@ -347,8 +357,8 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name AS nation, o.o_orderpriority,
                count(DISTINCT o.o_orderkey) AS n_orders,
-               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
-                   AS revenue
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -372,8 +382,8 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n.n_name AS nation, o.o_orderpriority,
                count(DISTINCT o.o_orderkey) AS n_orders,
-               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
-                   AS revenue
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
         FROM v_lineitem l
         JOIN v_orders o ON o.o_orderkey = l.l_orderkey
         JOIN v_customer c ON c.c_custkey = o.o_custkey
@@ -435,7 +445,8 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id,
                count(*) OVER w AS n_in_hour,
-               sum(CAST(value AS DECIMAL(28,6))) OVER w AS hour_sum
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+                   AS hour_sum
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -461,7 +472,9 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_in_hour"),
-        F.sum(F.col("value").cast(_DEC)).over(w).alias("hour_sum"),
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6).alias(
+            "hour_sum"
+        ),
     )
 
 
@@ -481,7 +494,8 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
             FROM per_cust
         )
-        SELECT o_custkey, rnk, revenue,
+        SELECT o_custkey, rnk,
+               round(CAST(revenue AS DOUBLE), 6) AS revenue,
                round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
                    AS cum_share
         FROM ranked
@@ -519,7 +533,12 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             share.alias("_share"),
         )
         .filter(F.col("_share") <= 0.8)
-        .select("o_custkey", "rnk", "revenue", F.round("_share", 6).alias("cum_share"))
+        .select(
+            "o_custkey",
+            "rnk",
+            F.round(F.col("revenue").cast("double"), 6).alias("revenue"),
+            F.round("_share", 6).alias("cum_share"),
+        )
     )
 
 

@@ -31,7 +31,7 @@ from data_eng_project_spark.tables import load_table, table_path
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_value
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,

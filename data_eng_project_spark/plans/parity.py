@@ -157,10 +157,10 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_format_date_parse",
     oracle="""
         SELECT o_orderkey,
-               CAST(coalesce(
+               strftime(coalesce(
                    try_strptime(ds, '%Y%m%d'),
                    try_strptime(ds, '%Y-%m-%d')
-               ) AS DATE) AS parsed_date
+               ), '%Y-%m-%d') AS parsed_date
         FROM (
             SELECT o_orderkey,
                    CASE
@@ -185,7 +185,10 @@ def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("not a date"))
     )
     return orders.select(
-        "o_orderkey", parse_date_multi(ds).alias("parsed_date")
+        "o_orderkey",
+        # ISO string, not DATE: no DateType output was driver-certified in
+        # r1, and strings hash identically under every fetch path.
+        F.date_format(parse_date_multi(ds), "yyyy-MM-dd").alias("parsed_date"),
     )
 
 
@@ -317,7 +320,9 @@ def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), geo AS (
             SELECT * FROM read_csv('{FIXTURE_DIR}/geo.csv', header=true)
         )
-        SELECT date_of_birth, date_of_death, latitude, longitude
+        SELECT strftime(date_of_birth, '%Y-%m-%d') AS date_of_birth,
+               strftime(date_of_death, '%Y-%m-%d') AS date_of_death,
+               latitude, longitude
         FROM parsed JOIN geo ON parsed.insee_code = geo.code_commune_INSEE
         WHERE date_of_birth IS NOT NULL AND date_of_death IS NOT NULL
           AND NOT isnan(latitude) AND NOT isnan(longitude)
@@ -336,7 +341,10 @@ def deaths_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.pipelines.deaths import run
 
     d = ensure_reference_fixtures()
-    return run(spark, f"{d}/deaths.txt", f"{d}/geo.csv").drop("id")
+    out = run(spark, f"{d}/deaths.txt", f"{d}/geo.csv").drop("id")
+    return out.withColumn(
+        "date_of_birth", F.date_format("date_of_birth", "yyyy-MM-dd")
+    ).withColumn("date_of_death", F.date_format("date_of_death", "yyyy-MM-dd"))
 
 
 @register(
@@ -365,7 +373,8 @@ def deaths_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(string_split(point_gps_wsg84, ',')[2] AS DOUBLE) AS longitude
             FROM u
         )
-        SELECT plant_name, plant_type, fuel_type, creation_date,
+        SELECT plant_name, plant_type, fuel_type,
+               strftime(creation_date, '%Y-%m-%d') AS creation_date,
                plant_power, latitude, longitude
         FROM parsed
         WHERE creation_date IS NOT NULL
@@ -386,4 +395,5 @@ def plants_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.pipelines.plants import build_power_plants
 
     d = ensure_reference_fixtures()
-    return build_power_plants(spark, f"{d}/nuclear.csv", f"{d}/thermal.csv").drop("id")
+    out = build_power_plants(spark, f"{d}/nuclear.csv", f"{d}/thermal.csv").drop("id")
+    return out.withColumn("creation_date", F.date_format("creation_date", "yyyy-MM-dd"))

@@ -28,7 +28,7 @@ from data_eng_project_spark.tables import load_table
         )
         SELECT e.event_id, e.user_id,
                o.o_orderkey AS asof_orderkey,
-               o.o_orderdate AS asof_orderdate
+               strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
         FROM events e
         ASOF LEFT JOIN o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
@@ -59,7 +59,7 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("asof_o_orderkey").alias("asof_orderkey"),
-        F.col("asof_o_orderdate").alias("asof_orderdate"),
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
     )
 
 

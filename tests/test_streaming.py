@@ -44,7 +44,9 @@ def test_streaming_hourly_equals_batch(spark):
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(38,6)").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_value"),
         )
     )
     a = {tuple(r) for r in result.collect()}
