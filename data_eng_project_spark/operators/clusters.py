@@ -13,10 +13,14 @@ Scale design: each round is one join + one groupBy (shuffle on node id —
 AQE-coalesced); lineage is cut every round with ``localCheckpoint`` so
 the plan doesn't grow unboundedly; convergence is detected from a
 1-row aggregate (sum of labels, strictly decreasing until fixpoint) —
-no data rows ever reach the driver. This is the DataFrame variant of
+no data rows ever reach the driver. The first propagation round is
+fused into label initialization (a single groupBy over the edge list),
+and every subsequent round pointer-jumps (path halving), so chains
+collapse in O(log diameter) rounds. This is the DataFrame variant of
 the classic Pregel-style label propagation; for adversarial
 billion-edge graphs you'd switch to the large-star/small-star
-alternation, which drops the round count to O(log n).
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), which bounds rounds at O(log n) on any topology.
 """
 
 from __future__ import annotations
@@ -40,9 +44,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    )
+    # Round 1 fused into initialization: every node starts at
+    # min(id, min(neighbors)) from ONE aggregation over the symmetric edge
+    # list — no label join needed while labels are still the identity.
+    # (Every node appears as src because sym is symmetrized.)
+    labels = sym.groupBy("src").agg(
+        F.least(F.col("src"), F.min("dst")).alias("comp")
+    ).select(F.col("src").alias("id"), "comp")
     prev_sum = None
     for rnd in range(max_iter):
         neighbor_min = (
@@ -56,20 +64,15 @@ def connected_components(
             "id",
             F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
         )
-        if rnd >= 2:
-            # Pointer jumping (path halving): also adopt the label OF our
-            # label — long chains collapse in O(log diameter) combined
-            # rounds instead of O(diameter). Near-dup graphs are near-
-            # cliques that converge within ~3 rounds, so the extra
-            # shuffle is only paid by graphs that actually need it.
-            # Monotone (labels only decrease) ⇒ fixpoint test unaffected.
-            hop = labels.select(
-                F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
-            )
-            labels = labels.join(hop, labels["comp"] == hop["_pid"], "left").select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
-            )
+        # Pointer jumping (path halving) every round: also adopt the label
+        # OF our label — long chains collapse in O(log diameter) combined
+        # rounds instead of O(diameter). Monotone (labels only decrease)
+        # ⇒ the fixpoint test is unaffected.
+        hop = labels.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
+        labels = labels.join(hop, labels["comp"] == hop["_pid"], "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
+        )
         labels = labels.localCheckpoint()  # cut lineage each round
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:  # min-propagation is monotone ⇒ fixpoint

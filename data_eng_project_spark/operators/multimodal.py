@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic fake (or ``NotImplementedError`` for the
-real-codec path) — but everything Spark-side is real and tested: the
-binary column, the metadata schema, the mapInPandas batch iteration, the
-partition-preserving shape. Swapping ``_fake_decode`` for PIL/ffmpeg is
-a one-function change that touches no plan structure.
+Real compute paths (no external codec library): PNG images via the
+stdlib zlib+numpy codec (encode_png/decode_png — full five-filter
+unfiltering), raw-RGB images, raw-PCM audio, and raw video, each with
+real decode / resize / feature-extract / frame-sample work inside Arrow
+batches. The ONE remaining codec boundary is compressed-video
+(mp4/h264) frame decode, which raises until pyav/ffmpeg exists; its
+metadata plumbing (``_fake_decode`` dimensions) is a clearly-marked
+deterministic fake used only by the media-meta/frame-index queries.
 
 Scale design: binary payloads ride in their own column so column pruning
 drops them unless a stage needs bytes; decode/feature-extract runs
@@ -99,55 +101,197 @@ def frame_sample_stub(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-RESIZED_SCHEMA = (
-    "doc_id long, media_type string, src_width int, src_height int, "
-    "out_width int, out_height int, out_payload binary"
-)
+def decode_frame(payload: bytes, frame_idx: int) -> bytes:
+    """Frame decode from a compressed video container — the one remaining
+    codec boundary: mp4/h264 requires pyav/ffmpeg, absent from this
+    container. Compressed IMAGES are fully supported via the stdlib PNG
+    codec below (decode_png/encode_png); raw video via decode_raw_video."""
+    raise NotImplementedError(
+        "compressed-video frame decode requires pyav/ffmpeg; raw video is "
+        "handled by decode_raw_video and PNG images by decode_png"
+    )
 
 
-def resize_images_stub(
-    media_df: DataFrame, max_side: int = 224
-) -> DataFrame:
-    """Image resize — the plumbing half is real (mapInPandas over Arrow
-    batches, aspect-preserving target-dimension math, binary-out column),
-    the pixel work is a deterministic fake (payload digest) until a codec
-    is installed. Only image rows are processed; blobs of other
-    modalities are pruned by the filter *before* the Python stage, so no
-    video/audio bytes cross the Arrow boundary."""
+# ---------------------------------------------------------------------------
+# REAL compressed-image path: a stdlib-only PNG codec (zlib inflate +
+# numpy scanline unfiltering). Supports 8-bit RGB and RGBA, non-interlaced
+# — which is what a training-data pipeline overwhelmingly sees — and all
+# five PNG scanline filters on decode. No external codec library needed.
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """h×w×3 (RGB) or h×w×4 (RGBA) uint8 array → a valid PNG file
+    (8-bit, non-interlaced, filter 0 scanlines, one IDAT)."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"expected h×w×3/4 uint8 array, got shape {arr.shape}")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.astype(np.uint8)
+    # Filter byte 0 (None) prepended to every scanline.
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), raw.reshape(h, w * ch)], axis=1
+    )
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG file → h×w×3/4 uint8 array. REAL decode: chunk walk, zlib
+    inflate, and scanline unfiltering (all five PNG filter types).
+    Filters None/Sub/Up are fully vectorized (Sub via per-channel
+    cumulative sum); Average/Paeth fall back to a per-pixel loop on the
+    scanlines that use them."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}): only 8-bit RGB/RGBA non-interlaced"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)  # headroom for the filter sums
+    out = np.zeros((height, stride), dtype=np.int64)
+    for y in range(height):
+        f = int(filters[y])
+        line = data[y]
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 1:  # Sub: cumulative along x per channel lane
+            out[y] = (
+                np.cumsum(line.reshape(width, ch), axis=0).reshape(stride)
+            ) % 256
+        elif f == 2:  # Up
+            out[y] = (line + prior) % 256
+        elif f == 3:  # Average
+            rec = out[y]
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up_left = prior[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + _paeth(int(left), int(prior[x]), int(up_left))) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def attach_png_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mint a deterministic COMPRESSED (real PNG) image per row — same
+    gradient content as attach_raw_images, but the payload is an actual
+    PNG file, so downstream stages exercise the real inflate+unfilter
+    decode path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                w = 32 + int(doc_id) % 97
+                h = 24 + int(doc_id) % 71
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), int(doc_id) % 256, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                ids.append(doc_id)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def resize_png_images(media_df: DataFrame, max_side: int = 224) -> DataFrame:
+    """REAL compressed-image resize in Arrow batches: PNG decode (zlib +
+    unfilter) → aspect-preserving bilinear resample → PNG re-encode.
+    The full pixel path runs on a compressed payload with no external
+    codec; same mapInPandas shape and schema as the raw-RGB twin."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in (
-                "doc_id", "media_type", "src_width", "src_height",
+                "doc_id", "src_width", "src_height",
                 "out_width", "out_height", "out_payload",
             )}
-            for doc_id, mt, pl in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                payload = bytes(pl)
-                w, h, _ = _fake_decode(mt, payload)
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(pl))[..., :3]
+                h, w = img.shape[:2]
                 scale = min(1.0, max_side / max(w, h))
                 ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
-                # REAL IMPLEMENTATION: PIL resize + re-encode goes here.
-                fake_pixels = hashlib.sha1(payload + bytes([ow % 256, oh % 256])).digest()
+                out = bilinear_resize(img, ow, oh)
                 rows["doc_id"].append(doc_id)
-                rows["media_type"].append(mt)
                 rows["src_width"].append(w)
                 rows["src_height"].append(h)
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
-                rows["out_payload"].append(fake_pixels)
+                rows["out_payload"].append(encode_png(out))
             yield pd.DataFrame(rows)
 
-    return media_df.filter(F.col("media_type") == "image/png").mapInPandas(
-        batches, schema=RESIZED_SCHEMA
-    )
-
-
-def decode_frame(payload: bytes, frame_idx: int) -> bytes:
-    """Real frame decode — requires a codec library absent from this
-    container."""
-    raise NotImplementedError(
-        "frame decode requires pyav/ffmpeg; install a codec and replace "
-        "_fake_decode/decode_frame (plumbing in extract_media_meta is real)"
+    return media_df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, src_width int, src_height int, "
+            "out_width int, out_height int, out_payload binary"
+        ),
     )
 
 

@@ -256,12 +256,19 @@ def ivf_assign(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
 ):
-    """IVF coarse quantizer: k-means over the corpus (pyspark.ml — the
-    fit is distributed), returning (assigned_df with a ``_cluster``
-    column, centroid list). At 100 TB the model is fit on a sample and
-    the assignment is one narrow map over the corpus; the assignment
-    column is what you'd persist as the index."""
+    """IVF coarse quantizer: k-means fit on a seeded SAMPLE of the corpus
+    (pyspark.ml — the fit is distributed), then one narrow map assigns
+    every vector to its nearest centroid. Fitting on a sample is the
+    100 TB design: the quantizer only needs the coarse density shape, so
+    the fit pass shrinks ~1/fraction while the full-corpus assignment —
+    the part that must see every row — stays a single projection. The
+    assignment column is what you'd persist as the index.
+
+    ``fit_fraction=None`` auto-sizes: aim at ~200 sample points per
+    centroid, floored at 10% so tiny test corpora still converge.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -270,9 +277,16 @@ def ivf_assign(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
     )
+    if fit_fraction is None:
+        n = feat.count()
+        target = 200 * n_clusters
+        fit_fraction = 1.0 if n <= target else max(0.1, target / n)
+    fit_set = (
+        feat if fit_fraction >= 1.0 else feat.sample(fraction=fit_fraction, seed=seed)
+    )
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
-    ).fit(feat)
+    ).fit(fit_set)
     assigned = model.transform(feat).select(id_col, vec_col, "_cluster")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids

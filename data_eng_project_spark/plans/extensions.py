@@ -14,9 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_eng_project_spark.operators.multimodal import (
     attach_fake_media,
+    attach_png_images,
     extract_media_meta,
     frame_sample_stub,
-    resize_images_stub,
+    resize_png_images,
 )
 from pyspark.sql import functions as F
 from data_eng_project_spark.plans.registry import register
@@ -157,16 +158,19 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_resize",
-    oracle=None,  # stubbed pixel work; schema/plumbing surface
+    oracle=None,  # binary pixel output; PNG round-trip + resize physics
+    # are pinned by tests/test_operators.py (exact round-trip, all-filter
+    # decode, constant-color and gradient properties)
     tags=("multimodal", "image"),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving image resize plumbing (binary in → binary out
-    through Arrow): emits source/target dimensions per image; pixel work
-    is the clearly-marked stub."""
+    """Aspect-preserving resize of COMPRESSED images, fully real: mint
+    PNG payloads per document, then zlib-decode → unfilter → bilinear
+    resample → PNG re-encode inside Arrow batches (operators/multimodal.py
+    stdlib codec — no external image library)."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = resize_images_stub(attach_fake_media(docs), max_side=224)
+    out = resize_png_images(attach_png_images(docs), max_side=64)
     return out.select(
         "doc_id", "src_width", "src_height", "out_width", "out_height",
         F.length("out_payload").alias("out_bytes"),

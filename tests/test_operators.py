@@ -481,3 +481,99 @@ def test_ewma_matches_sequential_recurrence(spark):
         by_user[r["user_id"]] = y
         assert got[r["event_id"]] == round(y, 6), r["event_id"]
     assert len(got) == len(rows)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec: exact encode→decode round-trip for RGB and
+    RGBA, and an adversarial decode of a hand-filtered PNG exercising all
+    five scanline filter types against the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_eng_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _paeth,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (3, 4):
+        img = rng.integers(0, 256, (19, 27, ch), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+    # Hand-build a PNG whose five scanlines use filters 0..4.
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up_left = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = line[x]
+            elif f == 1:
+                filt[x] = line[x] - left
+            elif f == 2:
+                filt[x] = line[x] - prior[x]
+            elif f == 3:
+                filt[x] = line[x] - (left + prior[x]) // 2
+            else:
+                filt[x] = line[x] - _paeth(int(left), int(prior[x]), int(up_left))
+        lines.append(bytes([f]) + bytes((filt % 256).astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_resize_query_real_pixels(spark):
+    """multimodal_image_resize runs the REAL compressed path: payloads
+    are valid PNGs, outputs decode back to the expected dimensions, and a
+    constant-color source stays constant through decode→resize→encode."""
+    import numpy as np
+
+    from data_eng_project_spark.operators.multimodal import (
+        attach_png_images,
+        bilinear_resize,
+        decode_png,
+        encode_png,
+        resize_png_images,
+    )
+    from data_eng_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["multimodal_image_resize"].fn(spark, sf).collect()
+    assert rows
+    for r in rows[:50]:
+        assert max(r["out_width"], r["out_height"]) <= 64
+        scale = min(1.0, 64 / max(r["src_width"], r["src_height"]))
+        assert r["out_width"] == max(1, round(r["src_width"] * scale))
+        assert r["out_height"] == max(1, round(r["src_height"] * scale))
+        assert r["out_bytes"] > 0
+
+    # End-to-end pixel check without Spark: constant color survives.
+    const = np.full((48, 96, 3), 123, dtype=np.uint8)
+    out = decode_png(
+        encode_png(bilinear_resize(decode_png(encode_png(const)), 32, 16))
+    )
+    assert out.shape == (16, 32, 3) and (out == 123).all()
+
+    # And the distributed payloads really are decodable PNGs of the
+    # declared output size.
+    media = attach_png_images(spark.range(5).withColumnRenamed("id", "doc_id"))
+    for r in resize_png_images(media, max_side=40).collect():
+        arr = decode_png(bytes(r["out_payload"]))
+        assert arr.shape == (r["out_height"], r["out_width"], 3)
