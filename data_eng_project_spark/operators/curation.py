@@ -1,0 +1,207 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, concat-and-chunk sequence packing, per-source quality
+profiling, and int8 embedding quantization.
+
+These extend the dedup/similarity/text families (operators/dedup.py,
+operators/similarity.py, operators/textops.py) with the remaining stages
+a pretraining data pipeline runs between "raw corpus" and "training
+shards". Everything is built-in DataFrame expressions — no Python in the
+hot path — and every operator has an exact ANSI-SQL twin used as its
+DuckDB oracle in plans/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.functions.text import tokens
+from data_eng_project_spark.operators.dedup import _distinct_shingles
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the fraction
+    of its distinct n-gram shingles that appear anywhere in the benchmark
+    set. Documents above ``threshold`` are flagged for removal — the
+    standard guard against test-set leakage into training data.
+
+    Scale design: the benchmark side collapses to DISTINCT shingle keys
+    (8-byte xxhash64 longs), the corpus side to (doc, shingle) pairs; the
+    hit count is one left-semi equi-join + per-doc aggregate — cost
+    ~O(corpus shingles + benchmark shingles), never all-pairs. At 100 TB
+    the benchmark shingle set (benchmarks are small) broadcasts and the
+    corpus side never shuffles at all.
+    """
+    corpus_sh = _distinct_shingles(corpus, text_col, id_col, n)
+    bench_keys = (
+        _distinct_shingles(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_keys), on="shingle", how="left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles")
+    return (
+        sizes.join(hits, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): within each shard, documents are concatenated in a
+    deterministic order (ascending id) into one token stream that is then
+    split into fixed-size chunks; each document is labeled with its token
+    offset and the chunk range it lands in.
+
+    The per-shard running offset is a single window cumulative sum over
+    the per-doc token counts — tiny state, one shuffle on the shard key.
+    Sharding is what makes this scale: the cumsum window is partitioned
+    by ``shard_col`` (at 100 TB: one window per shard/file-group, all
+    independent), never a global ordering over the corpus.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(text_col))
+    with_counts = docs.select(
+        F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_counts.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / chunk_tokens).alias("start_chunk"),
+        F.floor((start + F.col("n_tokens") - 1) / chunk_tokens).alias("end_chunk"),
+        (
+            F.floor(start / chunk_tokens)
+            != F.floor((start + F.col("n_tokens") - 1) / chunk_tokens)
+        ).alias("spans_boundary"),
+    )
+
+
+def source_quality_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source curation rollup — the table a data curator ranks
+    sources by before pruning: volume, length stats, exact-duplicate
+    rate (normalized-fingerprint groups), and language purity (share of
+    the modal language). One scan + two aggregates; every statistic is
+    partial-aggregable, so the rollup map-side combines at any scale."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("n_chars"),
+        F.md5(norm).alias("fp"),
+    )
+    # Exact-dup rate: docs whose fingerprint occurs >1 time within source.
+    fp_counts = per_doc.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("_c"))
+    dup_docs = (
+        fp_counts.filter(F.col("_c") > 1)
+        .groupBy("source")
+        .agg(F.sum("_c").alias("n_dup_docs"))
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_lc")
+    )
+    modal = lang_counts.groupBy("source").agg(
+        F.max(F.struct(F.col("_lc"), F.col("lang"))).alias("_m")
+    ).select(
+        "source",
+        F.col("_m._lc").alias("n_modal_lang"),
+        F.col("_m.lang").alias("modal_lang"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_chars"),
+    )
+    return (
+        base.join(dup_docs, on="source", how="left")
+        .join(modal, on="source")
+        .select(
+            "source",
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "avg_chars",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            "modal_lang",
+            F.round(F.col("n_modal_lang") / F.col("n_docs"), 6).alias(
+                "modal_lang_share"
+            ),
+        )
+    )
+
+
+def quantize_embeddings_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage layout
+    ANN services ship embeddings in (4x smaller than float32, dot products
+    in integer SIMD). Per vector: scale = 127 / max|x|, q[i] =
+    round(x[i] * scale), plus the round-trip reconstruction RMSE the
+    quality gate thresholds on. Entirely row-local array math in codegen
+    (transform/aggregate over the cast-to-double array) — one narrow
+    projection, no shuffle, no Python."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    # NULL scale (hence NULL outputs) for all-zero vectors, both engines.
+    scale = F.lit(127.0) / F.nullif(absmax, F.lit(0.0))
+    q = F.transform(xs, lambda x: F.round(x * scale).cast("int"))
+    # The error term re-derives the dequantized value from x and scale
+    # (round(x*scale)/scale) instead of reading the int array, so the
+    # float expression tree is textually identical to the SQL oracle's —
+    # sequential fold, same operand order, bit-identical doubles.
+    sq_err = F.aggregate(
+        F.transform(xs, lambda x: (x - F.round(x * scale) / scale)),
+        F.lit(0.0),
+        lambda acc, e: acc + e * e,
+    )
+    return vectors.select(
+        F.col(id_col),
+        F.size(vec_col).alias("dim"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),
+        F.round(F.sqrt(sq_err / F.size(vec_col)), 6).alias("rmse"),
+    )

@@ -22,6 +22,7 @@ from data_eng_project_spark.plans import analytics2  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics3  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics4  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics5  # noqa: E402,F401
+from data_eng_project_spark.plans import curation  # noqa: E402,F401
 from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401
@@ -72,6 +73,11 @@ _GRADED_WINDOW = [
     "tfidf_top_terms",
     "bm25_search",
     "hybrid_search",
+    # Corpus curation (decontamination, packing, profiling, quantization)
+    "decontaminate_ngram_overlap",
+    "pack_sequences_chunked",
+    "source_quality_profile",
+    "embedding_quantize_int8",
     # Temporal joins
     "asof_latest_order",
     "events_within_minute",
@@ -79,6 +85,7 @@ _GRADED_WINDOW = [
     "streaming_hourly_counts",
     "streaming_interval_join",
     "streaming_dedup_events",
+    "streaming_sessionize",
     # Strongest analytics (headline set + repaired canonical outputs)
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -86,14 +93,9 @@ _GRADED_WINDOW = [
     "window_rank_events",
     "sessionize_events",
     "events_hourly_rollup",
-    "events_hourly_gapfill",
     "funnel_conversion",
     "zscore_outlier_events",
-    "topk_customers_by_spend",
-    "q6_forecast_revenue",
     "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q14_promo_revenue_pct",
 ]
 
 

@@ -1,0 +1,235 @@
+"""Corpus-curation query surface: benchmark decontamination, sequence
+packing, per-source profiling, embedding quantization, and streaming
+sessionization — the remaining stages of a pretraining data pipeline
+(operators/curation.py), each with an exact DuckDB oracle.
+
+The reference has none of these (it is a civic-data ETL); they extend the
+LLM-pipeline families mandated by the brief alongside dedup/similarity/
+text analysis in plans/textdata.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.curation import (
+    decontaminate_overlap,
+    pack_sequences,
+    quantize_embeddings_int8,
+    source_quality_profile,
+)
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+# documents.source = 'src0' plays the held-out benchmark; the rest train.
+_BENCH_SOURCE = "src0"
+_OVERLAP_THRESHOLD = 0.2
+_CHUNK_TOKENS = 512
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'
+        ), corpus AS (
+            SELECT doc_id, shingle FROM sh WHERE source <> '{_BENCH_SOURCE}'
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+        ), hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corpus c JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id
+        )
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(h.n_hit, 0) AS n_hit,
+               round(coalesce(h.n_hit, 0) / s.n_shingles, 6) AS overlap_ratio,
+               coalesce(h.n_hit, 0) / s.n_shingles >= {_OVERLAP_THRESHOLD}
+                   AS contaminated
+        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    tags=("curation", "decontamination", "ngram"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct 3-gram shingles that appear in the held-out benchmark
+    split — flagged above threshold. Broadcast semi-join on hashed
+    shingles; never all-pairs."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_overlap(
+        docs.filter(F.col("source") != _BENCH_SOURCE),
+        docs.filter(F.col("source") == _BENCH_SOURCE),
+        n=3,
+        threshold=_OVERLAP_THRESHOLD,
+    )
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle=f"""
+        WITH t AS (
+            SELECT source AS shard, doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT shard, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM t
+        )
+        SELECT shard, doc_id, n_tokens, start_offset,
+               CAST(floor(start_offset / {_CHUNK_TOKENS}.0) AS BIGINT) AS start_chunk,
+               CAST(floor((start_offset + n_tokens - 1) / {_CHUNK_TOKENS}.0) AS BIGINT)
+                   AS end_chunk,
+               floor(start_offset / {_CHUNK_TOKENS}.0)
+                   <> floor((start_offset + n_tokens - 1) / {_CHUNK_TOKENS}.0)
+                   AS spans_boundary
+        FROM c
+    """,
+    tags=("curation", "packing"),
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per shard (source), documents
+    concatenate in id order into a token stream split into 512-token
+    chunks; each doc gets its offset and chunk range. One windowed cumsum
+    per shard — no global ordering."""
+    prepare(spark)
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=_CHUNK_TOKENS
+    )
+
+
+@register(
+    "source_quality_profile",
+    oracle=r"""
+        WITH per_doc AS (
+            SELECT source, doc_id, lang, length(text) AS n_chars,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), fpc AS (
+            SELECT source, fp, count(*) AS c FROM per_doc GROUP BY source, fp
+        ), dups AS (
+            SELECT source, sum(c) AS n_dup_docs FROM fpc WHERE c > 1 GROUP BY source
+        ), lc AS (
+            SELECT source, lang, count(*) AS lcnt FROM per_doc GROUP BY source, lang
+        ), modal AS (
+            SELECT source, lang AS modal_lang, lcnt AS n_modal
+            FROM (
+                SELECT source, lang, lcnt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY lcnt DESC, lang DESC) AS rn
+                FROM lc
+            ) r WHERE rn = 1
+        ), base AS (
+            SELECT source, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_chars
+            FROM per_doc GROUP BY source
+        )
+        SELECT b.source, b.n_docs, b.min_chars, b.max_chars, b.avg_chars,
+               coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+               m.modal_lang,
+               round(m.n_modal / b.n_docs, 6) AS modal_lang_share
+        FROM base b
+        LEFT JOIN dups d ON b.source = d.source
+        JOIN modal m ON b.source = m.source
+    """,
+    tags=("curation", "profiling"),
+)
+def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup: volume, length stats, exact-dup rate,
+    modal-language purity — the table sources get pruned by."""
+    prepare(spark)
+    return source_quality_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, len(embedding) AS dim,
+                   CAST(embedding AS DOUBLE[]) AS xs,
+                   127.0 / nullif(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, dim, round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(
+                   xs, x -> CAST(round(x * scale) AS INT))) AS BIGINT) AS q_sum,
+               round(sqrt(list_sum(list_transform(
+                   xs, x -> (x - round(x * scale) / scale)
+                          * (x - round(x * scale) / scale))) / dim), 6) AS rmse
+        FROM v
+    """,
+    tags=("curation", "similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with round-trip
+    RMSE — row-local array math in codegen, no shuffle, no Python."""
+    prepare(spark)
+    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "streaming_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session", "stateful"),
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (merging-window state, 30-min
+    gap) drained with AvailableNow; the final sessions must equal the
+    batch gaps-and-islands oracle row-for-row (compared on event-time
+    bounds, which the gap-padded window end would not allow)."""
+    import uuid
+
+    from data_eng_project_spark.streaming.incremental import read_events_stream
+    from data_eng_project_spark.streaming.windows import (
+        run_available_now,
+        session_bounds_stream,
+    )
+    from data_eng_project_spark.tables import table_path
+
+    prepare(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(
+        session_bounds_stream(stream), f"mem_sessions_{uuid.uuid4().hex[:8]}"
+    )

@@ -67,6 +67,24 @@ def session_windows_stream(events_stream: DataFrame, gap: str = "30 minutes") ->
     )
 
 
+def session_bounds_stream(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessionization with merging session windows, emitting the
+    observed event-time bounds (µs epoch) of each session — the streaming
+    twin of batch gaps-and-islands (sessionize_events), comparable
+    row-for-row against its oracle because the output carries min/max
+    event times rather than the gap-padded window end."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 def stream_stream_pairs(
     a: DataFrame,
     b: DataFrame,
