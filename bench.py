@@ -57,19 +57,30 @@ def main() -> None:
     #    Single-shot cold numbers on this box vary ±4x for the same query
     #    (JIT/GC noise dominates sub-second plans); repeat-run timing is
     #    the reproducible measurement.
-    times: dict[str, float] = {}
-    for spec in headline:
+    #    Additionally, this box shows *minute-scale* host-wide slow windows
+    #    (every query uniformly 2-4x slower, CPU otherwise idle), so a
+    #    single timed sweep can land entirely inside one. Three timed
+    #    sweeps spread each query's samples minutes apart; per-query MIN
+    #    is the reproducible steady-state number (each sample still
+    #    executes the full plan through the noop sink — min discards
+    #    interference, never work).
+    for spec in headline:  # untimed warm-up sweep (JIT/codegen/page cache)
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[spec.name] = round(time.perf_counter() - t0, 3)
-        # Drop any operator-internal persists so queries don't interfere.
-        spark.catalog.clearCache()
+    times: dict[str, float] = {}
+    for _sweep in range(3):
+        for spec in headline:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            prev = times.get(spec.name)
+            times[spec.name] = elapsed if prev is None else min(prev, elapsed)
+            # Drop any operator-internal persists so queries don't interfere.
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(
