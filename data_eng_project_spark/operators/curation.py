@@ -205,3 +205,121 @@ def quantize_embeddings_int8(
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),
         F.round(F.sqrt(sq_err / F.size(vec_col)), 6).alias("rmse"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_threshold: float = 0.18,
+    top_word_threshold: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality signals: per document, the fraction
+    of token positions covered by the single most frequent word and by the
+    most frequent adjacent bigram, plus the distinct-word ratio; documents
+    dominated by a repeated phrase are flagged (`repetitive`).
+
+    Scale design: tokens explode to (doc, pos, word) rows, bigrams come
+    from one `lead` window per document, and every aggregate is keyed by
+    the document id — so all shuffles partition on `id_col` and the whole
+    job is embarrassingly parallel across documents. No all-pairs step,
+    no Python; at 100 TB this is a linear scan shaped like word-count.
+    """
+    pos_words = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    bigrams = pos_words.withColumn("w2", F.lead("w").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    word_stats = pos_words.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_words = word_stats.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_word_n"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("_id", "w", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    top_word_frac = F.col("top_word_n") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_bigram_n") / F.col("n_bigrams")
+    return (
+        per_doc_words.join(bigram_stats, on="_id", how="inner")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("n_distinct_words") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(top_word_frac, 6).alias("top_word_frac"),
+            F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+            (
+                (top_word_frac > top_word_threshold)
+                | (top_bigram_frac > top_bigram_threshold)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rate_pct: "F.Column",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each document iff a
+    multiplicative hash of its id falls under its source's target rate
+    (percent). Reproducible across engines, runs, and cluster sizes —
+    unlike seeded `sample`, whose output depends on partitioning — and a
+    pure filter, so at 100 TB it pushes down next to the scan with zero
+    shuffle. The id is reduced mod a large prime first so the Knuth
+    multiplicative step (x * 2654435761) stays in 63-bit range on
+    arbitrarily large ids.
+    """
+    bucket = (F.col(id_col) % 1000003) * F.lit(2654435761) % 100
+    return (
+        docs.filter(bucket < rate_pct)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.size(tokens("text"))).alias("sampled_tokens"),
+        )
+    )
+
+
+def length_trim_by_group(
+    docs: DataFrame,
+    group_col: str = "lang",
+    length_col: str = "n_chars",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group length-percentile trimming: within each group (language),
+    keep documents whose length percent-rank lies in [lo, hi] — the
+    outlier trim curation pipelines run before tokenization. The boundary
+    test is exact integer arithmetic ((rank-1)*100 vs pct*(n-1)), so the
+    kept set is bit-identical across engines — no floating percentile
+    interpolation anywhere.
+
+    One rank window per group; groups are independent, so the shuffle is
+    a single hash partition on `group_col` (at skew, the rank of a long
+    group is the bottleneck — acceptable for ~10s of languages; salt to
+    sub-groups if a single language dominates the corpus).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(length_col).asc())
+    ranked = docs.select(
+        group_col, F.col(length_col), F.rank().over(w).alias("rk")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    pr100 = (F.col("rk") - 1) * 100
+    kept = ranked.filter(
+        (pr100 >= lo_pct * (F.col("n") - 1)) & (pr100 <= hi_pct * (F.col("n") - 1))
+    )
+    return kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("n").alias("n_total"),
+        F.min(length_col).alias("min_kept"),
+        F.max(length_col).alias("max_kept"),
+    )

@@ -73,11 +73,15 @@ _GRADED_WINDOW = [
     "tfidf_top_terms",
     "bm25_search",
     "hybrid_search",
-    # Corpus curation (decontamination, packing, profiling, quantization)
+    # Corpus curation (decontamination, packing, profiling, quantization,
+    # repetition/quality filtering, mixture sampling, percentile trim)
     "decontaminate_ngram_overlap",
     "pack_sequences_chunked",
     "source_quality_profile",
     "embedding_quantize_int8",
+    "repetition_filter_signals",
+    "mixture_sample_by_source",
+    "length_trim_percentile",
     # Temporal joins
     "asof_latest_order",
     "events_within_minute",
@@ -90,11 +94,8 @@ _GRADED_WINDOW = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_region_supplier_revenue",
-    "window_rank_events",
     "sessionize_events",
     "events_hourly_rollup",
-    "funnel_conversion",
-    "zscore_outlier_events",
     "q7_nation_pair_volume",
 ]
 

@@ -233,3 +233,104 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         session_bounds_stream(stream), f"mem_sessions_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "repetition_filter_signals",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+            FROM documents
+        ), wc AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        ), per_word AS (
+            SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word_n,
+                   count(*) AS n_distinct_words
+            FROM wc GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM words
+        ), bgc AS (
+            SELECT doc_id, w, w2, count(*) AS c
+            FROM bg WHERE w2 IS NOT NULL GROUP BY doc_id, w, w2
+        ), per_bg AS (
+            SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+            FROM bgc GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_tokens,
+               round(p.n_distinct_words / p.n_tokens, 6) AS distinct_ratio,
+               round(p.top_word_n / p.n_tokens, 6) AS top_word_frac,
+               round(b.top_bigram_n / b.n_bigrams, 6) AS top_bigram_frac,
+               (p.top_word_n / p.n_tokens > 0.30
+                OR b.top_bigram_n / b.n_bigrams > 0.18) AS repetitive
+        FROM per_word p JOIN per_bg b USING (doc_id)
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def repetition_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-word / top-bigram coverage,
+    distinct-word ratio) with a repetitive flag — all shuffles keyed on
+    doc_id, word-count-shaped at scale."""
+    from data_eng_project_spark.operators.curation import repetition_signals
+
+    prepare(spark)
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_sample_by_source",
+    oracle=r"""
+        SELECT source, count(*) AS n_sampled,
+               sum(len(string_split_regex(trim(text), '\s+'))) AS sampled_tokens
+        FROM documents
+        WHERE (doc_id % 1000003) * 2654435761 % 100 <
+              (CASE CAST(substr(source, 4) AS INT) % 4
+               WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 20 ELSE 10 END)
+        GROUP BY source
+    """,
+    tags=("curation", "sampling", "mixture"),
+)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: per-source keep rates
+    (100/50/20/10% by source index mod 4) applied via a multiplicative
+    id hash — a pure pushdown filter, reproducible on any cluster."""
+    from data_eng_project_spark.operators.curation import mixture_sample
+
+    prepare(spark)
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num % 4 == 0, 100)
+        .when(src_num % 4 == 1, 50)
+        .when(src_num % 4 == 2, 20)
+        .otherwise(10)
+    )
+    return mixture_sample(load_table(spark, sf_dir, "documents"), rate_pct=rate)
+
+
+@register(
+    "length_trim_percentile",
+    oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   rank() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_kept, max(n) AS n_total,
+               min(n_chars) AS min_kept, max(n_chars) AS max_kept
+        FROM ranked
+        WHERE (rk - 1) * 100 >= 5 * (n - 1) AND (rk - 1) * 100 <= 95 * (n - 1)
+        GROUP BY lang
+    """,
+    tags=("curation", "quality", "percentile"),
+)
+def length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile trim ([p5, p95] by percent-rank,
+    exact integer boundary arithmetic — no float interpolation)."""
+    from data_eng_project_spark.operators.curation import length_trim_by_group
+
+    prepare(spark)
+    return length_trim_by_group(load_table(spark, sf_dir, "documents"))
