@@ -44,12 +44,13 @@ def read_events_stream(
     """Open the events table as a (bounded) stream for availableNow
     processing — used by streaming/windows.py and tests.
 
-    The file stores ts as TIMESTAMP(NANOS): with the nanosAsLong conf
-    (session.prepare) the raw schema carries it as long, and we apply the
-    same ns→µs truncation as tables.load_table after the scan.
+    Normalizes ts to session-TZ TIMESTAMP exactly like tables.load_table
+    (the generator has shipped both TIMESTAMP(NANOS) — a long under the
+    nanosAsLong conf — and naive timestamp[us], which arrives as
+    TIMESTAMP_NTZ that watermarks reject).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from data_eng_project_spark.session import prepare
 
@@ -67,6 +68,8 @@ def read_events_stream(
     stream = reader.parquet(os.path.dirname(events_parquet))
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

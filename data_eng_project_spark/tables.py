@@ -43,13 +43,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives as
-        # a nanosecond long — truncate to micros exactly like DuckDB does.
+        # The generator has stored ts two ways across rounds:
+        # TIMESTAMP(NANOS) (arrives as a nanosecond long under
+        # nanosAsLong — truncate to micros exactly like DuckDB does) and
+        # plain timestamp[us] with isAdjustedToUTC=false (arrives as
+        # TIMESTAMP_NTZ — cast to session-TZ TIMESTAMP, a numeric no-op
+        # under the pinned UTC session, so unix_micros & friends apply).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -59,7 +65,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
