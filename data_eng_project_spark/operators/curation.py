@@ -323,3 +323,214 @@ def length_trim_by_group(
         F.min(length_col).alias("min_kept"),
         F.max(length_col).alias("max_kept"),
     )
+
+
+def _letter_tokens(text_col: str) -> "F.Column":
+    """Lowercase letter-run tokens (the corpus-statistics tokenizer shared
+    with tfidf/bm25 in operators/textops.py), empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_threshold: float = -3.41,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style LM filter):
+    train a unigram model on the corpus itself (P(w) = count(w)/total),
+    then score each document by its mean token log-probability; documents
+    far below typical likelihood are dropped as noise.
+
+    Scale design: the model is one word-count aggregate whose output is
+    vocabulary-sized, so it broadcasts to the per-(doc,term) scoring join
+    — the corpus-side (doc,term) rows never reshuffle. At 100 TB the
+    vocabulary is truncated to top-M terms with an OOV floor, same shape.
+    Cross-engine exactness: per-term logprob is one ln() on an exact
+    count ratio; per-doc accumulation happens in DECIMAL(38,12) (order-
+    free, exact) and lands in double only at the end.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(_letter_tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    lp = F.col("tf") * F.log(
+        F.col("cnt").cast("double") / F.col("total").cast("double")
+    )
+    per_doc = (
+        tf.join(F.broadcast(model), on="term")
+        .join(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(lp.cast("decimal(38,12)")).alias("_lp_sum"),
+        )
+    )
+    avg_lp = F.col("_lp_sum").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(avg_lp, 6).alias("avg_logprob"),
+        (avg_lp >= F.lit(keep_threshold)).alias("lm_keep"),
+    )
+
+
+# PII patterns restricted to the regex subset Java and RE2 interpret
+# identically (char classes, bounded repeats, \b): detection and redaction
+# must agree bit-for-bit with the ANSI oracle.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before publication: count email / phone / IPv4 hits and
+    produce the redacted text (categories replaced by typed placeholder
+    tags). Pure per-row regexp work in whole-stage codegen: zero shuffle,
+    scales as a map-only pass at any corpus size. The redacted text is
+    emitted as an md5 so oracle comparison stays narrow; production would
+    keep the string column."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    red = F.regexp_replace(red, PII_PHONE, "[PHONE]")
+    red = F.regexp_replace(red, PII_IPV4, "[IP]")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def top_bigrams_by_source(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus n-gram statistics: the k most frequent adjacent word
+    bigrams per source (deterministic count-then-lexicographic order) —
+    the table behind boilerplate detection and corpus fingerprinting.
+
+    Bigrams come from one array transform over the token array (no
+    window, no self-join), so the only shuffle is the (source, bigram)
+    count — word-count shaped and fully map-side combinable; the final
+    per-source top-k window runs on the already-aggregated counts."""
+    toks = docs.select(
+        F.col(source_col).alias("source"), _letter_tokens(text_col).alias("_t")
+    )
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat(
+                F.element_at("_t", i), F.lit(" "), F.element_at("_t", i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    counts = (
+        toks.select("source", F.explode(bigrams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "bigram", "n", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def vocab_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary profile: token volume, distinct types,
+    hapax legomena, type-token ratio, hapax share — the lexical-diversity
+    rollup curators read next to source_quality_profile. Two word-count
+    aggregates (term level, then source level), both partial-aggregable;
+    ratios are exact-integer divisions so they bit-match any engine."""
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(_letter_tokens(text_col)).alias("term"),
+    )
+    term_counts = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return term_counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round(hapax / F.count(F.lit(1)), 6).alias("hapax_share"),
+    )
+
+
+# Fixed public weights for the linear quality head: chosen so the scored
+# corpus splits non-trivially at threshold 0 (verified at sf0.01). A real
+# pipeline would load trained weights; the execution shape is identical.
+QUALITY_WEIGHTS = {
+    "bias": -3.0,
+    "mean_word_len": 0.45,
+    "stopword_share": 4.0,
+    "distinct_ratio": 1.5,
+}
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    C4/CCNet-style pipelines) with the model reduced to a fixed linear
+    head over exact corpus features: mean word length, stopword share,
+    distinct-word ratio. The sigmoid is monotone, so thresholding the
+    logit at 0 is the classifier decision — no exp() in the output path,
+    keeping the score bit-comparable across engines (features are exact
+    integer ratios; the weighted sum is a fixed-order double fold).
+
+    One token explode + two keyed aggregates, all partitioned on the
+    document id — word-count shaped, no all-pairs, no Python.
+    """
+    from data_eng_project_spark.functions.text import EN_STOPWORDS
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(_letter_tokens(text_col)).alias("term")
+    )
+    term_counts = tok.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.sum(F.length("term")).alias("chars")
+    )
+    stop = F.sum(F.when(F.col("term").isin(*EN_STOPWORDS), F.col("c")).otherwise(0))
+    per_doc = term_counts.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum("chars").alias("n_letter_chars"),
+        F.count(F.lit(1)).alias("n_types"),
+        stop.alias("n_stop"),
+    )
+    mean_len = F.col("n_letter_chars") / F.col("n_tokens")
+    stop_share = F.col("n_stop") / F.col("n_tokens")
+    distinct_ratio = F.col("n_types") / F.col("n_tokens")
+    w = QUALITY_WEIGHTS
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["mean_word_len"]) * mean_len
+        + F.lit(w["stopword_share"]) * stop_share
+        + F.lit(w["distinct_ratio"]) * distinct_ratio
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > F.lit(0.0)).alias("quality_keep"),
+    )

@@ -1,0 +1,253 @@
+"""Second corpus-curation batch: unigram-LM quality filtering, PII
+detection/redaction, corpus n-gram statistics, vocabulary profiling, and
+a model-based (linear-head) quality classifier — the remaining filter
+stages of a CCNet/C4-style pretraining pipeline, each with an exact
+DuckDB oracle.
+
+The reference is a civic-data ETL with none of these (SURVEY.md §2.3);
+they extend the LLM-pipeline families in plans/textdata.py and
+plans/curation.py mandated by the brief.
+
+PII note: the synthetic documents table carries no organic PII, which
+would make a detector oracle a trivial empty-vs-empty match. Both the
+Spark query and the oracle therefore inject deterministic synthetic
+PII (an email / phone / IP derived from doc_id) into the text before
+scanning — the injection is test plumbing computed identically on both
+engines; the operator under test (operators/curation.pii_scan) sees it
+as ordinary dirty text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.curation import (
+    QUALITY_WEIGHTS,
+    pii_scan,
+    quality_model_scores,
+    top_bigrams_by_source,
+    unigram_lm_scores,
+    vocab_profile,
+)
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+# Sits just below the corpus median avg-logprob (sf0.01: min −3.70,
+# p10 −3.41, median −3.40), so the filter actually drops a tail instead
+# of being a trivial all-keep.
+_LM_KEEP_THRESHOLD = -3.41
+_TOP_BIGRAMS_K = 10
+
+# Shared tokenizer CTE: lowercase letter runs, empties removed (the
+# corpus-statistics tokenization used by tfidf/bm25).
+_TOK_CTE = """
+    tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ), tok2 AS (SELECT doc_id, source, term FROM tok WHERE term <> '')
+"""
+
+
+@register(
+    "unigram_lm_quality",
+    oracle=f"""
+        WITH {_TOK_CTE},
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok2 GROUP BY doc_id, term
+        ),
+        model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+        per_doc AS (
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   sum(CAST(tf.tf * ln(CAST(model.cnt AS DOUBLE)
+                                       / CAST(tot.total AS DOUBLE))
+                            AS DECIMAL(38,12))) AS lp_sum
+            FROM tf JOIN model USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(CAST(lp_sum AS DOUBLE) / n_tokens, 6) AS avg_logprob,
+               CAST(lp_sum AS DOUBLE) / n_tokens >= {_LM_KEEP_THRESHOLD}
+                   AS lm_keep
+        FROM per_doc
+    """,
+    tags=("curation", "quality", "lm"),
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: score every document by mean token
+    log-probability under a corpus-trained unigram model; the model
+    aggregate broadcasts to the scoring join (see
+    operators/curation.unigram_lm_scores for the scale design)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, keep_threshold=_LM_KEEP_THRESHOLD)
+
+
+# Deterministic synthetic-PII augmentation, written once per engine with
+# identical semantics (string concat of exact integer derivations).
+_AUG_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example call "
+    "+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+def _aug_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+
+
+@register(
+    "pii_detect_redact",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, {_AUG_SQL} AS text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(text,
+                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT)
+                   AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[EMAIL]', 'g'),
+                   '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                   '[IP]', 'g')) AS redacted_md5
+        FROM aug
+    """,
+    tags=("curation", "pii", "redaction"),
+)
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage over deterministically-dirtied text: per document,
+    email/phone/IPv4 hit counts and the md5 of the category-redacted
+    text. Map-only regexp work in codegen — no shuffle at any scale."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", _aug_spark().alias("text"))
+    return pii_scan(dirty)
+
+
+@register(
+    "bigram_top_terms",
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), bg AS (
+            SELECT source,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1]))
+                       AS bigram
+            FROM t WHERE len(toks) >= 2
+        ), c AS (
+            SELECT source, bigram, count(*) AS n FROM bg GROUP BY source, bigram
+        )
+        SELECT source, bigram, n, rk FROM (
+            SELECT source, bigram, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, bigram
+                   ) AS BIGINT) AS rk
+            FROM c
+        ) WHERE rk <= {_TOP_BIGRAMS_K}
+    """,
+    tags=("textdata", "ngram", "corpus-stats"),
+)
+def bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent word bigrams per source (count desc, lexicographic
+    tie-break) — boilerplate detection / corpus fingerprinting stats.
+    Bigrams are built by array transform (no window, no self-join); the
+    only shuffle is the word-count-shaped (source, bigram) aggregate."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return top_bigrams_by_source(docs, k=_TOP_BIGRAMS_K)
+
+
+@register(
+    "vocab_profile_by_source",
+    oracle=f"""
+        WITH {_TOK_CTE},
+        term_counts AS (
+            SELECT source, term, count(*) AS c
+            FROM tok2 GROUP BY source, term
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               round(count(*) / CAST(sum(c) AS BIGINT), 6) AS type_token_ratio,
+               round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / count(*), 6) AS hapax_share
+        FROM term_counts
+        GROUP BY source
+    """,
+    tags=("curation", "profiling", "vocab"),
+)
+def vocab_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity rollup: tokens, types, hapax
+    legomena, type-token ratio — two partial-aggregable word-count
+    aggregates; ratios are exact-integer divisions."""
+    prepare(spark)
+    return vocab_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_model_filter",
+    oracle=f"""
+        WITH {_TOK_CTE},
+        term_counts AS (
+            SELECT doc_id, term, count(*) AS c,
+                   CAST(sum(length(term)) AS BIGINT) AS chars
+            FROM tok2 GROUP BY doc_id, term
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(chars) AS BIGINT) AS n_letter_chars,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN term IN
+                       ('the','a','of','and','to','in','is','it')
+                       THEN c ELSE 0 END) AS BIGINT) AS n_stop
+            FROM term_counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round({QUALITY_WEIGHTS["bias"]}
+                     + {QUALITY_WEIGHTS["mean_word_len"]} * (n_letter_chars / n_tokens)
+                     + {QUALITY_WEIGHTS["stopword_share"]} * (n_stop / n_tokens)
+                     + {QUALITY_WEIGHTS["distinct_ratio"]} * (n_types / n_tokens),
+                     6) AS quality_logit,
+               {QUALITY_WEIGHTS["bias"]}
+                   + {QUALITY_WEIGHTS["mean_word_len"]} * (n_letter_chars / n_tokens)
+                   + {QUALITY_WEIGHTS["stopword_share"]} * (n_stop / n_tokens)
+                   + {QUALITY_WEIGHTS["distinct_ratio"]} * (n_types / n_tokens)
+                   > 0.0 AS quality_keep
+        FROM per_doc
+    """,
+    tags=("curation", "quality", "classifier"),
+)
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a fixed linear head over exact corpus
+    features (mean word length, stopword share, distinct-word ratio);
+    thresholding the logit at 0 is the classifier decision (sigmoid is
+    monotone, so no exp() enters the compared output)."""
+    prepare(spark)
+    return quality_model_scores(load_table(spark, sf_dir, "documents"))
