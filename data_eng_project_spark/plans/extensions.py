@@ -267,3 +267,34 @@ def multimodal_video_frames_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         "frame_sha1",
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT n.n_name,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins the static
+    customer→nation dimension path (broadcast, re-planned per
+    micro-batch) and aggregates per nation; the drained AvailableNow
+    result must equal the batch three-table join oracle. See
+    streaming/windows.static_enrich_counts_stream for the state-size
+    argument (dimension rows never enter streaming state)."""
+    prepare(spark)
+    from data_eng_project_spark.streaming.windows import static_enrich_counts_stream
+
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    customers = load_table(spark, sf_dir, "customer")
+    nations = load_table(spark, sf_dir, "nation")
+    agg = static_enrich_counts_stream(stream, customers, nations)
+    return run_available_now(agg, f"mem_enrich_{uuid.uuid4().hex[:8]}")

@@ -58,14 +58,21 @@ def read_events_stream(
 
     prepare(spark)
     raw_schema = spark.read.parquet(events_parquet).schema
-    # The streaming file source needs a *directory* base path; point it
-    # at the parent dir and glob-filter to just this table's file(s).
-    reader = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", os.path.basename(events_parquet)
-    )
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(events_parquet):
+        # Spark-written directory table: stream the directory itself
+        # (a pathGlobFilter on the directory NAME would match none of
+        # the part-*.parquet files inside and silently read 0 rows).
+        base = events_parquet
+    else:
+        # Single-file table (driver testdata layout): the streaming file
+        # source needs a *directory* base path — point it at the parent
+        # dir and glob-filter to just this table's file(s).
+        base = os.path.dirname(events_parquet)
+        reader = reader.option("pathGlobFilter", os.path.basename(events_parquet))
     for k, v in reader_options.items():
         reader = reader.option(k, v)
-    stream = reader.parquet(os.path.dirname(events_parquet))
+    stream = reader.parquet(base)
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):

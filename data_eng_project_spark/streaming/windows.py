@@ -164,3 +164,38 @@ def dedup_events_stream(
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def static_enrich_counts_stream(
+    events_stream: DataFrame,
+    customers: DataFrame,
+    nations: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins
+    the STATIC customer→nation dimension path (no watermark needed on
+    the static side — Spark re-plans it per batch, and broadcast keeps
+    it shuffle-free), then aggregates per nation.
+
+    This is the canonical "enrich the stream with reference data" shape:
+    dimension state never enters the state store, so streaming state is
+    just the running per-nation aggregate — bounded by dimension
+    cardinality, independent of stream length.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nationkey")
+    ).join(
+        F.broadcast(nations.select(F.col("n_nationkey").alias("nationkey"), "n_name")),
+        on="nationkey",
+    )
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), on="user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
