@@ -332,3 +332,43 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (the window-granular
+    companion to doc-level n-gram Jaccard, after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): pairs of
+    documents sharing at least one exact ``window``-token span, with the
+    count of shared distinct spans — the signal used to cut copied
+    passages rather than whole near-duplicate documents.
+
+    Scale design: spans are hashed 8-byte keys from the start
+    (_distinct_shingles), candidates come from an inverted-index
+    self-equi-join on the span hash — never all-pairs. The document-
+    frequency cap (``max_df``) drops boilerplate spans *before* the
+    self-join, which is what bounds the join fan-out: a span shared by
+    d documents contributes d·(d−1)/2 pairs, so capping d caps the
+    quadratic term at max_df²/2 per span while true copied passages
+    (rare spans) always survive. At 100 TB this is the same
+    frequency-threshold trick suffix-array ExactSubstr pipelines apply
+    before pair expansion.
+    """
+    spans = _distinct_shingles(docs, text_col, id_col, window)
+    freq = spans.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = spans.join(freq.filter(F.col("_df") <= max_df), on="shingle").select(
+        "shingle", "_id"
+    )
+    a = rare.select("shingle", F.col("_id").alias("id_a"))
+    b = rare.select("shingle", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )

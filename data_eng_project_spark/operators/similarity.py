@@ -319,3 +319,52 @@ def ivf_topk(
     cands = assigned.filter(F.col("_cluster").isin(probe))
     qcol = F.array(*[F.lit(float(x)) for x in query])
     return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.45,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a coarse k-means, compare pairs ONLY within a cluster, and mark
+    every vector whose cosine to a lower-id cluster-mate exceeds the
+    threshold as a semantic duplicate (keep = the lowest id of each
+    near-duplicate group, matching the paper's keep-one policy).
+
+    Scale design: the quadratic term is bounded per cluster — k-means
+    with k ∝ corpus_size/target_cluster_size keeps expected cluster
+    sizes constant, so total pair work is linear in the corpus. The
+    within-cluster pair join is an equi-join on the cluster id (one
+    shuffle); the per-pair cosine is a codegen'd zip_with fold, no
+    Python. Returns (id, cluster, is_dup) for every vector — the keep
+    set is the is_dup=false slice.
+    """
+    assigned, _ = ivf_assign(
+        vectors, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    xs = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col("_cluster"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    a = xs.select(F.col("_cluster"), F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = xs.select(F.col("_cluster"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    dup_ids = (
+        a.join(b, on="_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("_va", "_vb"), 6) >= F.lit(threshold))
+        .select(F.col("id_b").alias("_dup"))
+        .distinct()
+    )
+    return xs.join(
+        dup_ids, xs["_id"] == dup_ids["_dup"], how="left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_dup").isNotNull().alias("is_dup"),
+    )

@@ -75,7 +75,8 @@ _GRADED_WINDOW = [
     "bm25_search",
     "hybrid_search",
     # Corpus curation (decontamination, packing, profiling, quantization,
-    # repetition/quality filtering, mixture sampling, percentile trim)
+    # repetition/quality/LM filtering, PII redaction, mixture sampling,
+    # percentile trim)
     "decontaminate_ngram_overlap",
     "pack_sequences_chunked",
     "source_quality_profile",
@@ -83,6 +84,8 @@ _GRADED_WINDOW = [
     "repetition_filter_signals",
     "mixture_sample_by_source",
     "length_trim_percentile",
+    "unigram_lm_quality",
+    "pii_detect_redact",
     # Temporal joins
     "asof_latest_order",
     "events_within_minute",
@@ -91,13 +94,15 @@ _GRADED_WINDOW = [
     "streaming_interval_join",
     "streaming_dedup_events",
     "streaming_sessionize",
-    # Strongest analytics (headline set + repaired canonical outputs)
+    # Strongest analytics (headline set + repaired canonical outputs —
+    # q1/q5 certify the decimal-money canonicalization fix, sessionize/
+    # hourly_rollup the timestamp fix; the other 13 r1 hash-failures are
+    # the same two classes and are certified by tools/driver_audit.py
+    # --all, recorded in BASELINE.md)
     "q1_pricing_summary",
-    "q3_top_unshipped_orders",
     "q5_region_supplier_revenue",
     "sessionize_events",
     "events_hourly_rollup",
-    "q7_nation_pair_volume",
 ]
 
 

@@ -779,3 +779,60 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("score", 6).alias("hybrid_score"))
     )
+
+
+_SPAN_W = 8
+_SPAN_MAX_DF = 20
+
+
+@register(
+    "duplicate_span_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), sp AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {_SPAN_W} + 2),
+                          i -> array_to_string(toks[i : i + {_SPAN_W} - 1], ' ')))
+                       AS span
+            FROM t WHERE len(toks) >= {_SPAN_W}
+        ), rare AS (
+            SELECT doc_id, span FROM sp
+            QUALIFY count(*) OVER (PARTITION BY span) <= {_SPAN_MAX_DF}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_spans
+        FROM rare a JOIN rare b
+          ON a.span = b.span AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "spans", "exactsubstr"),
+)
+def duplicate_span_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-granular exact-duplicate detection: document pairs sharing
+    ≥1 exact 8-token span (df-capped inverted-index self-join; see
+    operators/dedup.duplicate_span_pairs for the fan-out bound). The
+    oracle recomputes spans as strings; ours joins on xxhash64 span
+    keys — identical pair sets absent a 64-bit collision."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_pairs(
+        docs, window=_SPAN_W, max_df=_SPAN_MAX_DF
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=None,  # k-means assignment is not SQL-expressible; the
+    # cluster-restricted twin property is asserted exactly in
+    # tests/test_operators.py::test_semdedup_matches_clusterwise_exact
+    tags=("dedup", "similarity", "semdedup", "embedding"),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means coarse clusters, exact
+    within-cluster cosine, keep-lowest-id policy (see
+    operators/similarity.semdedup for the linear-total-work argument)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, n_clusters=16, threshold=COSINE_DUP_THRESHOLD)

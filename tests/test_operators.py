@@ -577,3 +577,26 @@ def test_png_resize_query_real_pixels(spark):
     for r in resize_png_images(media, max_side=40).collect():
         arr = decode_png(bytes(r["out_payload"]))
         assert arr.shape == (r["out_height"], r["out_width"], 3)
+
+
+def test_semdedup_matches_clusterwise_exact(vectors):
+    """SemDeDup's dup flags must equal the keep-lowest-id policy applied
+    to the EXACT cosine pairs restricted to its own cluster assignment —
+    the operator's only approximation is the clustering itself."""
+    from data_eng_project_spark.operators.similarity import all_pairs_above, semdedup
+
+    out = semdedup(vectors, n_clusters=4, threshold=0.98)
+    rows = out.collect()
+    cluster_of = {r.vec_id: r.cluster for r in rows}
+    flagged = {r.vec_id for r in rows if r.is_dup}
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in all_pairs_above(vectors, threshold=0.98).collect()
+    }
+    expected = {
+        b for (a, b) in exact_pairs if cluster_of[a] == cluster_of[b]
+    }
+    assert flagged == expected
+    # the planted near-dups of vector 0 must land in its cluster and flag
+    assert cluster_of[100] == cluster_of[0] and cluster_of[101] == cluster_of[0]
+    assert {100, 101} <= flagged
