@@ -372,3 +372,101 @@ def duplicate_span_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+def ngram_jaccard_pairs_bipartite(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-duplicate detection: exact n-gram Jaccard ≥ t
+    pairs ACROSS two datasets only — each incoming batch document against
+    the existing corpus, never corpus×corpus — the join a continuously-
+    ingesting pipeline runs instead of re-deduplicating the whole lake
+    per batch.
+
+    Same exact PPJoin prunings as ngram_jaccard_pairs (prefix / length /
+    count filters admit no false negatives), with the one bipartite
+    subtlety: the prefix filter is only valid under a shingle ordering
+    shared by BOTH sides, so frequencies are counted over the union
+    before ranking. Cost is O(corpus + batch) index rows; candidate
+    generation touches only cross-side prefix collisions — at 100 TB the
+    batch-side prefix index (a day's ingest) is orders of magnitude
+    smaller than the corpus, and AQE picks a broadcast for it.
+    """
+    sets_a = _shingle_sets_direct(corpus, text_col, id_col, n).persist()
+    sets_b = _shingle_sets_direct(batch, text_col, id_col, n).persist()
+
+    def _index(sets: DataFrame, side: int) -> DataFrame:
+        return sets.select(
+            F.lit(side).alias("_side"),
+            "_id",
+            F.size("_set").alias("_n"),
+            F.explode("_set").alias("shingle"),
+        )
+
+    sh = _index(sets_a, 0).unionByName(_index(sets_b, 1))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = sh.join(freq, on="shingle").withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("_side", "_id").orderBy(
+                F.col("_f").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    )
+    pa = prefix.filter(F.col("_side") == 0).select(
+        F.col("_id").alias("id_a"), "shingle", F.col("_n").alias("_na")
+    )
+    pb = prefix.filter(F.col("_side") == 1).select(
+        F.col("_id").alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    )
+
+    def _pfx(nc: str) -> F.Column:
+        return F.col(nc) - F.ceil(F.lit(threshold) * F.col(nc)) + 1
+
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+    )
+    cand = (
+        pa.join(pb, on="shingle")
+        .filter(
+            (F.col("_nb") >= F.ceil(F.lit(threshold) * F.col("_na")))
+            & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
+        )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(
+            F.col("_c")
+            + F.least(F.col("_na") - _pfx("_na"), F.col("_nb") - _pfx("_nb"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(
+            sets_a.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")),
+            on="id_a",
+        )
+        .join(
+            sets_b.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")),
+            on="id_b",
+        )
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -836,3 +836,56 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, n_clusters=16, threshold=COSINE_DUP_THRESHOLD)
+
+
+# Incoming batch = source 'src1'; the rest of the corpus is "existing".
+_INCR_BATCH_SOURCE = "src1"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.source <> '{_INCR_BATCH_SOURCE}'
+              AND b.source = '{_INCR_BATCH_SOURCE}'
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz na ON na.doc_id = id_a
+        JOIN sz nb ON nb.doc_id = id_b
+        WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs of incoming-batch
+    (source='src1') documents against the existing corpus ONLY —
+    bipartite PPJoin, never corpus×corpus (see
+    operators/dedup.ngram_jaccard_pairs_bipartite)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_bipartite(
+        docs.filter(F.col("source") != _INCR_BATCH_SOURCE),
+        docs.filter(F.col("source") == _INCR_BATCH_SOURCE),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+    )

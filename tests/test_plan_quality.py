@@ -176,3 +176,26 @@ def test_profile_orders_single_scan(spark):
     extra aggregation exchanges, not extra scans)."""
     plan = _plan(spark, "profile_orders")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_unigram_lm_broadcasts_model_no_python(spark):
+    plan = _plan(spark, "unigram_lm_quality")
+    assert "BroadcastHashJoin" in plan  # vocab model broadcasts
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scan_is_map_only(spark):
+    plan = _plan(spark, "pii_detect_redact")
+    assert "Exchange" not in plan  # zero shuffles: scan → project
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_spans_no_cartesian(spark):
+    plan = _plan(spark, "duplicate_span_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_no_cartesian_no_python(spark):
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
