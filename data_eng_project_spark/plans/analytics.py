@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.plans.registry import register
 from data_eng_project_spark.session import prepare
-from data_eng_project_spark.tables import load_table
+from data_eng_project_spark.tables import load_table, rebalance_if_unsplittable
 
 # Exact (order-insensitive) decimal sum of a double expression: round the
 # per-row double into a decimal, then sum decimals exactly.
@@ -62,6 +62,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
     )
+    # The widest aggregate in the suite: 8 decimal accumulators per row.
+    # A single-row-group input file would serialize the whole partial-agg
+    # pass on one core — rebalance only when the layout forces that.
+    li = rebalance_if_unsplittable(li, sf_dir, "lineitem", spark)
     cnt = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
     charge = disc_price * (1.0 + F.col("l_tax"))

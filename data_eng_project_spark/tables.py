@@ -69,3 +69,43 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def scan_task_count(sf_dir: str, name: str) -> int:
+    """Number of parallel scan tasks the table's parquet layout can
+    yield: parquet splits at ROW-GROUP granularity, so a file with one
+    row group is one task no matter how small maxPartitionBytes goes."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).num_row_groups
+        return max(total, 1)
+    return max(pq.ParquetFile(path).num_row_groups, 1)
+
+
+def rebalance_if_unsplittable(
+    df: DataFrame, sf_dir: str, name: str, spark: SparkSession
+) -> DataFrame:
+    """Repartition a fact scan ONLY when its file layout pins it to fewer
+    tasks than half the session's cores — the single-row-group /
+    gzip-style unsplittable-input defense.
+
+    On a production lake (files written with many row groups, or many
+    files per table) this is a no-op: no shuffle is added, the scan
+    parallelizes natively. The driver's small-SF benchmark tables are
+    single-file single-row-group, which would otherwise serialize every
+    map-side partial aggregate onto one core while 31 idle — there the
+    one round-robin exchange (narrow columns, post-pushdown rows) buys
+    back the machine. Decision happens at plan-build time from local
+    parquet footer metadata — no Spark job, no data read.
+    """
+    from data_eng_project_spark.session import default_parallelism
+
+    cores = default_parallelism()
+    if scan_task_count(sf_dir, name) < max(cores // 2, 2):
+        return df.repartition(cores)
+    return df
