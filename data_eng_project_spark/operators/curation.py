@@ -338,6 +338,7 @@ def unigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_threshold: float = -3.41,
+    keep_quantile: float | None = None,
 ) -> DataFrame:
     """Unigram language-model quality score (the CCNet-style LM filter):
     train a unigram model on the corpus itself (P(w) = count(w)/total),
@@ -351,6 +352,21 @@ def unigram_lm_scores(
     Cross-engine exactness: per-term logprob is one ln() on an exact
     count ratio; per-doc accumulation happens in DECIMAL(38,12) (order-
     free, exact) and lands in double only at the end.
+
+    Contract: every input document gets exactly one output row. Documents
+    with zero letter tokens (empty / all-punctuation — precisely what an
+    LM filter should reject) come back with n_tokens=0, avg_logprob NULL,
+    and an explicit lm_keep=false, rather than silently vanishing from
+    the scores (which would make a join-based keep-filter drop them but
+    an anti-join formulation keep them).
+
+    Thresholding: ``keep_threshold`` is an absolute avg-logprob cut
+    (re-fit it when the corpus composition changes — the model is trained
+    on the scored corpus itself). Pass ``keep_quantile`` (e.g. 0.10) to
+    instead derive the cut from the corpus distribution at runtime:
+    documents below that quantile of avg_logprob are dropped. The
+    quantile is one percentile_approx aggregate broadcast back as a
+    scalar — no global sort, no driver collect, scale-shape unchanged.
     """
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(_letter_tokens(text_col)).alias("term")
@@ -371,11 +387,22 @@ def unigram_lm_scores(
         )
     )
     avg_lp = F.col("_lp_sum").cast("double") / F.col("n_tokens")
-    return per_doc.select(
+    scored = docs.select(F.col(id_col).alias("_id")).join(
+        per_doc, on="_id", how="left"
+    )
+    if keep_quantile is None:
+        keep = avg_lp >= F.lit(keep_threshold)
+    else:
+        thr = per_doc.agg(
+            F.percentile_approx(avg_lp, F.lit(keep_quantile)).alias("_thr")
+        )
+        scored = scored.join(F.broadcast(thr))
+        keep = avg_lp >= F.col("_thr")
+    return scored.select(
         F.col("_id").alias(id_col),
-        "n_tokens",
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
         F.round(avg_lp, 6).alias("avg_logprob"),
-        (avg_lp >= F.lit(keep_threshold)).alias("lm_keep"),
+        F.coalesce(keep, F.lit(False)).alias("lm_keep"),
     )
 
 

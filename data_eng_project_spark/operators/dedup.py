@@ -27,6 +27,26 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
 
+# Shingle-set caches created by the Jaccard operators (the sets feed both
+# the candidate-index and the exact-verify joins, so they persist()). The
+# returned pair DataFrames hold no handle to release them, so a long-lived
+# session running repeated batches — the bipartite incremental path
+# especially, where the corpus side is the big one — would accumulate
+# executor storage. Callers should release_dedup_caches() once a batch's
+# results are materialized; releasing early is safe (Spark recomputes).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every cache minted by dedup operators so far."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by md5(text); keeps the smallest id as the
@@ -128,7 +148,7 @@ def ngram_jaccard_pairs(
     result equals the naive all-pairs formulation (which is what the
     DuckDB oracle computes).
     """
-    sets = _shingle_sets_direct(df, text_col, id_col, n).persist()
+    sets = _persist_tracked(_shingle_sets_direct(df, text_col, id_col, n))
     # Re-derive the exploded index from the cached sets (narrow, no extra
     # shuffle) carrying the set size inline — no separate sizes join.
     sh = sets.select(
@@ -215,10 +235,10 @@ def minhash_lsh_pairs(
     # work (num_hashes × |set| per doc) to the scan's few partitions. At
     # lake scale inputs arrive in many splits and this spread is a no-op
     # cost-wise; locally it is what buys the parallelism.
-    sets = (
-        _shingle_sets_direct(df, text_col, id_col, shingle_n)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .persist()
+    sets = _persist_tracked(
+        _shingle_sets_direct(df, text_col, id_col, shingle_n).repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     )
     # Signatures straight from the cached set arrays: sig[i] =
     # min_j xxhash64(i, set[j]) via transform+array_min — per-row array
@@ -397,8 +417,8 @@ def ngram_jaccard_pairs_bipartite(
     batch-side prefix index (a day's ingest) is orders of magnitude
     smaller than the corpus, and AQE picks a broadcast for it.
     """
-    sets_a = _shingle_sets_direct(corpus, text_col, id_col, n).persist()
-    sets_b = _shingle_sets_direct(batch, text_col, id_col, n).persist()
+    sets_a = _persist_tracked(_shingle_sets_direct(corpus, text_col, id_col, n))
+    sets_b = _persist_tracked(_shingle_sets_direct(batch, text_col, id_col, n))
 
     def _index(sets: DataFrame, side: int) -> DataFrame:
         return sets.select(

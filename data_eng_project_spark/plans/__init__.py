@@ -37,72 +37,77 @@ from data_eng_project_spark.plans import textdata  # noqa: E402,F401
 # the flagship reconstruction, and the LLM-pipeline operator families —
 # and contains only oracle-backed queries. Everything else keeps its
 # import order after position 50.
+# Round-3 rotation (VERDICT r2 task 3): the 12 §2-parity queries and most
+# of the r2-certified LLM families rotate OUT (driver-green in r2, zero
+# re-risk; pytest + tools/driver_audit.py still cover them every round)
+# so the window can certify a new tranche. Kept in-window as regression
+# sentinels: the flagship trio, the six r2 hash_match failures repaired
+# this round (DuckDB sum()->HUGEINT oracles, now CAST to BIGINT), the
+# dedup/similarity core, unigram_lm_quality (operator contract changed
+# this round: token-less docs now emit lm_keep=false), and one
+# timestamp-emitting streaming query (canonicalization guard).
 _GRADED_WINDOW = [
-    # §2 reference parity (J1/J2/J3/J4, A1, F1-F7, P4, S6/S8/S13/S14 + e2e)
-    "customer_nation_region",
-    "orders_not_in_ledger",
-    "upsert_new_rows",
-    "union_discriminator",
-    "dedup_first_wins",
-    "multi_format_date_parse",
-    "fixed_width_slices",
-    "gps_split",
-    "validity_filter",
-    "json_field_extract",
-    "deaths_pipeline_e2e",
-    "plants_pipeline_e2e",
-    # Flagship spatial reconstruction (J5/A3)
+    # Flagship spatial reconstruction (J5/A3) — permanent sentinels
     "flagship_points_near_sites",
     "flagship_site_density",
     "flagship_density_power_corr",
-    # Dedup family (exact, n-gram Jaccard, clusters, embedding, cross-modal)
+    # The six r2 hash-failures, repaired: oracle sums final-cast to BIGINT
+    # (DuckDB sum(BIGINT) returns HUGEINT/INT128, which diverges in the
+    # driver's Arrow-level hash while remaining invisible to fetchall())
+    "corpus_clean_pipeline",
+    "pack_sequences_chunked",
+    "source_quality_profile",
+    "repetition_filter_signals",
+    "mixture_sample_by_source",
+    "sessionize_events",
+    # LLM-core + timestamp sentinels (r2-green)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "embedding_dup_pairs",
-    "crossmodal_dup_consensus",
-    # Similarity / retrieval over embeddings
     "similarity_topk",
-    "label_centroids",
-    # Text analysis & search
-    "lang_id_heuristic",
-    "text_quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "winnowing_fingerprints",
-    "corpus_clean_pipeline",
-    "tfidf_top_terms",
-    "bm25_search",
-    "hybrid_search",
-    # Corpus curation (decontamination, packing, profiling, quantization,
-    # repetition/quality/LM filtering, PII redaction, mixture sampling,
-    # percentile trim)
-    "decontaminate_ngram_overlap",
-    "pack_sequences_chunked",
-    "source_quality_profile",
-    "embedding_quantize_int8",
-    "repetition_filter_signals",
-    "mixture_sample_by_source",
-    "length_trim_percentile",
     "unigram_lm_quality",
-    "pii_detect_redact",
-    # Temporal joins
-    "asof_latest_order",
-    "events_within_minute",
-    # Structured Streaming (batch-equal finals)
     "streaming_hourly_counts",
-    "streaming_interval_join",
-    "streaming_dedup_events",
-    "streaming_sessionize",
-    # Strongest analytics (headline set + repaired canonical outputs —
-    # q1/q5 certify the decimal-money canonicalization fix, sessionize/
-    # hourly_rollup the timestamp fix; the other 13 r1 hash-failures are
-    # the same two classes and are certified by tools/driver_audit.py
-    # --all, recorded in BASELINE.md)
-    "q1_pricing_summary",
-    "q5_region_supplier_revenue",
-    "sessionize_events",
-    "events_hourly_rollup",
+    # Never driver-graded: behavioral/operational analytics suite
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_customer_status",
+    "profile_orders",
+    "null_safe_join_counts",
+    "locf_user_values",
+    "zscore_outlier_events",
+    "sql_api_revenue_report",
+    "histogram_order_prices",
+    "trailing_hour_sum",
+    "pareto_customer_revenue",
+    "market_basket_part_pairs",
+    # Never driver-graded: window suite + TPC-H stragglers
+    "window_function_suite",
+    "q22_idle_customers",
+    # Never driver-graded: round-2 LLM additions (VERDICT r2 task 4)
+    "bigram_top_terms",
+    "vocab_profile_by_source",
+    "quality_model_filter",
+    "streaming_static_enrich",
+    "duplicate_span_pairs",
+    "dedup_incremental_batch",
+    # Round-1 hash-failures repaired by the r1 decimal/timestamp
+    # canonicalization fix, strict-mirror-verified in r2 but never yet
+    # driver-green — promote for hard certification
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_customers",
+    "q11_important_parts",
+    "q15_top_revenue_suppliers",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "rollup_order_status",
+    "topk_customers_by_spend",
+    "grouping_sets_revenue",
+    "conditional_aggregation",
+    "stratified_sample_deterministic",
+    "salted_join_supplier_revenue",
 ]
 
 

@@ -299,7 +299,7 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                epoch_us(min(ts)) AS session_start_us,
                epoch_us(max(ts)) AS session_end_us,
                count(*) AS n_events

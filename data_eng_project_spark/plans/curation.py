@@ -93,7 +93,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ), 0) AS start_offset
             FROM t
         )
-        SELECT shard, doc_id, n_tokens, start_offset,
+        SELECT shard, doc_id, n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
                CAST(floor(start_offset / {_CHUNK_TOKENS}.0) AS BIGINT) AS start_chunk,
                CAST(floor((start_offset + n_tokens - 1) / {_CHUNK_TOKENS}.0) AS BIGINT)
                    AS end_chunk,
@@ -144,7 +145,7 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_doc GROUP BY source
         )
         SELECT b.source, b.n_docs, b.min_chars, b.max_chars, b.avg_chars,
-               coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+               CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
                m.modal_lang,
                round(m.n_modal / b.n_docs, 6) AS modal_lang_share
         FROM base b
@@ -260,7 +261,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
             FROM bgc GROUP BY doc_id
         )
-        SELECT p.doc_id, p.n_tokens,
+        SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
                round(p.n_distinct_words / p.n_tokens, 6) AS distinct_ratio,
                round(p.top_word_n / p.n_tokens, 6) AS top_word_frac,
                round(b.top_bigram_n / b.n_bigrams, 6) AS top_bigram_frac,
@@ -284,7 +285,8 @@ def repetition_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_sample_by_source",
     oracle=r"""
         SELECT source, count(*) AS n_sampled,
-               sum(len(string_split_regex(trim(text), '\s+'))) AS sampled_tokens
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS sampled_tokens
         FROM documents
         WHERE (doc_id % 1000003) * 2654435761 % 100 <
               (CASE CAST(substr(source, 4) AS INT) % 4

@@ -36,7 +36,12 @@ from data_eng_project_spark.tables import load_table
 
 # Sits just below the corpus median avg-logprob (sf0.01: min −3.70,
 # p10 −3.41, median −3.40), so the filter actually drops a tail instead
-# of being a trivial all-keep.
+# of being a trivial all-keep. NB: fitted to the sf0.01 generator corpus
+# — the unigram model is trained on the scored corpus itself, so if the
+# generator reships documents at another scale the logprob distribution
+# shifts and this constant must be re-fitted (or switch the registration
+# to unigram_lm_scores' keep_quantile mode, which derives the cut from
+# the corpus distribution at runtime).
 _LM_KEEP_THRESHOLD = -3.41
 _TOP_BIGRAMS_K = 10
 
@@ -70,11 +75,13 @@ _TOK_CTE = """
             FROM tf JOIN model USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id
         )
-        SELECT doc_id, n_tokens,
-               round(CAST(lp_sum AS DOUBLE) / n_tokens, 6) AS avg_logprob,
-               CAST(lp_sum AS DOUBLE) / n_tokens >= {_LM_KEEP_THRESHOLD}
-                   AS lm_keep
-        FROM per_doc
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               round(CAST(p.lp_sum AS DOUBLE) / p.n_tokens, 6) AS avg_logprob,
+               coalesce(CAST(p.lp_sum AS DOUBLE) / p.n_tokens
+                        >= {_LM_KEEP_THRESHOLD}, false) AS lm_keep
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
     """,
     tags=("curation", "quality", "lm"),
 )

@@ -137,7 +137,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(string_split_regex(trim(text), '\s+')) AS n_words
             FROM documents
         )
-        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM feat JOIN canon ON feat.doc_id = canon.keep_id
         WHERE lang_pred = 'en' AND n_words >= 20
         GROUP BY source

@@ -74,17 +74,32 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def scan_task_count(sf_dir: str, name: str) -> int:
     """Number of parallel scan tasks the table's parquet layout can
     yield: parquet splits at ROW-GROUP granularity, so a file with one
-    row group is one task no matter how small maxPartitionBytes goes."""
+    row group is one task no matter how small maxPartitionBytes goes.
+
+    Walks the directory tree recursively so Hive-partitioned layouts
+    (part files nested under key=value subdirectories) are counted
+    correctly. Any path this process cannot inspect locally (remote
+    object-store URI, unreadable footer) reports "many" so
+    rebalance_if_unsplittable stays a no-op — on a production lake the
+    layout is someone else's job and a gratuitous full shuffle is worse
+    than trusting it."""
     import pyarrow.parquet as pq
 
+    _MANY = 1 << 20
     path = table_path(sf_dir, name)
-    if os.path.isdir(path):
-        total = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(path, f)).num_row_groups
-        return max(total, 1)
-    return max(pq.ParquetFile(path).num_row_groups, 1)
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).num_row_groups
+            return max(total, 1)
+        if not os.path.exists(path):
+            return _MANY
+        return max(pq.ParquetFile(path).num_row_groups, 1)
+    except Exception:  # noqa: BLE001 — non-local/odd layout: assume well-split
+        return _MANY
 
 
 def rebalance_if_unsplittable(

@@ -600,3 +600,63 @@ def test_semdedup_matches_clusterwise_exact(vectors):
     # the planted near-dups of vector 0 must land in its cluster and flag
     assert cluster_of[100] == cluster_of[0] and cluster_of[101] == cluster_of[0]
     assert {100, 101} <= flagged
+
+
+def test_unigram_lm_scores_total_contract(spark):
+    """Every input doc gets exactly one row; token-less docs (empty /
+    all-punctuation) come back explicitly with lm_keep=false, n_tokens=0,
+    avg_logprob NULL — never silently dropped."""
+    from data_eng_project_spark.operators.curation import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "!!! ... 123 ???"),  # zero letter tokens
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for tid in (3, 4):
+        assert rows[tid].lm_keep is False
+        assert rows[tid].n_tokens == 0
+        assert rows[tid].avg_logprob is None
+    assert rows[1].n_tokens == 6 and rows[1].avg_logprob is not None
+
+
+def test_unigram_lm_scores_quantile_mode(spark):
+    """keep_quantile derives the cut from the corpus distribution: with
+    q=0.5 the below-median docs drop and the top scores survive."""
+    from data_eng_project_spark.operators.curation import unigram_lm_scores
+
+    common = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(8)] + [(8, "zzz qqq xxx www vvv"), (9, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_lm_scores(docs, keep_quantile=0.5).collect()}
+    assert all(rows[i].lm_keep for i in range(8))  # modal docs at/above median
+    assert rows[8].lm_keep is False  # rare-token doc below the median cut
+    assert rows[9].lm_keep is False  # token-less
+
+
+def test_release_dedup_caches_unpersists(spark, near_dup_docs):
+    """Jaccard operators persist shingle-set frames; release_dedup_caches
+    must drop every tracked cache (long-lived incremental sessions)."""
+    from data_eng_project_spark.operators.dedup import (
+        _PERSISTED,
+        ngram_jaccard_pairs_bipartite,
+        release_dedup_caches,
+    )
+
+    release_dedup_caches()  # clean slate from earlier tests in the session
+    batch = near_dup_docs.filter(F.col("doc_id") >= 3)
+    corpus = near_dup_docs.filter(F.col("doc_id") < 3)
+    ngram_jaccard_pairs_bipartite(corpus, batch, "text", "doc_id").collect()
+    assert len(_PERSISTED) == 2
+    cached = list(_PERSISTED)
+    release_dedup_caches()
+    assert not _PERSISTED
+    assert all(d.storageLevel.useMemory is False for d in cached)

@@ -111,6 +111,16 @@ def strict_compare(spark_df, oracle: str, sf_dir: str = SF_DIR) -> list[str]:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # Round-2 forensics: the six hash_match failures were exactly the six
+    # oracles whose DuckDB result carried a HUGEINT (sum(BIGINT) -> INT128)
+    # column — invisible to fetchall() (plain Python ints) but divergent in
+    # the driver's Arrow/pandas-level hash. Flag any non-BIGINT-width
+    # integer or DECIMAL on the DuckDB side as FATAL.
+    for cname, ctype, *_ in con.execute(f"DESCRIBE ({oracle})").fetchall():
+        if ctype in ("HUGEINT", "UHUGEINT", "UBIGINT") or ctype.startswith(
+            "DECIMAL"
+        ):
+            problems.append(f"FATAL oracle type: {cname} {ctype} (cast to BIGINT/DOUBLE)")
     cur = con.execute(oracle)
     o_cols = [d[0] for d in cur.description]
     o_rows = cur.fetchall()
