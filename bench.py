@@ -28,6 +28,18 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Quiesce: round-2's recorded +7.6% "regression" was concurrent host
+    # load during the snapshot (re-run solo in round 3, the same code
+    # measured FASTER than round 1: 15.2 s vs 16.35 s). min-of-3 defends
+    # against transient interference windows, not sustained load, so wait
+    # up to 2 min for the 1-min load average to drop before timing, and
+    # record the load in the output so any residual drift is explainable.
+    load_at_start = os.getloadavg()[0]
+    deadline = time.time() + 120
+    while load_at_start > 4.0 and time.time() < deadline:
+        time.sleep(5)
+        load_at_start = os.getloadavg()[0]
+
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                "load_1min_at_start": round(load_at_start, 2),
             }
         )
     )
