@@ -561,3 +561,134 @@ def quality_model_scores(
         F.round(logit, 6).alias("quality_logit"),
         (logit > F.lit(0.0)).alias("quality_keep"),
     )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a < b), how many normalized-content fingerprints appear in BOTH and
+    how many cross-source document pairs those shared fingerprints induce
+    — the provenance question ("which domains mirror which") a curator
+    answers before setting per-source dedup and mixture policy.
+
+    Scale design: one fingerprint aggregate per (source, fp), then a
+    fp-keyed self-equi-join restricted to source_a < source_b — candidate
+    rows exist only for fingerprints actually shared across sources, so
+    the join output is duplication-shaped, never all-pairs of sources ×
+    docs. A boilerplate fingerprint present in s sources contributes
+    s·(s−1)/2 pair rows (sources, not documents), and the document
+    multiplicities multiply only inside the aggregated n_doc_pairs
+    product. Same one-shuffle word-count shape at 100 TB.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp_counts = (
+        docs.select(F.col(source_col).alias("source"), F.md5(norm).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a = fp_counts.select(
+        F.col("fp"), F.col("source").alias("source_a"), F.col("_c").alias("_ca")
+    )
+    b = fp_counts.select(
+        F.col("fp"), F.col("source").alias("source_b"), F.col("_c").alias("_cb")
+    )
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum(F.col("_ca") * F.col("_cb")).cast("bigint").alias("n_doc_pairs"),
+        )
+    )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-reweighting table (the DoReMi/Pile-style mixture step
+    reduced to its data-engineering core): per source, observed document
+    and whitespace-token shares, and the sampling weight that would
+    equalize token mass across sources (uniform target) — multiply by a
+    learned target vector for non-uniform mixtures; the execution shape
+    is identical.
+
+    Scale design: one partial-aggregable per-source aggregate; corpus
+    totals are a second 1-row aggregate broadcast back — no window over
+    the corpus, no driver collect. Shares/weights are exact BIGINT ratios
+    rounded at the end.
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("_tot_docs"),
+        F.sum("n_tokens").cast("bigint").alias("_tot_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_sources"),
+    )
+    token_share = F.col("n_tokens") / F.col("_tot_tokens")
+    return (
+        per_source.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("_tot_docs"), 6).alias("doc_share"),
+            F.round(token_share, 6).alias("token_share"),
+            # weight ∝ target_share / observed_share with uniform target
+            # 1/n_sources; >1 ⇒ upsample, <1 ⇒ downsample.
+            F.round(1.0 / (F.col("_n_sources") * token_share), 6).alias(
+                "uniform_weight"
+            ),
+        )
+    )
+
+
+def token_fertility_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility profile per group (language): characters per
+    whitespace token and per BPE-ish token, and the BPE/whitespace blow-up
+    ratio — the statistic that prices a tokenizer change against a corpus
+    and catches languages the tokenizer fragments.
+
+    Corpus-level exact-integer sums (not averages of per-doc ratios, which
+    would weight short documents up); single partial-aggregable shuffle.
+    """
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+    per_group = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+        F.sum(ws).cast("bigint").alias("n_ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("n_bpe_tokens"),
+    )
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.col("n_ws_tokens"), 6).alias("chars_per_ws_token"),
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+        F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6).alias(
+            "bpe_blowup"
+        ),
+    )

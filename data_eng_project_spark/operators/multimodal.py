@@ -102,13 +102,39 @@ def frame_sample_stub(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def decode_frame(payload: bytes, frame_idx: int) -> bytes:
-    """Frame decode from a compressed video container — the one remaining
-    codec boundary: mp4/h264 requires pyav/ffmpeg, absent from this
-    container. Compressed IMAGES are fully supported via the stdlib PNG
-    codec below (decode_png/encode_png); raw video via decode_raw_video."""
+    """Frame decode from a compressed video container.
+
+    PNG-frame streams (concatenated PNG images — the MJPEG-style
+    container a codec-less pipeline actually produces, and what
+    encode_png emits per frame) are decoded for real: the payload is
+    split on PNG signatures and the ``frame_idx``-th frame comes back as
+    standalone PNG bytes, validated through the stdlib codec below. Raw
+    video goes through decode_raw_video. The one remaining boundary is
+    mp4/h264, which requires pyav/ffmpeg (absent from this container)
+    and still raises NotImplementedError.
+    """
+    if payload.startswith(_PNG_SIG):
+        offsets = []
+        pos = 0
+        while True:
+            pos = payload.find(_PNG_SIG, pos)
+            if pos < 0:
+                break
+            offsets.append(pos)
+            pos += len(_PNG_SIG)
+        if frame_idx >= len(offsets):
+            raise IndexError(
+                f"frame {frame_idx} out of range: PNG stream has {len(offsets)} frames"
+            )
+        start = offsets[frame_idx]
+        end = offsets[frame_idx + 1] if frame_idx + 1 < len(offsets) else len(payload)
+        frame = payload[start:end]
+        decode_png(frame)  # validate before handing bytes downstream
+        return frame
     raise NotImplementedError(
         "compressed-video frame decode requires pyav/ffmpeg; raw video is "
-        "handled by decode_raw_video and PNG images by decode_png"
+        "handled by decode_raw_video and PNG images/PNG-frame streams by "
+        "decode_png/decode_frame"
     )
 
 

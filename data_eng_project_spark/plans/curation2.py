@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators.curation import (
     QUALITY_WEIGHTS,
+    cross_source_dup_matrix,
+    domain_mixture_weights,
     pii_scan,
     quality_model_scores,
+    token_fertility_profile,
     top_bigrams_by_source,
     unigram_lm_scores,
     vocab_profile,
@@ -258,3 +261,92 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone, so no exp() enters the compared output)."""
     prepare(spark)
     return quality_model_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=r"""
+        WITH fpc AS (
+            SELECT source,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   count(*) AS c
+            FROM documents GROUP BY source, fp
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_fps,
+               CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+        FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
+    tags=("curation", "dedup", "provenance"),
+)
+def cross_source_dup_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror which: per ordered source pair, shared
+    normalized-content fingerprints and the cross-source doc pairs they
+    induce — fp-keyed equi-join, duplication-shaped output (see
+    operators/curation.cross_source_dup_matrix for the scale notes)."""
+    prepare(spark)
+    return cross_source_dup_matrix(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_mixture_weights",
+    oracle=r"""
+        WITH ps AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                   CAST(sum(n_tokens) AS BIGINT) AS tt,
+                   count(*) AS ns
+            FROM ps
+        )
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+               round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+               round(1.0 / (ns * (CAST(n_tokens AS DOUBLE) / tt)), 6)
+                   AS uniform_weight
+        FROM ps CROSS JOIN tot
+    """,
+    tags=("curation", "sampling", "mixture"),
+)
+def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting table: per-source doc/token shares
+    and the uniform-target sampling weight — one partial-aggregable
+    rollup plus a broadcast 1-row totals join."""
+    prepare(spark)
+    return domain_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_fertility_profile",
+    oracle=r"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS n_ws_tokens,
+               CAST(sum(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(length(text)) AS BIGINT)
+                     / CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                            AS BIGINT), 6) AS chars_per_ws_token,
+               round(CAST(sum(length(text)) AS BIGINT)
+                     / CAST(sum(len(regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT), 6)
+                   AS chars_per_bpe_token,
+               round(CAST(sum(len(regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+                     / CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                            AS BIGINT), 6) AS bpe_blowup
+        FROM documents GROUP BY lang
+    """,
+    tags=("curation", "tokenizer", "profiling"),
+)
+def token_fertility_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: corpus-level chars per whitespace
+    token, chars per BPE-ish token, and the BPE blow-up ratio — exact
+    integer sums, one shuffle."""
+    prepare(spark)
+    return token_fertility_profile(load_table(spark, sf_dir, "documents"))

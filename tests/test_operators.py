@@ -660,3 +660,87 @@ def test_release_dedup_caches_unpersists(spark, near_dup_docs):
     release_dedup_caches()
     assert not _PERSISTED
     assert all(d.storageLevel.useMemory is False for d in cached)
+
+
+def test_decode_frame_png_stream():
+    """decode_frame handles concatenated-PNG frame streams for real:
+    returns the idx-th standalone PNG; only mp4/h264 remains stubbed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_eng_project_spark.operators.multimodal import (
+        decode_frame,
+        decode_png,
+        encode_png,
+    )
+
+    frames = [
+        np.full((8, 6, 3), 40 * (i + 1), dtype=np.uint8) for i in range(3)
+    ]
+    stream = b"".join(encode_png(f) for f in frames)
+    for i, f in enumerate(frames):
+        assert (decode_png(decode_frame(stream, i)) == f).all()
+    with _pytest.raises(IndexError):
+        decode_frame(stream, 3)
+    with _pytest.raises(NotImplementedError):
+        decode_frame(b"\x00\x00\x00\x18ftypmp42", 0)
+
+
+def test_cross_source_dup_matrix(spark):
+    from data_eng_project_spark.operators.curation import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "shared  boilerplate"),
+            (2, "s1", "unique one"),
+            (3, "s2", "Shared Boilerplate"),   # same after normalization
+            (4, "s2", "shared boilerplate"),   # second copy in s2
+            (5, "s3", "shared boilerplate"),
+            (6, "s3", "other text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): (r.n_shared_fps, r.n_doc_pairs)
+        for r in cross_source_dup_matrix(docs).collect()
+    }
+    # s1 has 1 copy, s2 has 2, s3 has 1 of the shared fingerprint.
+    assert rows[("s1", "s2")] == (1, 2)   # 1*2 cross pairs
+    assert rows[("s1", "s3")] == (1, 1)
+    assert rows[("s2", "s3")] == (1, 2)
+    assert len(rows) == 3
+
+
+def test_domain_mixture_weights(spark):
+    from data_eng_project_spark.operators.curation import domain_mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d e f"),      # 6 tokens
+            (2, "s2", "a b"),              # 2
+            (3, "s2", "a"),                # 1 -> s2 total 3, but wait 3 tokens
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in domain_mixture_weights(docs).collect()}
+    assert rows["s1"].n_tokens == 6 and rows["s2"].n_tokens == 3
+    assert rows["s1"].token_share == round(6 / 9, 6)
+    # uniform weight: target 1/2 each; s1 observed 2/3 -> weight 3/4.
+    assert rows["s1"].uniform_weight == 0.75
+    assert rows["s2"].uniform_weight == 1.5
+
+
+def test_token_fertility_profile(spark):
+    from data_eng_project_spark.operators.curation import token_fertility_profile
+
+    docs = spark.createDataFrame(
+        [(1, "en", "ab cd"), (2, "en", "ef-gh"), (3, "xx", "ij")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.lang: r for r in token_fertility_profile(docs).collect()}
+    en = rows["en"]
+    # "ab cd": 2 ws tokens, 2 bpe; "ef-gh": 1 ws, 3 bpe (ef, -, gh).
+    assert (en.n_ws_tokens, en.n_bpe_tokens, en.n_chars) == (3, 5, 10)
+    assert en.chars_per_ws_token == round(10 / 3, 6)
+    assert en.bpe_blowup == round(5 / 3, 6)
+    assert rows["xx"].n_ws_tokens == 1
