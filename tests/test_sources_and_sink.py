@@ -4,7 +4,10 @@ ledger) and the idempotent keyed sink."""
 from __future__ import annotations
 
 import json
+import os
+import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators.sink import write_full_refresh, write_idempotent
@@ -131,3 +134,61 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
     assert df.filter(F.col("score").isNotNull()).count() == 1
+
+
+# ------------------------------------------------------------ http ingest
+
+
+def test_http_ingest_end_to_end_offline(spark, tmp_path):
+    """S1-S5 semantics against file:// fixtures: metadata fetch, resource
+    list persist+explode, format filter, bounded deterministic download,
+    then a distributed scan of the landed files."""
+    from data_eng_project_spark.sources.http_ingest import (
+        download_resources,
+        pull_resource_list,
+    )
+
+    payloads = tmp_path / "remote"
+    payloads.mkdir()
+    for i in range(3):
+        (payloads / f"data_{i}.csv").write_text("k;v\n" + f"{i};x{i}\n")
+    (payloads / "notes.pdf").write_text("not a csv")
+    meta = {
+        "title": "fixture dataset",
+        "resources": [
+            {
+                "format": "csv",
+                "latest": (payloads / f"data_{i}.csv").as_uri(),
+                "title": f"file {i}",
+            }
+            for i in range(3)
+        ]
+        + [{"format": "pdf", "latest": (payloads / "notes.pdf").as_uri(), "title": "doc"}],
+    }
+    meta_path = payloads / "meta.json"
+    meta_path.write_text(json.dumps(meta))
+
+    res = pull_resource_list(spark, meta_path.as_uri(), str(tmp_path / "resources.json"))
+    assert res.count() == 4  # persisted list carries every resource
+
+    landed = download_resources(
+        res, str(tmp_path / "ingest"), fmt="csv", limit=2, retries=0
+    )
+    assert [os.path.basename(p) for p in landed] == ["data_0.csv", "data_1.csv"]
+
+    df = read_csv(spark, [str(p) for p in landed], sep=";")
+    assert df.count() == 2 and set(df.columns) == {"k", "v"}
+
+
+def test_http_ingest_retries_then_raises(tmp_path):
+    from data_eng_project_spark.sources.http_ingest import fetch_url
+
+    t0 = time.time()
+    with pytest.raises(OSError, match="after 2 attempts"):
+        fetch_url(
+            (tmp_path / "missing.csv").as_uri(),
+            str(tmp_path / "out.csv"),
+            retries=1,
+            retry_delay_s=0.2,
+        )
+    assert time.time() - t0 >= 0.2  # the retry delay actually happened
