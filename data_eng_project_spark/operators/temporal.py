@@ -156,3 +156,48 @@ def ewma_per_key(
     return df.select(id_col, key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
         ewma, schema=schema
     )
+
+
+def hourly_rollup_state(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Partial-aggregate state for the hourly event rollup: per
+    (hour, event_type), the running count and an EXACT decimal value sum.
+    This is the mergeable form — counts and decimal sums are associative
+    and commutative, so states built from disjoint batches combine into
+    exactly the state a full recompute would build (the
+    continuous-aggregate / hypertable-rollup maintenance pattern)."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_sum_dec"),
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Merge rollup states (prior state ∪ new-batch state → one state).
+
+    Scale design: cost is O(state + delta) — the history EVENTS are never
+    rescanned, only the rollup-sized state (hours × types) reshuffles,
+    and the shuffle key is the rollup key so AQE coalesces it small. This
+    is what a nightly/streaming maintenance job runs instead of the full
+    groupBy; `foreachBatch` + idempotent keyed sink (operators/sink.py)
+    is the streaming skin over the same merge."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("window_start", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum_dec").alias("_sum_dec"),
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """Serving projection of a rollup state: decimal accumulator lands in
+    a rounded double (exact, order-free up to this single final cast)."""
+    return state.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("_sum_dec").cast("double"), 6).alias("total_value"),
+    )

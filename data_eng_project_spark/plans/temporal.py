@@ -105,3 +105,37 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.operators.temporal import ewma_per_key
 
     return ewma_per_key(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("temporal", "incremental", "rollup"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly rollup is built
+    INCREMENTALLY — partial-aggregate state from the 'historical' half of
+    events (event_id even) merged with the state of the 'new batch' half
+    (event_id odd) — and must equal the oracle's one-shot full rollup
+    exactly (counts and decimal sums are associative). The merge touches
+    only rollup-sized state, never historical events — the maintenance
+    pattern that keeps a 100 TB events lake's serving rollup fresh at
+    delta cost (see operators/temporal.merge_rollup_states)."""
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        hourly_rollup_state,
+        merge_rollup_states,
+    )
+
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    history = hourly_rollup_state(events.filter(F.col("event_id") % 2 == 0))
+    new_batch = hourly_rollup_state(events.filter(F.col("event_id") % 2 == 1))
+    return finalize_rollup(merge_rollup_states(history, new_batch))

@@ -744,3 +744,32 @@ def test_token_fertility_profile(spark):
     assert en.chars_per_ws_token == round(10 / 3, 6)
     assert en.bpe_blowup == round(5 / 3, 6)
     assert rows["xx"].n_ws_tokens == 1
+
+
+def test_rollup_state_merge_equals_direct(spark):
+    """Partial-aggregate rollup states from disjoint splits merge into
+    exactly the one-shot rollup (associative counts + decimal sums)."""
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        hourly_rollup_state,
+        merge_rollup_states,
+    )
+
+    rows = [
+        (i, "a" if i % 3 else "b", dt.datetime(2024, 1, 1, i % 5, i % 60), float(i) / 7)
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    direct = finalize_rollup(hourly_rollup_state(events))
+    splits = [events.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    merged = finalize_rollup(
+        merge_rollup_states(*[hourly_rollup_state(s) for s in splits])
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    d = {key(r): (r.n_events, r.total_value) for r in direct.collect()}
+    m = {key(r): (r.n_events, r.total_value) for r in merged.collect()}
+    assert d == m and len(d) > 0

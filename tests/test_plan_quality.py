@@ -199,3 +199,27 @@ def test_incremental_dedup_no_cartesian_no_python(spark):
     plan = _plan(spark, "dedup_incremental_batch")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_dup_matrix_is_equi_join(spark):
+    """Source-pair duplication must come from an fp-keyed equi-join, not
+    any nested-loop/cartesian source-pair expansion."""
+    plan = _plan(spark, "cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on both aggs
+
+
+def test_domain_mixture_weights_broadcasts_totals(spark):
+    """The 1-row corpus totals must broadcast back — no shuffle of the
+    per-source table against totals, no cartesian fallback."""
+    plan = _plan(spark, "domain_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_rollup_merge_partial_aggs(spark):
+    """The merge is aggregate-shaped end to end: partial+final aggs, no
+    join of state against history events."""
+    plan = _plan(spark, "incremental_rollup_merge")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan  # pure union + re-aggregate
