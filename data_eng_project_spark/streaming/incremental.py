@@ -112,3 +112,67 @@ def stream_upsert_events(
         .start()
         .awaitTermination()
     )
+
+
+def write_rollup_delta(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One micro-batch's contribution to the maintained hourly rollup:
+    the batch's partial-aggregate state lands in its own ``batch_id``
+    partition with DYNAMIC partition overwrite — a replayed batch (the
+    at-least-once case foreachBatch exposes after a crash between state
+    write and checkpoint commit) rewrites the same partition with the
+    same rows instead of double-counting. This is what makes the
+    maintained state exactly-once without a transactional table format.
+    """
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.temporal import hourly_rollup_state
+
+    s = batch_df.sparkSession
+    prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            hourly_rollup_state(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+
+def stream_maintain_rollup(
+    spark: SparkSession,
+    events_parquet: str,
+    state_dir: str,
+    checkpoint: str,
+    **reader_options: str,
+) -> None:
+    """Continuous-aggregate maintenance as a stream: every micro-batch
+    appends its mergeable rollup delta (see write_rollup_delta); serving
+    reads merge the rollup-sized deltas (read_maintained_rollup). History
+    events are never rescanned — the 100 TB-lake refresh pattern, batch
+    twin in plans/temporal.incremental_rollup_merge."""
+    stream = read_events_stream(spark, events_parquet, **reader_options)
+    (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: write_rollup_delta(df, bid, state_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_maintained_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Serving view of the maintained rollup: merge the per-batch deltas
+    (cost ∝ state size, AQE-coalesced) and finalize."""
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        merge_rollup_states,
+    )
+
+    state = spark.read.parquet(state_dir).drop("batch_id")
+    return finalize_rollup(merge_rollup_states(state))

@@ -218,3 +218,66 @@ def test_csv_permissive_keeps_corrupt_record(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
     assert len(bad) == 1 and "EXTRA" in bad[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_stream_maintained_rollup_equals_batch_and_survives_replay(spark, tmp_path):
+    """foreachBatch-maintained rollup state: (a) after draining the
+    stream, the merged serving view equals the one-shot batch rollup;
+    (b) a replayed micro-batch (same batch_id redelivered, the
+    at-least-once crash window) overwrites its own partition instead of
+    double-counting."""
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        hourly_rollup_state,
+    )
+    from data_eng_project_spark.streaming.incremental import (
+        read_maintained_rollup,
+        stream_maintain_rollup,
+        write_rollup_delta,
+    )
+    from data_eng_project_spark.tables import load_table, table_path
+
+    state = str(tmp_path / "rollup_state")
+    stream_maintain_rollup(
+        spark,
+        table_path(SF, "events"),
+        state,
+        str(tmp_path / "ckpt"),
+        maxFilesPerTrigger="1",
+    )
+    events = load_table(spark, SF, "events")
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in finalize_rollup(hourly_rollup_state(events)).collect()
+    }
+    served = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_maintained_rollup(spark, state).collect()
+    }
+    assert served == batch and len(batch) > 0
+
+    # Replay: redeliver a delta under an ALREADY-USED batch_id, twice.
+    # Idempotence = the served state after the second delivery is
+    # byte-identical to after the first (same partition overwritten with
+    # the same rows — never accumulated), and no new partition appears.
+    used = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "rollup_state").glob("batch_id=*")
+    )
+    delta = events.orderBy("event_id").limit(50)
+    write_rollup_delta(delta, used[0], state)
+    once = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_maintained_rollup(spark, state).collect()
+    }
+    write_rollup_delta(delta, used[0], state)  # the crash-replay
+    twice = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_maintained_rollup(spark, state).collect()
+    }
+    assert twice == once and len(once) > 0
+    replayed = {
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "rollup_state").glob("batch_id=*")
+    }
+    assert replayed == set(used)  # no new partitions from the replay
