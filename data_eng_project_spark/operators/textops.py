@@ -153,3 +153,67 @@ def tfidf_top_terms(
             F.round("_tfidf", 6).alias("tfidf"),
         )
     )
+
+
+def kmv_distinct_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source: estimate the
+    number of distinct n-gram shingles from only the k smallest md5
+    values (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations": D̂ = (k−1)/U_(k) with U_(k) the k-th
+    smallest hash normalized to [0,1]).
+
+    Unlike the HLL/MinHash family (rows-only in the driver check — seeded
+    xxhash64 has no cross-engine twin), this sketch is BIT-REPRODUCIBLE:
+    md5 is identical in every engine and the estimator is closed-form
+    arithmetic on the k-th hash, so the estimate itself carries a DuckDB
+    oracle. Exact distinct count and relative error ride along for
+    honesty.
+
+    Scale: distinct (source, shingle) is one word-count-shaped shuffle;
+    the rank window sorts per source (spill-safe). At extreme per-source
+    cardinality, replace the window with a two-phase partial min-k
+    (per-partition top-k then merge) — same estimator, same output.
+    """
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"), tokens(text_col).alias("_toks")
+    )
+    sh = (
+        toks.select(
+            "source", F.explode(shingles_from_tokens("_toks", n)).alias("shingle")
+        )
+        .distinct()
+        .select("source", F.md5("shingle").alias("h"))
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    per_source = (
+        sh.withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_distinct"),
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_kth"),
+        )
+    )
+    u = F.conv(F.substring("_kth", 1, 8), 16, 10).cast("bigint")
+    est = F.when(
+        F.col("_kth").isNull(), F.col("n_exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (u.cast("double") / F.lit(float(1 << 32)))
+    )
+    return per_source.select(
+        "source",
+        "n_exact_distinct",
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round(
+            (est - F.col("n_exact_distinct")) / F.col("n_exact_distinct"), 6
+        ).alias("rel_error"),
+    )

@@ -890,3 +890,62 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=JACCARD_THRESHOLD,
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_ngrams",
+    oracle=f"""
+        WITH words AS (
+            SELECT source, doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                       AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   w || ' ' || lead(w, 1) OVER win || ' '
+                     || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), h AS (
+            SELECT source, md5(shingle) AS h FROM sh
+        ), ranked AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM h
+        ), per_source AS (
+            SELECT source, count(*) AS n_exact,
+                   max(CASE WHEN rk = {_KMV_K} THEN h END) AS kth
+            FROM ranked GROUP BY source
+        ), est AS (
+            SELECT source, n_exact,
+                   CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+                        ELSE {_KMV_K - 1}.0 /
+                             (CAST(list_sum(list_transform(range(1, 9),
+                                  i -> CAST((strpos('0123456789abcdef',
+                                             substr(kth, i, 1)) - 1) AS BIGINT)
+                                       * CAST(16 ** (8 - i) AS BIGINT)))
+                                   AS DOUBLE) / 4294967296.0)
+                   END AS e
+            FROM per_source
+        )
+        SELECT source, CAST(n_exact AS BIGINT) AS n_exact_distinct,
+               round(e, 6) AS kmv_estimate,
+               round((e - n_exact) / n_exact, 6) AS rel_error
+        FROM est
+    """,
+    tags=("textdata", "sketch", "distinct"),
+)
+def kmv_distinct_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible distinct-count sketch (KMV over md5): the one
+    sketch family member whose ESTIMATE carries a cross-engine oracle —
+    md5 ordering and the (k−1)/U_(k) estimator are engine-independent
+    (see operators/textops.kmv_distinct_ngrams)."""
+    prepare(spark)
+    return T.kmv_distinct_ngrams(
+        load_table(spark, sf_dir, "documents"), n=3, k=_KMV_K
+    )

@@ -773,3 +773,37 @@ def test_rollup_state_merge_equals_direct(spark):
     d = {key(r): (r.n_events, r.total_value) for r in direct.collect()}
     m = {key(r): (r.n_events, r.total_value) for r in merged.collect()}
     assert d == m and len(d) > 0
+
+
+def test_kmv_estimate_tracks_exact(spark):
+    """KMV sketch: exact column equals true distinct count; the estimate
+    from the 64th-smallest md5 lands within the expected error band
+    (~1/sqrt(k) ≈ 12.5%; allow 3σ)."""
+    import random
+
+    from data_eng_project_spark.operators.textops import kmv_distinct_ngrams
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        (i, "s1", " ".join(rnd.choice(vocab) for _ in range(60))) for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    row = kmv_distinct_ngrams(df, k=64).collect()[0]
+    assert row.n_exact_distinct > 1000  # plenty of distinct shingles
+    assert abs(row.rel_error) < 0.375
+    assert row.kmv_estimate == round(
+        row.n_exact_distinct * (1 + row.rel_error), 2
+    ) or abs(row.kmv_estimate / row.n_exact_distinct - 1 - row.rel_error) < 1e-4
+
+
+def test_kmv_small_source_falls_back_to_exact(spark):
+    from data_eng_project_spark.operators.textops import kmv_distinct_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "tiny", "a b c d e")], "doc_id long, source string, text string"
+    )
+    row = kmv_distinct_ngrams(df, k=64).collect()[0]
+    # 3 shingles < k → estimator degenerates to the exact count.
+    assert row.n_exact_distinct == 3
+    assert row.kmv_estimate == 3.0 and row.rel_error == 0.0
