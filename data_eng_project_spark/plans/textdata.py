@@ -949,3 +949,111 @@ def kmv_distinct_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kmv_distinct_ngrams(
         load_table(spark, sf_dir, "documents"), n=3, k=_KMV_K
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+        WITH pred AS (
+            SELECT doc_id, lang AS lang_true, {_PRED_CASE} AS lang_pred
+            FROM documents
+        ), m AS (
+            SELECT lang_true, lang_pred, count(*) AS n_docs
+            FROM pred GROUP BY lang_true, lang_pred
+        )
+        SELECT lang_true, lang_pred, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(sum(n_docs) OVER (PARTITION BY lang_true)
+                            AS DOUBLE), 6) AS share_of_true
+        FROM m
+    """,
+    tags=("textdata", "langid", "evaluation"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the heuristic language
+    ID against the labeled lang column: (true, predicted) counts and the
+    per-true-language share. The matrix is languages² rows — the window
+    runs over an already-aggregated tiny frame, so the only real shuffle
+    is the count aggregate."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = T.language_id(docs).select("doc_id", "lang_pred")
+    truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
+    m = (
+        truth.join(preds, on="doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return m.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("share_of_true"),
+    )
+
+
+@register(
+    "curation_funnel_stats",
+    oracle=rf"""
+        WITH canon AS (
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        ), feat AS (
+            SELECT doc_id, source,
+                   {_PRED_CASE} AS lang_pred,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words
+            FROM documents
+        )
+        SELECT source, count(*) AS n_raw,
+               CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lang,
+               CAST(sum(CASE WHEN lang_pred = 'en' AND n_words >= 20
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN lang_pred = 'en' AND n_words >= 20
+                             AND keep_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+        FROM feat LEFT JOIN canon ON feat.doc_id = canon.keep_id
+        GROUP BY source
+    """,
+    tags=("curation", "pipeline", "funnel"),
+)
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival funnel through the cleaning stages (raw →
+    language filter → quality filter → exact-dedup canonical) — the
+    ablation table a curator reads to see which stage costs which source
+    how much. One scan + conditional aggregates; the canonical flag is a
+    broadcast-able left join against the md5-group minima."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    preds = T.language_id(docs).select("doc_id", "lang_pred")
+    canon = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    feat = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        )
+        .join(preds, on="doc_id")
+        .join(
+            canon.select(F.col("keep_id"), F.lit(True).alias("_is_canon")),
+            docs["doc_id"] == F.col("keep_id"),
+            "left",
+        )
+    )
+    is_en = F.col("lang_pred") == "en"
+    is_q = is_en & (F.col("n_words") >= 20)
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(is_en, 1).otherwise(0)).cast("bigint").alias("n_lang"),
+        F.sum(F.when(is_q, 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(is_q & F.col("_is_canon").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+    )
