@@ -22,6 +22,16 @@ def run_oracle(sf_dir: str, sql: str):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
         )
+    # Round-2 forensics (tools/driver_audit.py): an oracle whose DuckDB
+    # result carries HUGEINT (sum(BIGINT) -> INT128) or DECIMAL hashes
+    # differently at the driver's Arrow layer while fetchall() hides it.
+    # Fail fast here so CI catches the class at sf0.001.
+    bad = [
+        (c, t)
+        for c, t, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+        if t in ("HUGEINT", "UHUGEINT", "UBIGINT") or t.startswith("DECIMAL")
+    ]
+    assert not bad, f"oracle emits driver-hash-unsafe types (cast to BIGINT/DOUBLE): {bad}"
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
