@@ -807,3 +807,57 @@ def test_kmv_small_source_falls_back_to_exact(spark):
     # 3 shingles < k → estimator degenerates to the exact count.
     assert row.n_exact_distinct == 3
     assert row.kmv_estimate == 3.0 and row.rel_error == 0.0
+
+
+@given(st.integers(min_value=2, max_value=5))
+@settings(max_examples=3, deadline=None)
+def test_rollup_merge_associative_any_split(nsplits):
+    """Property: any partitioning of events into rollup states merges to
+    the same final rollup (associativity/commutativity of the state)."""
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        hourly_rollup_state,
+        merge_rollup_states,
+    )
+    from data_eng_project_spark.session import get_session
+
+    spark = get_session("tests", cpus=8)
+    rows = [
+        (i, "t" + str(i % 2), dt.datetime(2024, 2, 1, i % 4), float(i) * 0.31)
+        for i in range(120)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    direct = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in finalize_rollup(hourly_rollup_state(events)).collect()
+    }
+    states = [
+        hourly_rollup_state(events.filter(F.col("event_id") % nsplits == k))
+        for k in range(nsplits)
+    ]
+    merged = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in finalize_rollup(merge_rollup_states(*states)).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_invariant_under_duplication(spark):
+    """Property: duplicating documents changes nothing — the sketch sees
+    the distinct shingle set only (the dedup-semantics sanity check)."""
+    from data_eng_project_spark.operators.textops import kmv_distinct_ngrams
+
+    base = spark.createDataFrame(
+        [(i, "s", f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    doubled = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    a = kmv_distinct_ngrams(base, k=16).collect()[0]
+    b = kmv_distinct_ngrams(doubled, k=16).collect()[0]
+    assert (a.n_exact_distinct, a.kmv_estimate) == (b.n_exact_distinct, b.kmv_estimate)
