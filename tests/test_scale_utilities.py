@@ -147,3 +147,57 @@ def test_bloom_filter_runtime_join_pruning(spark):
             spark.conf.set(creation, old_c)
         if old_a is not None:
             spark.conf.set(app_side, old_a)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: file-footer min/max must prune files for
+    selective predicates on EITHER clustered column, where a linear sort
+    on x prunes only x. Grid data, 16 files: a 1/8-wide slice in x or y
+    must skip at least half the z-ordered files, while the y-slice on
+    the x-sorted layout touches every file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_eng_project_spark.operators.sink import write_range_sorted, write_zorder
+
+    grid = spark.range(256 * 256).selectExpr(
+        "id", "CAST(id % 256 AS LONG) AS x", "CAST(id DIV 256 AS LONG) AS y"
+    )
+
+    def files_hit(path, col, lo, hi):
+        hit = 0
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                s = c.statistics
+                fmin = s.min if fmin is None else min(fmin, s.min)
+                fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and not (hi < fmin or lo > fmax):
+                hit += 1
+        return hit
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(grid, zpath, "x", "y", num_files=16)
+    lpath = str(tmp_path / "linear")
+    write_range_sorted(grid, lpath, ["x"], num_files=16)
+
+    n_files = len([f for f in os.listdir(zpath) if f.endswith(".parquet")])
+    assert n_files >= 8
+    # Narrow slice on each dimension: Z-order skips on both...
+    assert files_hit(zpath, "x", 0, 31) <= n_files // 2
+    assert files_hit(zpath, "y", 0, 31) <= n_files // 2
+    # ...the linear layout skips on its sort column but not the other.
+    assert files_hit(lpath, "x", 0, 31) <= 4
+    assert files_hit(lpath, "y", 0, 31) >= 14
+
+    # And the layout is a pure reorganization: same rows.
+    assert spark.read.parquet(zpath).count() == 256 * 256
