@@ -217,3 +217,115 @@ def kmv_distinct_ngrams(
             (est - F.col("n_exact_distinct")) / F.col("n_exact_distinct"), 6
         ).alias("rel_error"),
     )
+
+
+def kmv_source_similarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """Cross-source shingle-set Jaccard, twice: exact, and estimated from
+    per-source KMV sketches (the k smallest md5 values). The estimator is
+    the classic one — of the k minima of A∪B, the fraction present in
+    both A's and B's sketches (Beyer et al. 2007 §5; also the theta-
+    sketch set-operation rule).
+
+    Why it matters at 100 TB: the SKETCHES ARE MERGEABLE STATE. Each
+    ingest partition contributes its k minima; union-merging sketches
+    commutes with corpus union (same algebra as the rollup state in
+    operators/temporal.py), so cross-source similarity runs on k·sources
+    rows without ever joining the full shingle sets — the exact twin here
+    exists to measure the estimator, not to run at scale.
+
+    Everything is md5-ordered, so both the sketch and the estimate are
+    bit-reproducible cross-engine (oracle-backed), unlike seeded-hash
+    MinHash.
+    """
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"), tokens(text_col).alias("_toks")
+    )
+    sh = (
+        toks.select(
+            "source", F.explode(shingles_from_tokens("_toks", n)).alias("shingle")
+        )
+        .distinct()
+        .select("source", F.md5("shingle").alias("h"))
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sketch = sh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+    # Exact pairwise Jaccard from the full distinct sets (the measuring
+    # stick — inverted-index equi-join, never all-pairs of shingles).
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("source").alias("source_a"), F.col("_n").alias("_na")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"), F.col("_n").alias("_nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
+
+    # Estimate from sketches only: k minima of the pair's hash union,
+    # counted for membership in both sketches.
+    sa = sketch.select(F.col("source").alias("source_a"), "h")
+    sb = sketch.select(F.col("source").alias("source_b"), "h")
+    pair_hashes = (
+        sa.join(sb.select("source_b").distinct())
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", "h")
+        .unionByName(
+            sb.join(sa.select("source_a").distinct())
+            .filter(F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_k = pair_hashes.withColumn("urk", F.row_number().over(wp)).filter(
+        F.col("urk") <= k
+    )
+    in_both = (
+        union_k.join(sa.withColumnRenamed("h", "h"), on=["source_a", "h"])
+        .join(sb, on=["source_b", "h"])
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("_both"))
+    )
+    est = in_both.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("_both").cast("double") / F.lit(float(k)), 6).alias(
+            "kmv_jaccard"
+        ),
+    )
+    return (
+        exact.join(est, on=["source_a", "source_b"], how="left")
+        .select(
+            "source_a",
+            "source_b",
+            "exact_jaccard",
+            F.coalesce("kmv_jaccard", F.lit(0.0)).alias("kmv_jaccard"),
+            F.round(
+                F.coalesce(F.col("kmv_jaccard"), F.lit(0.0)) - F.col("exact_jaccard"),
+                6,
+            ).alias("est_error"),
+        )
+    )

@@ -1057,3 +1057,79 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_canonical"),
     )
+
+
+@register(
+    "kmv_source_similarity",
+    oracle=f"""
+        WITH words AS (
+            SELECT source, doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                       AS pos
+            FROM documents
+        ), shs AS (
+            SELECT DISTINCT source,
+                   w || ' ' || lead(w, 1) OVER win || ' '
+                     || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), hh AS (
+            SELECT DISTINCT source, md5(shingle) AS h FROM shs
+        ), ranked AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM hh
+        ), sketch AS (
+            SELECT source, h FROM ranked WHERE rk <= {_KMV_K}
+        ), sizes AS (
+            SELECT source, count(*) AS n FROM hh GROUP BY source
+        ), inter AS (
+            SELECT a.source AS sa, b.source AS sb, count(*) AS i
+            FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source
+        ), exact AS (
+            SELECT sa, sb, round(i / (na.n + nb.n - i), 6) AS exact_jaccard
+            FROM inter
+            JOIN sizes na ON na.source = sa
+            JOIN sizes nb ON nb.source = sb
+        ), ph AS (
+            SELECT DISTINCT p.sa, p.sb, s.h
+            FROM (
+                SELECT a.source AS sa, b.source AS sb
+                FROM (SELECT DISTINCT source FROM hh) a
+                JOIN (SELECT DISTINCT source FROM hh) b ON a.source < b.source
+            ) p
+            JOIN sketch s ON s.source = p.sa OR s.source = p.sb
+        ), uk AS (
+            SELECT sa, sb, h FROM (
+                SELECT sa, sb, h,
+                       row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS urk
+                FROM ph
+            ) WHERE urk <= {_KMV_K}
+        ), bth AS (
+            SELECT u.sa, u.sb, count(*) AS c
+            FROM uk u
+            JOIN sketch x ON x.source = u.sa AND x.h = u.h
+            JOIN sketch y ON y.source = u.sb AND y.h = u.h
+            GROUP BY u.sa, u.sb
+        )
+        SELECT e.sa AS source_a, e.sb AS source_b, e.exact_jaccard,
+               round(coalesce(c, 0) / {_KMV_K}.0, 6) AS kmv_jaccard,
+               round(coalesce(c, 0) / {_KMV_K}.0 - e.exact_jaccard, 6) AS est_error
+        FROM exact e
+        LEFT JOIN bth ON bth.sa = e.sa AND bth.sb = e.sb
+    """,
+    tags=("textdata", "sketch", "similarity"),
+)
+def kmv_source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra: cross-source shingle Jaccard estimated from
+    mergeable per-source KMV sketches (k minima of the union, membership
+    in both), with the exact Jaccard as the measuring stick — both
+    bit-reproducible (md5-ordered), see
+    operators/textops.kmv_source_similarity."""
+    prepare(spark)
+    return T.kmv_source_similarity(
+        load_table(spark, sf_dir, "documents"), n=3, k=_KMV_K
+    )

@@ -861,3 +861,30 @@ def test_kmv_invariant_under_duplication(spark):
     a = kmv_distinct_ngrams(base, k=16).collect()[0]
     b = kmv_distinct_ngrams(doubled, k=16).collect()[0]
     assert (a.n_exact_distinct, a.kmv_estimate) == (b.n_exact_distinct, b.kmv_estimate)
+
+
+def test_kmv_source_similarity_tracks_exact(spark):
+    """Two sources sharing half their vocabulary: the sketch Jaccard must
+    land within the k=64 error band of the exact Jaccard, and a disjoint
+    pair must estimate ~0."""
+    from data_eng_project_spark.operators.textops import kmv_source_similarity
+
+    def doc(i, src, words):
+        return (i, src, " ".join(words))
+
+    shared = [f"s{i}" for i in range(120)]
+    a_only = [f"a{i}" for i in range(120)]
+    b_only = [f"b{i}" for i in range(120)]
+    rows = (
+        [doc(i, "A", shared[i : i + 40] + a_only[i : i + 40]) for i in range(0, 80, 8)]
+        + [doc(100 + i, "B", shared[i : i + 40] + b_only[i : i + 40]) for i in range(0, 80, 8)]
+        + [doc(200 + i, "C", [f"c{i+j}" for j in range(40)]) for i in range(0, 80, 8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r for r in kmv_source_similarity(df, k=64).collect()}
+    ab = out[("A", "B")]
+    assert ab.exact_jaccard > 0.05
+    assert abs(ab.est_error) <= 0.25  # |est - exact| within a few sigma of 1/sqrt(64)
+    # Disjoint pairs are absent by contract (intersection join emits only
+    # overlapping pairs — no sources² zero rows at scale).
+    assert ("A", "C") not in out and ("B", "C") not in out
