@@ -74,3 +74,24 @@ def read_resources_json(spark: SparkSession, path: str) -> DataFrame:
         F.col("r.latest").alias("latest"),
         F.col("r.title").alias("title"),
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str | list[str], merge_schema: bool = True
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: files written before a
+    column existed surface NULL for it, and the unioned schema comes from
+    footer merging (``mergeSchema``) instead of whichever file the
+    planner samples first. This is the read posture for a lake table
+    that gained columns over time — the alternative (default sampling)
+    silently drops late-added columns when an old file is sampled.
+
+    Cost note: mergeSchema reads every footer at planning time — O(files)
+    driver work. On a high-file-count production table, prefer a real
+    table format or an explicit ``schema=`` (the superset StructType),
+    which this helper accepts implicitly by callers passing it to
+    spark.read themselves; mergeSchema here is the zero-catalog answer.
+    """
+    return spark.read.option("mergeSchema", merge_schema).parquet(
+        *(path if isinstance(path, list) else [path])
+    )

@@ -192,3 +192,20 @@ def test_http_ingest_retries_then_raises(tmp_path):
             retry_delay_s=0.2,
         )
     assert time.time() - t0 >= 0.2  # the retry delay actually happened
+
+
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    """Files written before a column existed must surface NULL for it,
+    with the unioned schema — not whichever file the planner samples."""
+    from data_eng_project_spark.sources.readers import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b_added"
+    ).write.mode("append").parquet(p)
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "a", "b_added"}
+    rows = {r.id: r.b_added for r in df.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == str(i) for i in range(5, 10))
