@@ -692,3 +692,99 @@ def token_fertility_profile(
             "bpe_blowup"
         ),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model quality scoring with stupid backoff (Brants
+    et al. 2007, "Large Language Models in Machine Translation"): the
+    model trains on HALF the corpus (even ids) and scores every
+    document, so held-out documents genuinely exercise the backoff path
+    — score(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else
+    α·c(w2)/total, else α/total for OOV — unlike a self-trained model
+    where every bigram trivially exists.
+
+    Outputs per doc: bigram count, mean log-score, and the backoff rate
+    (fraction of bigrams that fell back) — the latter is itself a
+    domain-shift signal.
+
+    Scale: bigram/unigram models are corpus-vocabulary-sized aggregates;
+    scoring joins are keyed shuffles on (w1,w2) and w — word-count
+    shaped, map-side combinable, no broadcast assumption (a web-scale
+    bigram table does not broadcast). Accumulation is DECIMAL(38,12)
+    (order-free exact), doubles only at the end — same cross-engine
+    discipline as unigram_lm_scores.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"), _letter_tokens(text_col).alias("_t")
+    )
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1 STRING, w2 STRING>>)"))
+    doc_bg = toks.select("_id", F.explode(bigrams).alias("bg")).select(
+        "_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    tf = doc_bg.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+
+    train = toks.filter(F.col("_id") % 2 == 0)
+    uni = (
+        train.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        train.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    total = uni.agg(F.sum("c1").cast("bigint").alias("total"))
+
+    scored = (
+        tf.join(bi, on=["w1", "w2"], how="left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), on="w1", how="left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2")),
+            on="w2",
+            how="left",
+        )
+        .join(F.broadcast(total))
+    )
+    logp = F.when(
+        F.col("c12").isNotNull(),
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")),
+    ).otherwise(
+        F.log(
+            F.lit(alpha)
+            * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+            / F.col("total").cast("double")
+        )
+    )
+    backed_off = F.when(F.col("c12").isNull(), F.col("tf")).otherwise(F.lit(0))
+    per_doc = scored.groupBy("_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum((F.col("tf") * logp).cast("decimal(38,12)")).alias("_lp"),
+        F.sum(backed_off).cast("bigint").alias("_n_back"),
+    )
+    avg = F.col("_lp").cast("double") / F.col("n_bigrams")
+    out = docs.select(F.col(id_col).alias("_id")).join(per_doc, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(
+            F.coalesce(F.col("_n_back").cast("double") / F.col("n_bigrams"), F.lit(0.0)),
+            6,
+        ).alias("backoff_rate"),
+    )

@@ -350,3 +350,70 @@ def token_fertility_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, one shuffle."""
     prepare(spark)
     return token_fertility_profile(load_table(spark, sf_dir, "documents"))
+
+
+_BACKOFF_ALPHA = 0.4
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+            FROM t WHERE len(toks) >= 2
+        ), tf AS (
+            SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2
+        ), uni AS (
+            SELECT w, count(*) AS c1 FROM (
+                SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0
+            ) GROUP BY w
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c12 FROM bg
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2
+        ), tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni
+        ), scored AS (
+            SELECT tf.doc_id, tf.tf,
+                   CASE WHEN b.c12 IS NOT NULL
+                        THEN ln(CAST(b.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                        ELSE ln({_BACKOFF_ALPHA} * CAST(coalesce(u2.c1, 1) AS DOUBLE)
+                                / CAST(tot.total AS DOUBLE)) END AS lp,
+                   CASE WHEN b.c12 IS NULL THEN tf.tf ELSE 0 END AS backed
+            FROM tf
+            LEFT JOIN bi b ON b.w1 = tf.w1 AND b.w2 = tf.w2
+            LEFT JOIN uni u1 ON u1.w = tf.w1
+            LEFT JOIN uni u2 ON u2.w = tf.w2
+            CROSS JOIN tot
+        ), per_doc AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   sum(CAST(tf * lp AS DECIMAL(38,12))) AS lp_sum,
+                   CAST(sum(backed) AS BIGINT) AS n_back
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               round(CAST(p.lp_sum AS DOUBLE) / p.n_bigrams, 6) AS avg_logprob,
+               round(coalesce(CAST(p.n_back AS DOUBLE) / p.n_bigrams, 0.0), 6)
+                   AS backoff_rate
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("curation", "quality", "lm", "bigram"),
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram LM with stupid backoff: model trained on even
+    doc_ids, every document scored — backoff rate doubles as a
+    domain-shift signal (see operators/curation.bigram_lm_scores)."""
+    from data_eng_project_spark.operators.curation import bigram_lm_scores
+
+    prepare(spark)
+    return bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), alpha=_BACKOFF_ALPHA
+    )

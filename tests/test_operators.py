@@ -888,3 +888,27 @@ def test_kmv_source_similarity_tracks_exact(spark):
     # Disjoint pairs are absent by contract (intersection join emits only
     # overlapping pairs — no sources² zero rows at scale).
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_bigram_lm_backoff_fires_on_held_out_novelty(spark):
+    """Model trains on even ids only: an odd doc repeating the training
+    phrase scores with zero backoff; an odd doc of novel word order backs
+    off on every bigram and scores lower."""
+    from data_eng_project_spark.operators.curation import bigram_lm_scores
+
+    phrase = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (0, phrase),
+            (2, phrase),
+            (4, phrase),
+            (1, phrase),                      # held-out, all bigrams seen
+            (3, "mat the on sat cat the"),    # held-out, novel order
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert rows[1].backoff_rate == 0.0
+    assert rows[3].backoff_rate == 1.0
+    assert rows[1].avg_logprob > rows[3].avg_logprob
+    assert rows[1].n_bigrams == 5
