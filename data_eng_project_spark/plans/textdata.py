@@ -1133,3 +1133,20 @@ def kmv_source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.kmv_source_similarity(
         load_table(spark, sf_dir, "documents"), n=3, k=_KMV_K
     )
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=None,  # k-means codebooks are iterative (non-SQL-expressible);
+    # ADC recall vs brute force asserted in tests/test_operators.py
+    tags=("similarity", "ann", "pq"),
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: m per-subspace codebooks compress each
+    vector to m·nbits bits; query-time ADC scores are m table lookups
+    per vector, exact cosine re-ranks the shortlist — the memory-bound
+    scale path (billion-vector indexes live in RAM as codes)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.pq_topk(emb, qvec, k=10, m=4, nbits=4)

@@ -912,3 +912,24 @@ def test_bigram_lm_backoff_fires_on_held_out_novelty(spark):
     assert rows[3].backoff_rate == 1.0
     assert rows[1].avg_logprob > rows[3].avg_logprob
     assert rows[1].n_bigrams == 5
+
+
+def test_pq_topk_recall_on_planted(vectors):
+    """PQ/ADC top-k with exact re-rank must recover the planted
+    near-duplicates of vector 0 (the brute-force answer set)."""
+    from data_eng_project_spark.operators.similarity import pq_topk
+
+    q = vectors.filter(F.col("vec_id") == 0).head().embedding
+    ids = {r.vec_id for r in pq_topk(vectors, [float(x) for x in q], k=3).collect()}
+    assert ids == {0, 100, 101}
+
+
+def test_pq_codes_shape(vectors):
+    from data_eng_project_spark.operators.similarity import pq_train_encode
+
+    encoded, books = pq_train_encode(vectors, m=4, nbits=4)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # dsub = 16/4
+    row = encoded.head()
+    assert len(row["_codes"]) == 4
+    assert all(0 <= c < 16 for c in row["_codes"])
