@@ -1,0 +1,106 @@
+"""Declarative pipeline composition — the engine's user-facing surface
+for building curation flows without writing DataFrame code.
+
+A pipeline is a list of ``{"stage": name, **params}`` dicts (exactly
+what a YAML/JSON config deserializes to). ``compose`` folds the stages
+over a documents DataFrame into ONE lazy plan — no materialization
+between stages, so Catalyst sees the whole program: filters collapse
+into the scan, shared subtrees stay shared, and a 10-stage pipeline
+still compiles to the same handful of shuffles the handwritten
+composition gets (pipelines/corpus.py is the handwritten twin; the
+registered query asserts the two agree through one oracle).
+
+The reference's equivalent is the Airflow DAG wiring of
+``dags/global_dag.py:343-347,463-468`` — tasks passing files through
+disk between every stage. Here the "DAG" is the logical plan itself.
+
+Stages operate on the canonical documents schema (doc_id, source, text,
+lang, n_chars, ...) and must return a DataFrame with the same identity
+column; filter stages shrink rows, transform stages may rewrite
+columns. Register new stages with @stage — the registry is the
+extension point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STAGES: dict[str, Callable[..., DataFrame]] = {}
+
+
+def stage(name: str):
+    def deco(fn: Callable[..., DataFrame]):
+        STAGES[name] = fn
+        return fn
+
+    return deco
+
+
+@stage("lang_filter")
+def _lang_filter(df: DataFrame, lang: str = "en") -> DataFrame:
+    """Keep documents the heuristic language ID predicts as ``lang``."""
+    from data_eng_project_spark.operators.textops import language_id
+
+    keep = language_id(df).filter(F.col("lang_pred") == lang).select("doc_id")
+    return df.join(keep, on="doc_id")
+
+
+@stage("min_words")
+def _min_words(df: DataFrame, n: int = 20) -> DataFrame:
+    """Keep documents with at least ``n`` whitespace tokens."""
+    return df.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= n)
+
+
+@stage("dedup_exact")
+def _dedup_exact(df: DataFrame) -> DataFrame:
+    """Keep the canonical (minimum-id) copy of each exact-content group."""
+    from data_eng_project_spark.operators.dedup import exact_dedup
+
+    canon = exact_dedup(df, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    return df.join(canon, on="doc_id")
+
+
+@stage("pii_redact")
+def _pii_redact(df: DataFrame) -> DataFrame:
+    """Rewrite text with emails/phones/IPv4s replaced by category tags
+    (transform stage — same regexes as operators/curation.pii_scan)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                "[EMAIL]",
+            ),
+            r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+            "[PHONE]",
+        ),
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    )
+    return df.withColumn("text", redacted)
+
+
+@stage("mixture_sample")
+def _mixture_sample(df: DataFrame, modulus: int = 100, keep_lt: int = 50) -> DataFrame:
+    """Deterministic hash-mod downsampling (see operators/curation.
+    mixture_sample): keep doc when (doc_id % 1000003)·2654435761 %
+    modulus < keep_lt — reproducible on any cluster, pushdown-able."""
+    h = (F.col("doc_id") % 1000003) * F.lit(2654435761) % modulus
+    return df.filter(h < keep_lt)
+
+
+def compose(docs: DataFrame, spec: list[dict]) -> DataFrame:
+    """Fold a stage spec over ``docs`` into one lazy plan."""
+    out = docs
+    for step in spec:
+        params = {k: v for k, v in step.items() if k != "stage"}
+        name = step["stage"]
+        if name not in STAGES:
+            raise KeyError(f"unknown stage {name!r}; known: {sorted(STAGES)}")
+        out = STAGES[name](out, **params)
+    return out

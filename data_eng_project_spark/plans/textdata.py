@@ -1150,3 +1150,46 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.pq_topk(emb, qvec, k=10, m=4, nbits=4)
+
+
+@register(
+    "composed_corpus_pipeline",
+    oracle=rf"""
+        WITH canon AS (
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        ), feat AS (
+            SELECT doc_id, source, n_chars,
+                   {_PRED_CASE} AS lang_pred,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM feat JOIN canon ON feat.doc_id = canon.keep_id
+        WHERE lang_pred = 'en' AND n_words >= 20
+        GROUP BY source
+    """,
+    tags=("pipeline", "composite", "api"),
+)
+def composed_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE form of corpus_clean_pipeline: the same cleaning
+    flow expressed as a config list folded through pipelines/composer
+    into one lazy plan — graded against the identical oracle, proving
+    config-driven composition loses nothing to the handwritten
+    composition (same stages, same Catalyst program shape)."""
+    from data_eng_project_spark.pipelines.composer import compose
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = compose(
+        docs,
+        [
+            {"stage": "lang_filter", "lang": "en"},
+            {"stage": "min_words", "n": 20},
+            {"stage": "dedup_exact"},
+        ],
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -104,3 +104,55 @@ def test_plants_pipeline_golden(spark, fixture_dir):
     assert rows["SITE_T"].latitude == pytest.approx(43.4)
     # canonical ids: 40-hex, unique
     assert len({r.id for r in rows.values()}) == 3
+
+
+def test_composer_equals_handwritten_pipeline(spark):
+    """The declarative spec and the handwritten composition must select
+    the exact same document set."""
+    from data_eng_project_spark.pipelines.composer import compose
+    from data_eng_project_spark.pipelines.corpus import clean_corpus
+    from data_eng_project_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    composed = compose(
+        docs,
+        [
+            {"stage": "lang_filter", "lang": "en"},
+            {"stage": "min_words", "n": 20},
+            {"stage": "dedup_exact"},
+        ],
+    )
+    hand = clean_corpus(docs, lang="en", min_words=20)
+    a = {r.doc_id for r in composed.select("doc_id").collect()}
+    b = {r.doc_id for r in hand.select("doc_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_composer_transform_and_sample_stages(spark):
+    from data_eng_project_spark.pipelines.composer import compose
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"text {i} mail u{i}@x.io more") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    out = compose(
+        docs,
+        [
+            {"stage": "pii_redact"},
+            {"stage": "mixture_sample", "modulus": 100, "keep_lt": 50},
+        ],
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < 200  # deterministic downsample kept a strict subset
+    assert all("[EMAIL]" in r.text for r in rows)
+    # re-running yields the identical set (hash-mod, not rand())
+    again = {r.doc_id for r in compose(docs, [{"stage": "pii_redact"}, {"stage": "mixture_sample", "modulus": 100, "keep_lt": 50}]).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_composer_unknown_stage_raises(spark):
+    from data_eng_project_spark.pipelines.composer import compose
+
+    docs = spark.createDataFrame([(1, "s", "x")], "doc_id long, source string, text string")
+    with pytest.raises(KeyError, match="unknown stage"):
+        compose(docs, [{"stage": "nope"}])
