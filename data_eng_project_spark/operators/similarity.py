@@ -482,3 +482,49 @@ def pq_topk(
     )
     qcol = F.array(*[F.lit(float(x)) for x in query])
     return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    nbits: int = 4,
+    rerank_factor: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composite — IVF's coarse
+    quantizer prunes the corpus to ``n_probe``/``n_clusters`` of its
+    rows, PQ's ADC scores the survivors from codes alone, and exact
+    cosine re-ranks the shortlist. Scan cost ≈ (n_probe/n_clusters) ×
+    (m lookups per row); memory ≈ codes + cluster ids. (Production
+    IVF-PQ trains PQ on residuals from the coarse centroid; scoring
+    normalized vectors directly keeps this composition exact-twin
+    testable while preserving the cost shape.)"""
+    assigned, centroids = ivf_assign(
+        vectors, n_clusters, seed, id_col, vec_col
+    )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -_cos(query, centroids[i]))
+    cands = assigned.filter(F.col("_cluster").isin(ranked[:n_probe])).drop("_cluster")
+    return pq_topk(
+        cands,
+        query,
+        k=k,
+        m=m,
+        nbits=nbits,
+        rerank_factor=rerank_factor,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

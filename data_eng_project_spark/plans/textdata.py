@@ -1193,3 +1193,19 @@ def composed_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "similarity_ann_ivfpq",
+    oracle=None,  # k-means (coarse + codebooks) is iterative; recall vs
+    # brute force asserted in tests/test_operators.py
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN: coarse probe prunes the corpus, ADC scores
+    codes, exact cosine re-ranks — the billion-vector memory+scan
+    shape (see operators/similarity.ivf_pq_topk)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.ivf_pq_topk(emb, qvec, k=10, n_clusters=16, n_probe=4, m=4, nbits=4)

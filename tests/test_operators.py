@@ -933,3 +933,13 @@ def test_pq_codes_shape(vectors):
     row = encoded.head()
     assert len(row["_codes"]) == 4
     assert all(0 <= c < 16 for c in row["_codes"])
+
+
+def test_ivf_pq_topk_recall_on_planted(vectors):
+    """The IVF-PQ composite must still recover the planted near-dups:
+    coarse probe keeps vector 0's cluster, ADC+re-rank finds the set."""
+    from data_eng_project_spark.operators.similarity import ivf_pq_topk
+
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).head().embedding]
+    ids = {r.vec_id for r in ivf_pq_topk(vectors, q, k=3, n_clusters=4, n_probe=2).collect()}
+    assert ids == {0, 100, 101}
