@@ -1,0 +1,72 @@
+"""Declarative data-quality checks — the expectations layer a lake
+pipeline runs before promoting a table (the engine-utility counterpart
+of the reference's implicit trust: "we had to blindly believe that the
+data was perfect", docs/Report.md:69 — here the belief is checked and
+quantified instead).
+
+Rules are (name, boolean Column) pairs; ``dq_report`` evaluates ALL of
+them in ONE scan as conditional aggregates (no per-rule jobs, no
+collect), returning a per-rule violations table. Referential rules that
+need another table (orphan foreign keys) are expressed as anti-join
+counts and unioned in — still one job total when the report is
+materialized.
+
+At 100 TB: conditional aggregation is map-side combinable, so the whole
+report costs one pass over the fact table plus one shuffle per
+referential rule (each a key-join the planner can broadcast when the
+dimension side is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate named boolean expectations over ``df`` in one scan.
+
+    Returns (rule, n_rows, n_violations, violation_rate) — a rule's
+    violations are rows where its predicate is FALSE or NULL (an
+    expectation that cannot be evaluated is a violation, not a pass).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    rows = None
+    for name in rules:
+        one = wide.select(
+            F.lit(name).alias("rule"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            F.col(f"_v_{name}").alias("n_violations"),
+            F.round(F.col(f"_v_{name}") / F.col("_n"), 6).alias("violation_rate"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def dq_orphan_count(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, rule: str
+) -> DataFrame:
+    """Referential-integrity expectation: fact rows whose key has no
+    match in the dimension (left_anti count), shaped like a dq_report
+    row for unionByName. Totals come from a 1-row aggregate broadcast —
+    no driver-side count."""
+    totals = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    return (
+        orphans.join(F.broadcast(totals))
+        .select(
+            F.lit(rule).alias("rule"),
+            "n_rows",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+                "violation_rate"
+            ),
+        )
+    )

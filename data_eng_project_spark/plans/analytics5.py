@@ -579,3 +579,73 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .filter(F.col("n_orders_together") >= 2)
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+        SELECT 'totalprice_positive' AS rule,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations,
+               round(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                     / count(*), 6) AS violation_rate
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_present', count(*),
+               CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+                    AS BIGINT),
+               round(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+                     / count(*), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                    AS BIGINT),
+               round(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                     / count(*), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_under_300k', count(*),
+               CAST(sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END)
+                    AS BIGINT),
+               round(sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END)
+                     / count(*), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_references_customer',
+               (SELECT count(*) FROM orders),
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL),
+               round((SELECT count(*) FROM orders o
+                      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                      WHERE c.c_custkey IS NULL)
+                     / (SELECT count(*) FROM orders), 6)
+    """,
+    tags=("quality", "expectations", "operational"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations gate for the orders table: four single-scan
+    conditional-aggregate rules (one of them deliberately tight so the
+    report carries non-zero violations) plus a referential-integrity
+    anti-join against customer — the pre-promotion check a lake pipeline
+    runs (see operators/quality.dq_report)."""
+    from data_eng_project_spark.operators.quality import dq_orphan_count, dq_report
+
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = dq_report(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_under_300k": F.col("o_totalprice") <= 300000,
+        },
+    )
+    orphans = dq_orphan_count(
+        orders, customer, "o_custkey", "c_custkey", "custkey_references_customer"
+    )
+    return report.unionByName(orphans)

@@ -943,3 +943,17 @@ def test_ivf_pq_topk_recall_on_planted(vectors):
     q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).head().embedding]
     ids = {r.vec_id for r in ivf_pq_topk(vectors, q, k=3, n_clusters=4, n_probe=2).collect()}
     assert ids == {0, 100, 101}
+
+
+def test_dq_report_counts_violations_and_nulls(spark):
+    """A rule that evaluates to NULL is a violation (can't-evaluate is
+    not a pass); rates are exact."""
+    from data_eng_project_spark.operators.quality import dq_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id long, v double",
+    )
+    rows = {r.rule: r for r in dq_report(df, {"v_positive": F.col("v") > 0}).collect()}
+    r = rows["v_positive"]
+    assert (r.n_rows, r.n_violations, r.violation_rate) == (4, 2, 0.5)
