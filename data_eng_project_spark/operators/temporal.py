@@ -201,3 +201,59 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(F.col("_sum_dec").cast("double"), 6).alias("total_value"),
     )
+
+
+def cusum_hourly_changepoints(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection over hourly event counts,
+    per event type: S_i = max(0, S_{i-1} + (x_i − μ)), alarm when S
+    exceeds ``h_sigmas``·σ·(series length scaling).
+
+    The max(0, ·) recursion looks sequential, but the classic identity
+    S_i = R_i − min_{j≤i} R_j (R = prefix sum of deviations) turns it
+    into two window functions — a running sum and a running min — so the
+    whole detector is shuffle-once-per-type, no UDF, no iteration.
+
+    Exactness discipline: deviations are scaled by the series length n
+    (D_i = n·x_i − total, an exact BIGINT), so prefix sums, running
+    minima, and the reported ``cusum_scaled`` are all integer-exact and
+    cross-engine reproducible; only the alarm threshold (n·σ terms from
+    exact decimal products) passes through doubles, with the identical
+    expression on both engines.
+    """
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("x") * F.col("x")).alias("sumsq"),
+    )
+    j = hourly.join(F.broadcast(stats), on="event_type")
+    d = F.col("n") * F.col("x") - F.col("total")  # n·(x − μ), exact
+    w = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = F.sum(d).over(w)
+    with_r = j.withColumn("_r", r)
+    s = F.col("_r") - F.min("_r").over(w)
+    # n·σ·n = sqrt(n·sumsq − total²)·... : threshold for S (≡ n·CUSUM)
+    # is h·n·σ = h·sqrt(n·sumsq − total²), from exact decimal products.
+    nsig = F.sqrt(
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sumsq")
+            - F.col("total").cast("decimal(38,0)") * F.col("total")
+        ).cast("double")
+    )
+    return with_r.select(
+        "event_type",
+        "window_start",
+        F.col("x").cast("bigint").alias("x"),
+        s.cast("bigint").alias("cusum_scaled"),
+        (s.cast("double") > F.lit(h_sigmas) * nsig).alias("alarm"),
+    )

@@ -649,3 +649,44 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer, "o_custkey", "c_custkey", "custkey_references_customer"
     )
     return report.unionByName(orphans)
+
+
+@register(
+    "cusum_changepoints",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS x
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), stats AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS total,
+                   CAST(sum(x * x) AS BIGINT) AS sumsq
+            FROM hourly GROUP BY event_type
+        ), withr AS (
+            SELECT h.event_type, h.window_start, h.x, s.n, s.total, s.sumsq,
+                   CAST(sum(s.n * h.x - s.total) OVER w AS BIGINT) AS r
+            FROM hourly h JOIN stats s USING (event_type)
+            WINDOW w AS (PARTITION BY h.event_type ORDER BY h.window_start
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, window_start, CAST(x AS BIGINT) AS x,
+               CAST(r - min(r) OVER w2 AS BIGINT) AS cusum_scaled,
+               CAST(r - min(r) OVER w2 AS DOUBLE) >
+                   4.0 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sumsq
+                                   - CAST(total AS DECIMAL(38,0)) * total
+                                   AS DOUBLE)) AS alarm
+        FROM withr
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY window_start
+                      ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("analytics", "timeseries", "changepoint"),
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over hourly event counts — the max(0,·)
+    recursion as prefix-sum-minus-running-min windows, integer-exact
+    (see operators/temporal.cusum_hourly_changepoints)."""
+    from data_eng_project_spark.operators.temporal import cusum_hourly_changepoints
+
+    prepare(spark)
+    return cusum_hourly_changepoints(load_table(spark, sf_dir, "events"))

@@ -957,3 +957,34 @@ def test_dq_report_counts_violations_and_nulls(spark):
     rows = {r.rule: r for r in dq_report(df, {"v_positive": F.col("v") > 0}).collect()}
     r = rows["v_positive"]
     assert (r.n_rows, r.n_violations, r.violation_rate) == (4, 2, 0.5)
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """The windowed prefix-sum-minus-running-min form must equal the
+    direct S_i = max(0, S_{i-1} + d_i) recursion (scaled by n)."""
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import cusum_hourly_changepoints
+
+    # One event type, hourly counts with a level shift at hour 6.
+    counts = [3, 2, 3, 3, 2, 3, 9, 10, 9, 10]
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, "t", dt.datetime(2024, 3, 1, h, eid % 60)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = sorted(
+        cusum_hourly_changepoints(events).collect(), key=lambda r: r.window_start
+    )
+    n, total = len(counts), sum(counts)
+    s, expect = 0, []
+    for x in counts:
+        s = max(0, s + (n * x - total))
+        expect.append(s)
+    assert [r.cusum_scaled for r in out] == expect
+    assert [r.x for r in out] == counts
+    # the level shift must raise at least one alarm after hour 6
+    assert any(r.alarm for r in out[6:])
+    assert not any(r.alarm for r in out[:6])
