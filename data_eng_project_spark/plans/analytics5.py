@@ -690,3 +690,70 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     return cusum_hourly_changepoints(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, max(event_type) AS touch_type
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ), purch AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), attributed AS (
+            SELECT p.event_id, p.value, p.ts AS pts,
+                   (SELECT t.touch_type FROM touches t
+                    WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                    ORDER BY t.ts DESC LIMIT 1) AS touch_type,
+                   (SELECT max(t.ts) FROM touches t
+                    WHERE t.user_id = p.user_id AND t.ts <= p.ts) AS touch_ts
+            FROM purch p
+        )
+        SELECT CASE WHEN touch_ts IS NULL
+                         OR epoch_us(pts) - epoch_us(touch_ts) > 86400000000
+                    THEN 'none' ELSE touch_type END AS channel,
+               count(*) AS n_purchases,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS attributed_value
+        FROM attributed GROUP BY 1
+    """,
+    tags=("analytics", "attribution", "behavioral"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click/view within a 24h lookback, else 'none' —
+    the generic backward as-of join (union-merge, one shuffle on
+    user_id, no row explosion) followed by a channel rollup. The oracle
+    states the same semantics as correlated scalar subqueries, which is
+    exactly what the as-of merge computes without the O(touches) rescan
+    per purchase."""
+    from data_eng_project_spark.operators.temporal import asof_join
+
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+        .withColumn("touch_ts", F.col("ts"))
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    att = asof_join(
+        purch, touches, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["touch_type", "touch_ts"],
+    )
+    channel = F.when(
+        F.col("asof_touch_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("asof_touch_ts") > 86_400_000_000),
+        F.lit("none"),
+    ).otherwise(F.col("asof_touch_type"))
+    return att.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("attributed_value"),
+    )
