@@ -1209,3 +1209,23 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return S.ivf_pq_topk(emb, qvec, k=10, n_clusters=16, n_probe=4, m=4, nbits=4)
+
+
+@register(
+    "multimodal_audio_spectrum",
+    oracle=None,  # FFT features; physics-property test plants a pure
+    # tone and asserts the dominant bin, energy share, and centroid
+    tags=("multimodal", "audio", "fft"),
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio screening features (dominant frequency,
+    spectral centroid/bandwidth, dominant-bin energy share) via numpy
+    rFFT in Arrow batches — see operators/multimodal.extract_audio_spectrum."""
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_audio,
+        extract_audio_spectrum,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    return extract_audio_spectrum(attach_raw_audio(docs))

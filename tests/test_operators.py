@@ -988,3 +988,23 @@ def test_cusum_matches_direct_recursion(spark):
     # the level shift must raise at least one alarm after hour 6
     assert any(r.alarm for r in out[6:])
     assert not any(r.alarm for r in out[:6])
+
+
+def test_audio_spectrum_finds_planted_tone(spark):
+    """FFT features are real: a pure sine's dominant frequency must land
+    within one bin of the planted frequency, carry most of the energy,
+    and have a centroid near the tone."""
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_audio,
+        extract_audio_spectrum,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    media = attach_raw_audio(docs)
+    n_fft, sr = 1024, 8000
+    bin_hz = sr / n_fft
+    for r in extract_audio_spectrum(media, n_fft=n_fft).collect():
+        planted = 100 + r.doc_id % 900
+        assert abs(r.dominant_freq_hz - planted) <= bin_hz
+        assert r.dominant_share > 0.3  # Hann spreads energy over ~2 bins
+        assert abs(r.spectral_centroid_hz - planted) <= 6 * bin_hz
