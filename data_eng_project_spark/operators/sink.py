@@ -223,3 +223,40 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: tuple[str, str] | None = None,
+    target_file_mb: int = 128,
+    num_files: int | None = None,
+) -> tuple[int, int]:
+    """Table-maintenance composite (the OPTIMIZE [ZORDER BY] job): fold
+    accreted small files back to ~target size and, when two cluster
+    columns are given, lay the rewrite out Z-ordered so footer min/max
+    prune on either column. One read + one write; returns
+    (files_before, files_after). Same crash posture as compact_parquet:
+    rewrite lands in a temp dir and renames over the original."""
+    import math
+    import os
+    import shutil
+
+    files_before = [
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    if num_files is None:
+        total = sum(os.path.getsize(os.path.join(path, f)) for f in files_before)
+        num_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__optimizing"
+    if zorder_cols is not None:
+        write_zorder(df, tmp, zorder_cols[0], zorder_cols[1], num_files=num_files)
+    else:
+        df.coalesce(num_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = [
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    return len(files_before), len(files_after)

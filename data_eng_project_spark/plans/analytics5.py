@@ -757,3 +757,90 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
         ).alias("attributed_value"),
     )
+
+
+@register(
+    "mad_outlier_summary",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        ), med AS (
+            SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+        ), dev AS (
+            SELECT v.event_type, v.value, abs(v.value - m.med) AS d, m.med
+            FROM v JOIN med m USING (event_type)
+        ), dranked AS (
+            SELECT event_type, d, med,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ), mad AS (
+            SELECT event_type, med, d AS mad FROM dranked WHERE rn = (n + 1) // 2
+        )
+        SELECT d.event_type,
+               count(*) AS n_values,
+               round(m.med, 6) AS median_value,
+               round(m.mad, 6) AS mad,
+               CAST(sum(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type, m.med, m.mad
+    """,
+    tags=("analytics", "robust", "outliers"),
+)
+def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screening per event type — the
+    heavy-tail-safe twin of zscore_outlier_events. Medians are EXACT
+    rank selections ((n+1) div 2, lower median) rather than float
+    interpolation, so the chosen values are bit-identical across
+    engines; the 3·1.4826·MAD fence then needs only deterministic
+    double arithmetic. Two rank windows per type (spill-safe sorts
+    partitioned on the group key), one conditional aggregate."""
+    prepare(spark)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = v.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = v.join(med, on="event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    dranked = dev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    mad = dranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("med").alias("_med"), F.col("d").alias("mad")
+    )
+    return (
+        dev.join(mad, on="event_type")
+        .groupBy("event_type", "_med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.round("_med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

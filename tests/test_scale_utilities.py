@@ -201,3 +201,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     # And the layout is a pure reorganization: same rows.
     assert spark.read.parquet(zpath).count() == 256 * 256
+
+
+def test_optimize_table_compacts_and_zorders(spark, tmp_path):
+    """The maintenance composite: many small appended files fold into a
+    Z-ordered layout with the same rows and pruning on both columns."""
+    import os
+
+    from data_eng_project_spark.operators.sink import optimize_table
+
+    path = str(tmp_path / "t")
+    grid = spark.range(64 * 64).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+    )
+    for i in range(8):
+        grid.filter(F.col("id") % 8 == i).write.mode("append").parquet(path)
+    before, after = optimize_table(
+        spark, path, zorder_cols=("x", "y"), num_files=4
+    )
+    assert before >= 8 and after == 4
+    assert spark.read.parquet(path).count() == 64 * 64
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4
