@@ -844,3 +844,74 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, max(event_type) AS touch_type
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ), purch AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), firsts AS (
+            SELECT p.event_id, p.value,
+                   min(t.ts) AS first_ts
+            FROM purch p
+            LEFT JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000
+            GROUP BY p.event_id, p.value
+        ), chan AS (
+            SELECT f.event_id, f.value,
+                   coalesce(
+                       (SELECT max(t2.touch_type) FROM touches t2
+                        JOIN purch p2 ON p2.event_id = f.event_id
+                        WHERE t2.user_id = p2.user_id AND t2.ts = f.first_ts),
+                       'none') AS channel
+            FROM firsts f
+        )
+        SELECT channel, count(*) AS n_purchases,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS attributed_value
+        FROM chan GROUP BY channel
+    """,
+    tags=("analytics", "attribution", "behavioral"),
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    click/view within its 24h lookback. A user-keyed equi-join with a
+    range predicate (bounded by per-user event density — AQE handles
+    hot users), then a min-struct aggregate picks the first touch and
+    its channel in one pass; 'none' when the window is empty."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+        .select("user_id", F.col("ts").alias("tts"), "touch_type")
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = purch.join(
+        touches,
+        (purch["user_id"] == touches["user_id"])
+        & (touches["tts"] <= purch["ts"])
+        & (F.unix_micros(purch["ts"]) - F.unix_micros(touches["tts"]) <= 86_400_000_000),
+        "left",
+    )
+    per_purchase = joined.groupBy("event_id", "value").agg(
+        F.min(F.struct(F.col("tts"), F.col("touch_type"))).alias("_first")
+    )
+    channel = F.coalesce(F.col("_first.touch_type"), F.lit("none"))
+    return per_purchase.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("attributed_value"),
+    )
