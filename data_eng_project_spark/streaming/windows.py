@@ -199,3 +199,48 @@ def static_enrich_counts_stream(
             ).alias("total_value"),
         )
     )
+
+
+def stream_stream_pairs_left_outer(
+    a: DataFrame,
+    b: DataFrame,
+    partition_col: str = "event_type",
+    id_col: str = "event_id",
+    max_gap: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event emits —
+    matched pairs as they arrive, unmatched lefts with NULL right side
+    once the watermark proves no future match can exist. This is the
+    outer-join capability only a watermark makes possible in streaming:
+    "no match" is a statement about the future, and the watermark is
+    what bounds that future so the row can finalize.
+
+    State posture identical to the inner form (time-bounded condition +
+    watermarks on both sides ⇒ evictable state); batch twin is a plain
+    left join with the same interval predicate, asserted equal in tests
+    after the stream drains.
+    """
+    wa = a.withWatermark("ts", watermark).select(
+        F.col(partition_col).alias("_pa"),
+        F.col(id_col).alias("id_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    wb = b.withWatermark("ts", watermark).select(
+        F.col(partition_col).alias("_pb"),
+        F.col(id_col).alias("id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = wa.join(
+        wb,
+        F.expr(
+            f"_pa = _pb AND ts_b > ts_a AND ts_b <= ts_a + INTERVAL {max_gap}"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("_pa").alias("event_type"),
+        "id_a",
+        "id_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )

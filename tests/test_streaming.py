@@ -281,3 +281,55 @@ def test_stream_maintained_rollup_equals_batch_and_survives_replay(spark, tmp_pa
         for p in (tmp_path / "rollup_state").glob("batch_id=*")
     }
     assert replayed == set(used)  # no new partitions from the replay
+
+
+def test_stream_stream_left_outer_equals_batch(spark):
+    """Drained left-outer stream-stream interval join == batch left join
+    with the same predicate: matched pairs identical AND every unmatched
+    left event present exactly once with a NULL right side."""
+    from data_eng_project_spark.streaming.incremental import read_events_stream
+    from data_eng_project_spark.streaming.windows import (
+        run_available_now,
+        stream_stream_pairs_left_outer,
+    )
+    from data_eng_project_spark.tables import load_table, table_path
+
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    out = run_available_now(
+        stream_stream_pairs_left_outer(stream, stream),
+        f"mem_sslo_{id(spark) % 10_000}",
+        output_mode="append",
+    )
+    got = {(r.event_type, r.id_a, r.id_b) for r in out.collect()}
+
+    ev = load_table(spark, SF, "events")
+    a = ev.select(F.col("event_type").alias("_pa"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_type").alias("_pb"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    batch = a.join(
+        b,
+        F.expr("_pa = _pb AND ts_b > ts_a AND ts_b <= ts_a + INTERVAL 1 minute"),
+        "leftOuter",
+    ).select(F.col("_pa").alias("event_type"), "id_a", "id_b")
+    want = {(r.event_type, r.id_a, r.id_b) for r in batch.collect()}
+    # Matched pairs emit on arrival — exact equality.
+    assert {x for x in got if x[2] is not None} == {
+        x for x in want if x[2] is not None
+    }
+    # Outer (no-match) rows finalize only once the watermark passes
+    # ts_a + max_gap; events inside the final watermark+gap horizon of a
+    # drained bounded stream legitimately never finalize. So: everything
+    # emitted must be a true no-match, and every no-match old enough to
+    # have finalized must have been emitted.
+    got_outer = {x for x in got if x[2] is None}
+    want_outer = {x for x in want if x[2] is None}
+    assert got_outer <= want_outer
+    ev_ts = {
+        (r.event_type, r.event_id): r.ts
+        for r in load_table(spark, SF, "events").collect()
+    }
+    import datetime as dt
+
+    max_ts = max(ev_ts.values())
+    horizon = max_ts - dt.timedelta(minutes=3)  # watermark 2m + gap 1m
+    finalized = {x for x in want_outer if ev_ts[(x[0], x[1])] <= horizon}
+    assert finalized <= got_outer and len(finalized) > 0
