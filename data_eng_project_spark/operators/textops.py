@@ -329,3 +329,82 @@ def kmv_source_similarity(
             ).alias("est_error"),
         )
     )
+
+
+def cms_term_count_estimates(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch over corpus term frequencies (Cormode &
+    Muthukrishnan 2005), evaluated against exact counts for the top-k
+    terms: estimate(t) = min over d hash rows of the (row, bucket) cell,
+    which can only OVER-estimate (collisions add, never subtract) — the
+    reported error is always ≥ 0 and bounded by ~2N/width w.h.p.
+
+    Third member of the reproducible-sketch family (with KMV distinct
+    and KMV Jaccard): bucket hashes are md5(row_salt || term) — identical
+    in every engine — so the sketch CELLS and the estimates are
+    bit-reproducible and oracle-checkable, unlike seeded-xxhash sketches.
+
+    Scale: the sketch build is one (row, bucket) aggregate over exploded
+    terms — depth × word-count-shaped, map-side combinable; the sketch
+    itself is depth·width cells (mergeable across partitions/batches by
+    cell-wise addition, same algebra as the rollup state).
+    """
+    from data_eng_project_spark.functions.text import tokens
+
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term")
+    )
+
+    def bucket(row: int, term_col) -> "F.Column":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"r{row}:"), term_col)), 1, 8), 16, 10
+        ).cast("bigint")
+        return (h % width).cast("int")
+
+    rows = [
+        terms.select(
+            F.lit(j).alias("row"), bucket(j, F.col("term")).alias("bucket")
+        )
+        for j in range(depth)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    cms = allrows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+    probes = exact
+    for j in range(depth):
+        probes = probes.withColumn(f"_b{j}", bucket(j, F.col("term")))
+    est = probes
+    for j in range(depth):
+        est = est.join(
+            F.broadcast(
+                cms.filter(F.col("row") == j).select(
+                    F.col("bucket").alias(f"_b{j}"), F.col("cell").alias(f"_c{j}")
+                )
+            ),
+            on=f"_b{j}",
+        )
+    estimate = F.least(*[F.col(f"_c{j}") for j in range(depth)])
+    return est.select(
+        "term",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        estimate.cast("bigint").alias("cms_estimate"),
+        (estimate - F.col("n_exact")).cast("bigint").alias("overcount"),
+    )

@@ -1229,3 +1229,60 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
     return extract_audio_spectrum(attach_raw_audio(docs))
+
+
+_CMS_W, _CMS_D, _CMS_TOPK = 512, 4, 20
+
+
+@register(
+    "cms_term_counts",
+    oracle=f"""
+        WITH terms AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+                AS term
+            FROM documents
+        ), rws AS (
+            SELECT t.j, terms.term,
+                   CAST(list_sum(list_transform(range(1, 9),
+                        i -> CAST((strpos('0123456789abcdef',
+                                   substr(md5('r' || t.j || ':' || terms.term),
+                                          i, 1)) - 1) AS BIGINT)
+                             * CAST(16 ** (8 - i) AS BIGINT)))
+                        % {_CMS_W} AS INT) AS bucket
+            FROM terms CROSS JOIN range(0, {_CMS_D}) t(j)
+        ), cms AS (
+            SELECT j, bucket, count(*) AS cell FROM rws GROUP BY j, bucket
+        ), exact AS (
+            SELECT term, count(*) AS n_exact FROM terms GROUP BY term
+            ORDER BY n_exact DESC, term LIMIT {_CMS_TOPK}
+        ), probes AS (
+            SELECT e.term, e.n_exact, t.j,
+                   CAST(list_sum(list_transform(range(1, 9),
+                        i -> CAST((strpos('0123456789abcdef',
+                                   substr(md5('r' || t.j || ':' || e.term),
+                                          i, 1)) - 1) AS BIGINT)
+                             * CAST(16 ** (8 - i) AS BIGINT)))
+                        % {_CMS_W} AS INT) AS bucket
+            FROM exact e CROSS JOIN range(0, {_CMS_D}) t(j)
+        )
+        SELECT p.term, CAST(p.n_exact AS BIGINT) AS n_exact,
+               CAST(min(c.cell) AS BIGINT) AS cms_estimate,
+               CAST(min(c.cell) - p.n_exact AS BIGINT) AS overcount
+        FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY p.term, p.n_exact
+    """,
+    tags=("textdata", "sketch", "counts"),
+)
+def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term-frequency estimates vs exact counts for the
+    top-20 terms — md5-bucketed, so the sketch cells and estimates are
+    bit-reproducible cross-engine (see
+    operators/textops.cms_term_count_estimates)."""
+    prepare(spark)
+    return T.cms_term_count_estimates(
+        load_table(spark, sf_dir, "documents"),
+        depth=_CMS_D,
+        width=_CMS_W,
+        top_k=_CMS_TOPK,
+    )

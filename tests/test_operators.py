@@ -1008,3 +1008,19 @@ def test_audio_spectrum_finds_planted_tone(spark):
         assert abs(r.dominant_freq_hz - planted) <= bin_hz
         assert r.dominant_share > 0.3  # Hann spreads energy over ~2 bins
         assert abs(r.spectral_centroid_hz - planted) <= 6 * bin_hz
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark):
+    """CMS property: estimates are >= exact (collisions only add), and
+    with width >> distinct terms the heavy hitters estimate exactly."""
+    from data_eng_project_spark.operators.textops import cms_term_count_estimates
+
+    rnd_words = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["hot"] * 5 + rnd_words[i % 50 : i % 50 + 3])) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in cms_term_count_estimates(docs, width=2048, top_k=5).collect()}
+    assert all(r.overcount >= 0 for r in rows.values())
+    hot = rows["hot"]
+    assert hot.n_exact == 200 and hot.cms_estimate == 200  # wide sketch → exact
