@@ -46,6 +46,23 @@ from data_eng_project_spark.plans import textdata  # noqa: E402,F401
 # dedup/similarity core, unigram_lm_quality (operator contract changed
 # this round: token-less docs now emit lm_keep=false), and one
 # timestamp-emitting streaming query (canonicalization guard).
+# Round-4 rotation queue (certify-next candidates, all oracle-backed and
+# strict-mirror green via tools/driver_audit.py --all):
+#   new in r3: cross_source_dup_matrix, domain_mixture_weights,
+#     token_fertility_profile, incremental_rollup_merge,
+#     kmv_distinct_ngrams, kmv_source_similarity, cms_term_counts,
+#     langid_confusion_matrix, curation_funnel_stats, bigram_lm_quality,
+#     composed_corpus_pipeline, data_quality_report, cusum_changepoints,
+#     attribution_last_touch, attribution_first_touch, mad_outlier_summary
+#   r1-green but never re-certified: window_rank_events,
+#     moving_avg_user_value, set_ops_*, distinct_aggregates,
+#     scalar_kitchen_sink, array_functions, cube_order_summary,
+#     semi_join_exists, scalar_subquery_above_avg, null_handling_scalars,
+#     percentile_price_quartiles, pivot/unpivot, q2/q4/q12/q13/q14/q16/
+#     q17/q20/q21, nation_market_share, top_supplier_per_nation,
+#     full_outer_activity_reconciliation, events_hourly_gapfill
+# Keep as permanent sentinels: flagship trio + one LLM-core + one
+# timestamp query; swap everything else once driver-green.
 _GRADED_WINDOW = [
     # Flagship spatial reconstruction (J5/A3) — permanent sentinels
     "flagship_points_near_sites",
