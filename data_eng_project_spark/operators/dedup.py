@@ -490,3 +490,39 @@ def ngram_jaccard_pairs_bipartite(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def doc_novelty_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct n-gram shingles
+    that appear NOWHERE else in the corpus (document frequency 1) — high
+    novelty marks original content, low novelty marks boilerplate/
+    near-copy mass; the inverse signal of the dedup family, from the
+    same inverted index (one df aggregate + one doc-keyed rollup,
+    word-count shaped).
+
+    Total contract: every input document gets a row; documents too short
+    to shingle come back with zero counts and NULL ratio rather than
+    vanishing (the lesson the LM filter taught — silent drops invert
+    under anti-join formulations).
+    """
+    sh = _distinct_shingles(docs, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, on="shingle")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_exclusive"),
+        )
+    )
+    out = docs.select(F.col(id_col).alias("_id")).join(per_doc, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_exclusive", F.lit(0)).cast("bigint").alias("n_exclusive"),
+        F.round(F.col("n_exclusive") / F.col("n_shingles"), 6).alias(
+            "novelty_ratio"
+        ),
+    )

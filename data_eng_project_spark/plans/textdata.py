@@ -1286,3 +1286,46 @@ def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_CMS_W,
         top_k=_CMS_TOPK,
     )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                       AS pos
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' '
+                     || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), dfreq AS (
+            SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+        ), per_doc AS (
+            SELECT sh.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_exclusive
+            FROM sh JOIN dfreq USING (shingle)
+            GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(p.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+               round(CAST(p.n_exclusive AS DOUBLE) / p.n_shingles, 6)
+                   AS novelty_ratio
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("textdata", "dedup", "novelty"),
+)
+def doc_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusive-shingle novelty ratio per document (df=1 share) — the
+    memorization/boilerplate signal, from the same inverted index as the
+    dedup family (see operators/dedup.doc_novelty_scores)."""
+    prepare(spark)
+    return D.doc_novelty_scores(load_table(spark, sf_dir, "documents"))
