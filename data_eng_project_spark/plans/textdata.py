@@ -1329,3 +1329,74 @@ def doc_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family (see operators/dedup.doc_novelty_scores)."""
     prepare(spark)
     return D.doc_novelty_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+        WITH x AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.i AS i, b.i AS j, count(*) AS n,
+                   sum(CAST(a.v AS DECIMAL(38,12))) AS si,
+                   sum(CAST(b.v AS DECIMAL(38,12))) AS sj,
+                   sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS sij
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        )
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+               round(CAST(sij AS DOUBLE) / n
+                     - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6)
+                   + 0.0 AS cov
+        FROM pairs
+    """,
+    tags=("similarity", "embeddings", "statistics"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance matrix (upper triangle): the X^T X
+    statistic behind whitening/PCA, accumulated in DECIMAL(38,12)
+    (order-free exact — the discipline every money/LM sum here uses) and
+    landed in doubles only for the final cov formula. This dim²-shaped
+    pair join is the oracle-checkable form; at 100 TB the same statistic
+    comes from the blocked-GEMM path (operators/similarity.
+    all_pairs_above_blocked's applyInPandas shape) with one pass and no
+    row blow-up — the eigendecomposition of the dim×dim result is then
+    driver-side linear algebra on a tiny matrix."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("_p", "v"),
+    ).select("vec_id", (F.col("_p") + 1).cast("int").alias("i"), "v")
+    a = x.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = x.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, on="vec_id")
+        .filter(F.col("ia") <= F.col("jb"))
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va").cast("decimal(38,12)")).alias("si"),
+            F.sum(F.col("vb").cast("decimal(38,12)")).alias("sj"),
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).alias("sij"),
+        )
+    )
+    return pairs.select(
+        "i",
+        "j",
+        "n",
+        # + 0.0 collapses IEEE negative zero (round can yield -0.0 on one
+        # engine and 0.0 on the other; repr-level compare sees them apart)
+        (
+            F.round(
+                F.col("sij").cast("double") / F.col("n")
+                - (F.col("si").cast("double") / F.col("n"))
+                * (F.col("sj").cast("double") / F.col("n")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
+    )
