@@ -223,3 +223,33 @@ def test_incremental_rollup_merge_partial_aggs(spark):
     plan = _plan(spark, "incremental_rollup_merge")
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan  # pure union + re-aggregate
+
+
+def test_kmv_sketch_no_cartesian(spark):
+    plan = _plan(spark, "kmv_distinct_ngrams")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # df agg partial+final
+
+
+def test_cms_probes_broadcast(spark):
+    """CMS probe joins (top-k terms vs depth×width cells) must broadcast
+    — never shuffle the sketch against 20 rows."""
+    plan = _plan(spark, "cms_term_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_no_cartesian_keyed_joins(spark):
+    """LM scoring joins are keyed shuffles (w1,w2)/w — the only
+    nested-loop allowed is the 1-row totals broadcast."""
+    plan = _plan(spark, "bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_attribution_asof_single_user_shuffle(spark):
+    """Last-touch attribution rides the union-merge as-of: no join node
+    at all between purchases and touches — one window over user_id."""
+    plan = _plan(spark, "attribution_last_touch")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "Window" in plan
