@@ -408,3 +408,46 @@ def cms_term_count_estimates(
         estimate.cast("bigint").alias("cms_estimate"),
         (estimate - F.col("n_exact")).cast("bigint").alias("overcount"),
     )
+
+
+def feature_hash_doc_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"): each term maps to a
+    bucket h(t) mod dim with sign from a second hash bit, and the doc
+    vector is the signed term-count sum per bucket — the vocabulary-free
+    featurizer that needs no fitted dictionary, so it parallelizes
+    embarrassingly and never ships a vocab to executors.
+
+    Cross-engine reproducible (md5 bucket + md5-derived sign ⇒ exact
+    integer weights), emitted as exploded (doc, dim_idx, weight) rows —
+    the sparse form downstream linear models consume. One word-count-
+    shaped aggregate; zero-weight buckets are omitted (sparse contract).
+    """
+    from data_eng_project_spark.functions.text import tokens  # noqa: F401
+
+    terms = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+    bucket = (h % dim).cast("int")
+    # Sign from an independent hash region: 9th hex digit's low bit.
+    sign_bit = F.conv(F.substring(F.md5(F.col("term")), 9, 1), 16, 10).cast("int") % 2
+    weight = F.when(sign_bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        terms.select("_id", bucket.alias("dim_idx"), weight.alias("_w"))
+        .groupBy("_id", "dim_idx")
+        .agg(F.sum("_w").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select(F.col("_id").alias(id_col), "dim_idx", "weight")
+    )

@@ -1400,3 +1400,43 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cov"),
     )
+
+
+_FH_DIM = 64
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=f"""
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 9),
+                        i -> CAST((strpos('0123456789abcdef',
+                                   substr(md5(term), i, 1)) - 1) AS BIGINT)
+                             * CAST(16 ** (8 - i) AS BIGINT)))
+                        % {_FH_DIM} AS INT) AS dim_idx,
+                   CASE WHEN (strpos('0123456789abcdef',
+                              substr(md5(term), 9, 1)) - 1) % 2 = 1
+                        THEN 1 ELSE -1 END AS wt
+            FROM terms
+        )
+        SELECT doc_id, dim_idx, CAST(sum(wt) AS BIGINT) AS weight
+        FROM w GROUP BY doc_id, dim_idx
+        HAVING sum(wt) <> 0
+    """,
+    tags=("textdata", "featurization", "hashing-trick"),
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free hashing-trick doc vectors in sparse form — exact
+    integer weights from md5 bucket+sign hashing, so the featurizer
+    itself is oracle-checked (see operators/textops.feature_hash_doc_vectors)."""
+    prepare(spark)
+    return T.feature_hash_doc_vectors(
+        load_table(spark, sf_dir, "documents"), dim=_FH_DIM
+    )
