@@ -788,3 +788,44 @@ def bigram_lm_scores(
             6,
         ).alias("backoff_rate"),
     )
+
+
+def export_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    chunk_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """The pipeline's last mile: write pack-annotated documents as
+    training shards (parquet partitioned by shard, rows ordered by
+    packing offset within each shard) and return the per-shard manifest
+    (docs, tokens, chunks) that ships alongside them — what a trainer's
+    data loader reads to plan epochs without scanning the shards.
+
+    Layout notes: partitionBy(shard) gives per-shard directories a
+    loader can open independently; sortWithinPartitions(start_offset)
+    makes each file's row order the packing order, so sequential reads
+    reconstruct the token stream without a shuffle at load time. The
+    manifest is an aggregate of the SAME pack annotations that were
+    written — one job writes, one computes the manifest.
+    """
+    packed = pack_sequences(
+        docs, chunk_tokens, text_col=text_col, id_col=id_col, shard_col=shard_col
+    ).join(docs.select(F.col(id_col), F.col(text_col)), on=id_col)
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("start_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.max("end_chunk") + 1).cast("bigint").alias("n_chunks"),
+        )
+    )

@@ -336,3 +336,43 @@ def length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     return length_trim_by_group(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "export_shard_manifest",
+    oracle=f"""
+        WITH t AS (
+            SELECT source AS shard, doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT shard, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM t
+        )
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(max(CAST(floor((start_offset + n_tokens - 1)
+                                   / {_CHUNK_TOKENS}.0) AS BIGINT)) + 1
+                    AS BIGINT) AS n_chunks
+        FROM c GROUP BY shard
+    """,
+    tags=("curation", "packing", "export"),
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard training-export manifest (docs/tokens/chunks) — the
+    aggregate of the pack annotations export_training_shards writes; the
+    export side effect itself is exercised in pytest (this query
+    computes the manifest without writing)."""
+    prepare(spark)
+    packed = pack_sequences(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=_CHUNK_TOKENS
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.max("end_chunk") + 1).cast("bigint").alias("n_chunks"),
+    )

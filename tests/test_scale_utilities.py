@@ -223,3 +223,36 @@ def test_optimize_table_compacts_and_zorders(spark, tmp_path):
     assert spark.read.parquet(path).count() == 64 * 64
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 4
+
+
+def test_export_training_shards_layout_and_manifest(spark, tmp_path):
+    """The training export: per-shard partition dirs, rows in packing
+    order inside each shard, and a manifest equal to recomputation."""
+    import os
+
+    from data_eng_project_spark.operators.curation import export_training_shards
+    from data_eng_project_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in export_training_shards(docs, out).collect()}
+    shards = sorted(
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert set(shards) == set(manifest)
+    total_docs = docs.count()
+    assert sum(m.n_docs for m in manifest.values()) == total_docs
+    back = spark.read.parquet(out)
+    assert back.count() == total_docs
+    # inside one shard, offsets are the packing cumsum: sorted & gapless
+    one = sorted(
+        back.filter(F.col("shard") == shards[0])
+        .select("start_offset", "n_tokens")
+        .collect()
+    )
+    run = 0
+    for r in one:
+        assert r.start_offset == run
+        run += r.n_tokens
+    m = manifest[shards[0]]
+    assert run == m.n_tokens and m.n_chunks == (run + 511) // 512
