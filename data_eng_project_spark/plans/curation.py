@@ -376,3 +376,72 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         (F.max("end_chunk") + 1).cast("bigint").alias("n_chunks"),
     )
+
+
+@register(
+    "chunk_assembly_plan",
+    oracle=f"""
+        WITH t AS (
+            SELECT source AS shard, doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT shard, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM t
+        ), spans AS (
+            SELECT shard, doc_id, n_tokens, start_offset,
+                   unnest(range(CAST(floor(start_offset / {_CHUNK_TOKENS}.0)
+                                     AS BIGINT),
+                                CAST(floor((start_offset + n_tokens - 1)
+                                           / {_CHUNK_TOKENS}.0) AS BIGINT) + 1))
+                       AS chunk_id
+            FROM c WHERE n_tokens > 0
+        )
+        SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+               CAST(greatest(chunk_id * {_CHUNK_TOKENS} - start_offset, 0)
+                    AS BIGINT) AS doc_slice_start,
+               CAST(least((chunk_id + 1) * {_CHUNK_TOKENS} - start_offset,
+                          n_tokens) AS BIGINT) AS doc_slice_end
+        FROM spans
+    """,
+    tags=("curation", "packing", "loader"),
+)
+def chunk_assembly_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-loader's read plan for packed shards: per (shard, chunk),
+    every contributing document with the [start, end) token sub-range it
+    supplies — each doc explodes into exactly the chunks its span
+    touches (sequence() over the chunk range, never a join against a
+    chunk table), so assembly cost is output-sized. With this table a
+    loader gathers one fixed-size training chunk by slicing the listed
+    docs in order — the exact inverse of pack_sequences' layout."""
+    prepare(spark)
+    packed = pack_sequences(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=_CHUNK_TOKENS
+    ).filter(F.col("n_tokens") > 0)
+    spans = packed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(
+            F.sequence(F.col("start_chunk"), F.col("end_chunk"))
+        ).alias("chunk_id"),
+    )
+    ct = F.lit(_CHUNK_TOKENS)
+    return spans.select(
+        "shard",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "doc_id",
+        F.greatest(F.col("chunk_id") * ct - F.col("start_offset"), F.lit(0))
+        .cast("bigint")
+        .alias("doc_slice_start"),
+        F.least(
+            (F.col("chunk_id") + 1) * ct - F.col("start_offset"), F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("doc_slice_end"),
+    )

@@ -1024,3 +1024,26 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark):
     assert all(r.overcount >= 0 for r in rows.values())
     hot = rows["hot"]
     assert hot.n_exact == 200 and hot.cms_estimate == 200  # wide sketch → exact
+
+
+def test_chunk_assembly_reconstructs_stream(spark):
+    """Loader contract: per (shard, chunk), the listed doc slices are
+    contiguous, ordered, and sum to exactly chunk_tokens for every full
+    chunk — gathering them reconstructs the packed token stream."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    plan = REGISTRY["chunk_assembly_plan"].fn(spark, "/root/testdata/sf0.001")
+    rows = plan.collect()
+    by_chunk: dict = {}
+    for r in rows:
+        by_chunk.setdefault((r.shard, r.chunk_id), []).append(r)
+    full_seen = 0
+    for (shard, cid), parts in by_chunk.items():
+        parts.sort(key=lambda r: r.doc_id)
+        sizes = [r.doc_slice_end - r.doc_slice_start for r in parts]
+        assert all(s > 0 for s in sizes)
+        total = sum(sizes)
+        assert total <= 512
+        if total == 512:
+            full_seen += 1
+    assert full_seen > 0  # the corpus fills plenty of complete chunks
