@@ -528,3 +528,77 @@ def ivf_pq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def pq_save_index(
+    vectors: DataFrame,
+    index_dir: str,
+    m: int = 4,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: codes as parquet (id + codes + the original
+    vector for exact re-rank) and the codebooks as a tiny JSON sidecar.
+    Build once, serve many — training the codebooks is the expensive
+    sampled k-means pass; queries against a saved index never refit, so
+    serving latency is scan+ADC only (pq_load_topk)."""
+    import json
+    import os
+
+    encoded, codebooks = pq_train_encode(
+        vectors, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    encoded.select(id_col, vec_col, "_codes").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+        json.dump({"m": m, "nbits": nbits, "codebooks": codebooks}, f)
+
+
+def pq_load_topk(
+    spark,
+    index_dir: str,
+    query: list[float],
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a saved PQ index: ADC lookup table from the
+    sidecar codebooks, scan the codes parquet, exact re-rank the
+    shortlist — no k-means, no training data needed at query time."""
+    import json
+    import math as _m
+    import os
+
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        meta = json.load(f)
+    m, kk = meta["m"], 1 << meta["nbits"]
+    codebooks = meta["codebooks"]
+    encoded = spark.read.parquet(os.path.join(index_dir, "codes"))
+
+    qn = _m.sqrt(sum(x * x for x in query)) or 1.0
+    q = [x / qn for x in query]
+    dsub = len(query) // m
+    flat = [
+        sum(a * b for a, b in zip(q[j * dsub : (j + 1) * dsub], cent))
+        for j, book in enumerate(codebooks)
+        for cent in book
+    ]
+    table = F.array(*[F.lit(float(x)) for x in flat])
+    idx = F.zip_with(
+        "_codes",
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(table, (j * kk + c + 1).cast("int")),
+    )
+    adc = F.aggregate(idx, F.lit(0.0), lambda acc, x: acc + x)
+    cands = (
+        encoded.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(rerank_factor * k)
+        .drop("_adc", "_codes")
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)

@@ -1047,3 +1047,21 @@ def test_chunk_assembly_reconstructs_stream(spark):
         if total == 512:
             full_seen += 1
     assert full_seen > 0  # the corpus fills plenty of complete chunks
+
+
+def test_pq_index_save_load_serves_same_answer(spark, vectors, tmp_path):
+    """Index lifecycle: a saved PQ index served cold (no refit) returns
+    the same top-k as the in-memory build."""
+    from data_eng_project_spark.operators.similarity import (
+        pq_save_index,
+        pq_load_topk,
+        pq_topk,
+    )
+
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).head().embedding]
+    idx = str(tmp_path / "pqindex")
+    pq_save_index(vectors, idx)
+    served = [(r.vec_id, r.cosine) for r in pq_load_topk(spark, idx, q, k=3).collect()]
+    direct = [(r.vec_id, r.cosine) for r in pq_topk(vectors, q, k=3).collect()]
+    assert served == direct
+    assert {v for v, _ in served} == {0, 100, 101}
