@@ -106,3 +106,67 @@ def dedup_cluster_assignments(
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over the undirected pair graph (each edge walked both
+    ways), fixed-iteration power method — centrality weighting for
+    dup/similarity graphs (e.g. prioritize the most-connected document
+    of a near-dup family, or weight corpus items by graph popularity).
+
+    Deterministic and driver-sync-free: exactly ``n_iter`` rounds, no
+    convergence collect (unlike connected_components there is no
+    monotone 1-row fixpoint certificate for PR, so a tolerance test
+    would cost one driver action per round — a fixed iteration budget
+    is the standard scale posture). Each round is one equi-join
+    (ranks ⋈ out-degree-normalized edges) + one groupBy — the classic
+    Pregel matvec as DataFrame algebra; lineage is cut per round with a
+    lazy localCheckpoint so the plan stays bounded.
+
+    Isolated nodes don't occur (every node is in ≥1 edge by
+    construction); the symmetrized graph has no dangling nodes either,
+    so the (1−d)/N teleport term is exact without a dangling-mass
+    correction.
+
+    Returns (id, rank) with ranks summing to 1.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
+    norm_edges = sym.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    ).localCheckpoint()
+    nodes = deg.select(F.col("src").alias("id"))
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(int(n_iter)):
+        contrib = (
+            norm_edges.join(ranks, norm_edges["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .join(F.broadcast(n_nodes))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,427 @@
+"""Dataset-management operators for training-data pipelines: weighted
+sampling, split assignment, snapshot diffing, score normalization,
+trend fitting, and dedup-aware representative selection.
+
+The reference ETL (dags/global_dag.py) has none of these; they extend
+the LLM-pipeline families the brief mandates (curation, dedup-aware
+selection, deterministic sampling for dataset mixing). Every operator
+is built from exact integer / decimal arithmetic so its DuckDB oracle
+matches bit-for-bit — no RNG, no transcendental in the selection path.
+
+Scale notes are per-operator; the common theme is that nothing here
+holds global driver-side state and every window is partitioned by a
+bounded-cardinality key (source / user / component), never a single
+global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    strata_col: str,
+    id_col: str,
+    k_per_stratum: int = 10,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling, stratified.
+
+    Within each stratum the rows are laid on a line in id order, each
+    occupying a segment of length = its weight; a row is picked whenever
+    its segment crosses a multiple of total_weight/k. Deterministic
+    (no RNG), exact (pure BIGINT arithmetic — `(cum*k) div total` is the
+    floor of the crossing count), and weight-faithful: selection
+    probability is proportional to weight, the classic PPS systematic
+    design (Madow 1949).
+
+    Scale: one partitioned cumulative-sum window per stratum plus a
+    broadcastable per-stratum total — no global sort, no RNG state.
+    A stratum's rows shuffle once on the stratum key; skewed strata are
+    AQE's problem, not a correctness issue.
+
+    Returns (stratum, id, weight, pick_index) for picked rows only.
+    """
+    k = int(k_per_stratum)
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    base = df.select(
+        F.col(strata_col).alias("stratum"), F.col(id_col).alias("id"), w.alias("wt")
+    )
+    win = (
+        Window.partitionBy("stratum")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("wt").over(win))
+    totals = base.groupBy("stratum").agg(F.sum("wt").alias("total"))
+    j = cum.join(F.broadcast(totals), "stratum")
+    picked = j.filter(
+        F.expr(f"(cum * {k}) div total") > F.expr(f"((cum - wt) * {k}) div total")
+    )
+    return picked.select(
+        F.col("stratum"),
+        F.col("id"),
+        F.col("wt").cast("bigint").alias("weight"),
+        (F.expr(f"((cum - wt) * {k}) div total") + F.lit(1))
+        .cast("bigint")
+        .alias("pick_index"),
+    )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    y_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-key ordinary least squares of y against the observation index.
+
+    x is the 1-based rank of the row inside its key (deterministic
+    total order from order_cols), so all x sums are exact integers; y
+    sums go through DECIMAL(28,6) (exact for the 2-decimal generator
+    values, and order-insensitive, unlike double sums). The closed-form
+    slope/intercept is then evaluated in double from those exact sums —
+    the same expression the oracle runs, so results match bit-for-bit.
+
+    Scale: one window rank + one groupBy per key — two shuffles on the
+    same key (Catalyst reuses the partitioning), no iteration, no
+    driver-side model state. This is the map-side-combinable "sufficient
+    statistics" formulation of regression: at 100 TB the groupBy
+    reduces each key to five numbers.
+    """
+    order = [F.col(c) for c in order_cols]
+    x = F.row_number().over(Window.partitionBy(key_col).orderBy(*order))
+    ydec = F.col(y_col).cast("decimal(28,6)")
+    per_row = df.select(
+        F.col(key_col).alias("key"), x.alias("x"), ydec.alias("y")
+    )
+    sums = per_row.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        # x as DECIMAL(9,0) keeps x*y inside DECIMAL(38,6) on BOTH
+        # engines (a bare int would overflow DuckDB's 38-digit cap).
+        F.sum(F.col("x").cast("decimal(9,0)") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return (
+        sums.filter(F.col("n") >= min_n)
+        .select(
+            F.col("key"),
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states within each key's ordered history.
+
+    Scale: lead() over a per-key window (one shuffle on the key), then
+    a groupBy on (from,to) pairs whose cardinality is |states|² — tiny.
+    The probability normalization is a window over from_state on that
+    tiny aggregate, not over the raw events.
+    """
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = df.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+        ).alias("prob"),
+    )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two keyed snapshots: classify every key as
+    added / removed / changed / unchanged and count which tracked
+    columns drifted.
+
+    Null-safe comparison (eqNullSafe) so NULL→value edits count as
+    changes. Scale: one full-outer sort-merge join on the key plus a
+    4-group aggregate; at 100 TB both snapshots would be bucketed on
+    the key so the join is co-located.
+
+    Returns one row per change_type:
+    (change_type, n_rows, n_changed_per_compare_col...).
+    """
+    ka, kb = F.col(f"a.{key_col}"), F.col(f"b.{key_col}")
+    joined = a.alias("a").join(b.alias("b"), F.col(f"a.{key_col}") == F.col(f"b.{key_col}"), "full_outer")
+    col_changed = {
+        c: (~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))).cast("int")
+        for c in compare_cols
+    }
+    any_changed = None
+    for c in compare_cols:
+        flag = col_changed[c]
+        any_changed = flag if any_changed is None else F.greatest(any_changed, flag)
+    change_type = (
+        F.when(ka.isNull(), F.lit("added"))
+        .when(kb.isNull(), F.lit("removed"))
+        .when(any_changed == 1, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    classified = joined.select(
+        change_type.alias("change_type"),
+        *[
+            F.when(ka.isNotNull() & kb.isNotNull(), col_changed[c])
+            .otherwise(F.lit(0))
+            .alias(f"chg_{c}")
+            for c in compare_cols
+        ],
+    )
+    return classified.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(f"chg_{c}").cast("bigint").alias(f"n_changed_{c}") for c in compare_cols],
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-strata quantile normalization: map each row's within-stratum
+    rank onto the global score distribution, so heterogeneous per-source
+    score scales become comparable before a single global threshold is
+    applied (the standard trick before mixing quality-filtered sources).
+
+    The mapping is exact integer arithmetic end-to-end: a row at
+    within-stratum rank r of n maps to the global-curve row at rank
+    floor((r-1)·(N-1)/(n-1)) + 1 — the empirical-quantile lookup with
+    no floating-point percent_rank anywhere, so the oracle matches
+    exactly. A single-row stratum maps to the global median.
+
+    Scale: two rank windows (one per stratum — bounded partitions; one
+    global — the only global sort, over (score,id), same cost class as
+    any ORDER BY) and an equi-join on the integer target rank. The
+    global curve could be down-sampled to fixed quantile knots at 100 TB
+    (same join shape, 1000 knots instead of N rows).
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(score_col).cast("bigint").alias("score"),
+    )
+    stratum_w = Window.partitionBy("stratum").orderBy("score", "id")
+    ranked = s.withColumn("src_rank", F.row_number().over(stratum_w))
+    n_per = s.groupBy("stratum").agg(F.count("*").alias("n_s"))
+    # Total N as a 1-row aggregate broadcast into the plan — no eager
+    # driver-side count(), the whole query stays one lazy DAG.
+    n_total = s.agg(F.count("*").alias("n_total"))
+    curve = s.select(
+        F.row_number().over(Window.orderBy("score", "id")).alias("g_rank"),
+        F.col("score").alias("norm_score"),
+    )
+    target = (
+        ranked.join(F.broadcast(n_per), "stratum")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "target_rank",
+            F.when(
+                F.col("n_s") > 1,
+                F.expr("((src_rank - 1) * (n_total - 1)) div (n_s - 1)") + 1,
+            ).otherwise(F.expr("(n_total + 1) div 2")),
+        )
+    )
+    return target.join(curve, F.col("target_rank") == F.col("g_rank")).select(
+        F.col("id"),
+        F.col("stratum"),
+        F.col("score"),
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.col("norm_score"),
+    )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct names within a
+    Levenshtein edit-distance budget, found via shared-token inverted-
+    index blocking — the candidate set comes from an equi-join on
+    tokens, never an all-pairs cross join; the exact distance then
+    verifies each candidate (classic block-then-verify ER).
+
+    Blocking is sound for this operator's contract (pairs that share at
+    least one whitespace token); a pair with no common token is not a
+    candidate by definition. Scale: the token inverted index is the
+    same shape as the PPJoin prefix index in operators/dedup.py —
+    hot tokens fan out, so at 100 TB the index would be df-capped the
+    same way (drop stop-tokens above a document-frequency ceiling).
+
+    Returns (name_a, name_b, distance), name_a < name_b.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    toks = names.select(
+        "name", F.explode(F.split(F.trim(F.col("name")), r"\s+")).alias("tok")
+    ).distinct()
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "distance", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("distance") <= max_distance)
+    return verified.select(
+        "name_a", "name_b", F.col("distance").cast("bigint").alias("distance")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """RAG-style overlapping chunker: split each document's token stream
+    into fixed-size windows advancing by `stride` (overlap = window −
+    stride), emitting per-chunk offsets and a content hash. The last
+    chunk is the only short one; a document never yields a chunk that
+    starts past its end.
+
+    All built-ins — split/sequence/explode/slice/md5 — so the whole
+    plan is whole-stage-codegen JVM; per-doc fan-out is
+    ceil((n−window)/stride)+1 rows, linear in corpus token count.
+
+    Returns (id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
+    chunk_hash).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    w, s = int(window), int(stride)
+    n_chunks = F.when(F.col("n") <= w, F.lit(1)).otherwise(
+        F.expr(f"(n - {w} + {s} - 1) div {s}") + 1
+    )
+    chunks = toks.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = F.col("chunk_idx") * s
+    end = F.least(start + w, F.col("n"))
+    # slice() is 1-based; chunk text hash is over the space-rejoined
+    # token window so both engines hash identical bytes.
+    return chunks.select(
+        "id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        end.cast("bigint").alias("end_tok"),
+        (end - start).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start + 1, end - start), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+def incremental_join_view_merge(
+    old_state: DataFrame,
+    delta_fact: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    group_key: str,
+    sum_col: str,
+) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view: the view
+    group_key → (n, total) over fact ⋈ dim is refreshed by aggregating
+    ONLY the fact delta (joined to the dimension) and merging the
+    partial state with the old state — Δ(A⋈B) = ΔA⋈B when the dimension
+    is stable, so the historical fact rows are never rescanned.
+
+    State columns are mergeable partials (count + decimal sum), the
+    same contract as operators/temporal.hourly_rollup_state. Scale:
+    delta-sized join + state-sized merge; the 100 TB history costs
+    nothing per refresh.
+
+    Returns the new state (group_key, n_rows, total).
+    """
+    delta_state = (
+        delta_fact.join(dim, join_key)
+        .groupBy(group_key)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(sum_col).cast("decimal(28,6)")).alias("total"),
+        )
+    )
+    merged = old_state.unionByName(delta_state).groupBy(group_key).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("total").alias("total"),
+    )
+    return merged
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Dedup-aware representative selection: given near-dup components
+    (from operators/clusters.connected_components over a pair graph),
+    keep exactly one document per component — the highest-quality one
+    (ties to the smallest id). Documents in no component keep trivially.
+
+    This is the step after clustering in every production dedup
+    pipeline: clusters say *what* is duplicated, this decides *which
+    copy survives* — by quality, not by accident of id order.
+
+    Scale: left join docs→components (components is the small side —
+    only docs that appear in a dup pair) then one window rank per
+    component (bounded partitions: component size ≤ cluster size).
+    """
+    comp = components.select(
+        F.col("id").alias("cid"), F.col("comp").alias("component")
+    )
+    labeled = docs.join(
+        comp, docs[id_col] == F.col("cid"), "left"
+    ).select(
+        docs[id_col].alias("id"),
+        F.coalesce(F.col("component"), docs[id_col]).alias("component"),
+        F.col(quality_col).cast("bigint").alias("quality"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        "id",
+        "component",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -1,0 +1,469 @@
+"""Dataset-management query surface: deterministic weighted sampling,
+per-key trend fitting, Markov transition matrices, snapshot diffing,
+cross-source quantile normalization, and dedup-aware representative
+selection (operators/datasetops.py), each with an exact DuckDB oracle.
+
+The reference is a civic-data ETL with none of these (SURVEY.md §2);
+they extend the training-data-pipeline families the brief mandates:
+PPS sampling and quantile normalization are the dataset-mixing
+primitives, snapshot diff is the dataset-versioning primitive, and
+representative selection is the keep-decision step downstream of
+dedup clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators import dedup as D
+from data_eng_project_spark.operators.clusters import connected_components, pagerank
+from data_eng_project_spark.operators.datasetops import (
+    chunk_documents,
+    cluster_representatives,
+    fuzzy_name_pairs,
+    groupwise_ols,
+    incremental_join_view_merge,
+    pps_systematic_sample,
+    quantile_normalize,
+    snapshot_diff,
+    transition_matrix,
+)
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.plans.textdata import _NGRAM_CTES, JACCARD_THRESHOLD
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+_PPS_K = 10
+
+
+@register(
+    "pps_sample_by_source",
+    oracle=f"""
+        WITH w AS (
+            SELECT source AS stratum, doc_id AS id,
+                   greatest(n_chars, 1) AS wt
+            FROM documents
+        ), c AS (
+            SELECT stratum, id, wt,
+                   sum(wt) OVER (PARTITION BY stratum ORDER BY id) AS cum
+            FROM w
+        ), t AS (
+            SELECT stratum, sum(wt) AS total FROM w GROUP BY stratum
+        )
+        SELECT c.stratum, c.id, CAST(c.wt AS BIGINT) AS weight,
+               CAST(((c.cum - c.wt) * {_PPS_K}) // t.total + 1 AS BIGINT)
+                   AS pick_index
+        FROM c JOIN t USING (stratum)
+        WHERE (c.cum * {_PPS_K}) // t.total
+              > ((c.cum - c.wt) * {_PPS_K}) // t.total
+    """,
+    tags=("datasetops", "sampling"),
+)
+def pps_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sample, 10 docs per source weighted
+    by length — the standard design for building a fixed-budget
+    inspection/eval subset whose inclusion probability tracks how much
+    of the token budget each document represents. Pure BIGINT
+    arithmetic: no RNG, identical on any engine."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_systematic_sample(
+        docs, weight_col="n_chars", strata_col="source", id_col="doc_id",
+        k_per_stratum=_PPS_K,
+    )
+
+
+@register(
+    "per_user_value_trend",
+    oracle="""
+        WITH x AS (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS x,
+                   CAST(value AS DECIMAL(28,6)) AS y
+            FROM events
+        ), s AS (
+            SELECT user_id, count(*) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x AS DECIMAL(9,0)) * y) AS DOUBLE) AS sxy
+            FROM x GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_obs,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept
+        FROM s WHERE n >= 3
+    """,
+    tags=("datasetops", "regression", "analytics"),
+)
+def per_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value against observation index —
+    grouped regression via the map-side-combinable sufficient-statistics
+    formulation (each group reduces to five exact sums; the closed form
+    runs on the aggregate, never the rows)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return groupwise_ols(
+        events, key_col="user_id", order_cols=["ts", "event_id"],
+        y_col="value", min_n=3,
+    ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH steps AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_state
+            FROM events
+        ), c AS (
+            SELECT from_state, to_state, count(*) AS n_transitions
+            FROM steps WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
+        )
+        SELECT from_state, to_state,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               round(n_transitions
+                     / CAST(sum(n_transitions)
+                            OVER (PARTITION BY from_state) AS DOUBLE),
+                     6) AS prob
+        FROM c
+    """,
+    tags=("datasetops", "behavioral", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    session history: lead() over each user's timeline, then a
+    |states|²-cardinality aggregate — the normalization window runs on
+    the tiny aggregate, not the events."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        events, key_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 97 < 90
+        ), b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 89 < 85
+        ), j AS (
+            SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+                   CASE WHEN a.o_orderkey IS NOT NULL
+                             AND b.o_orderkey IS NOT NULL
+                             AND NOT (a.o_orderstatus
+                                      IS NOT DISTINCT FROM b.o_orderstatus)
+                        THEN 1 ELSE 0 END AS chg_status,
+                   CASE WHEN a.o_orderkey IS NOT NULL
+                             AND b.o_orderkey IS NOT NULL
+                             AND NOT (a.o_totalprice
+                                      IS NOT DISTINCT FROM b.o_totalprice)
+                        THEN 1 ELSE 0 END AS chg_price
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT CASE WHEN ka IS NULL THEN 'added'
+                    WHEN kb IS NULL THEN 'removed'
+                    WHEN chg_status + chg_price > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               count(*) AS n_rows,
+               CAST(sum(chg_status) AS BIGINT) AS n_changed_o_orderstatus,
+               CAST(sum(chg_price) AS BIGINT) AS n_changed_o_totalprice
+        FROM j GROUP BY 1
+    """,
+    tags=("datasetops", "versioning", "cdc"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: two deterministic snapshots of orders
+    (dropped keys, drifted status/price) classified added / removed /
+    changed / unchanged with per-column drift counts — one full-outer
+    join + a 4-row aggregate. The snapshot derivations are test
+    plumbing computed identically on both engines; the operator under
+    test is the null-safe keyed diff."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 97 < 90).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 89 < 85).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        a, b, key_col="o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id AS id, source AS stratum, n_chars AS score
+            FROM documents
+        ), r AS (
+            SELECT id, stratum, score,
+                   row_number() OVER (
+                       PARTITION BY stratum ORDER BY score, id
+                   ) AS src_rank
+            FROM s
+        ), np AS (
+            SELECT stratum, count(*) AS n_s FROM s GROUP BY stratum
+        ), nt AS (
+            SELECT count(*) AS n_total FROM s
+        ), g AS (
+            SELECT row_number() OVER (ORDER BY score, id) AS g_rank,
+                   score AS norm_score
+            FROM s
+        ), tr AS (
+            SELECT r.id, r.stratum, r.score, r.src_rank,
+                   CASE WHEN np.n_s > 1
+                        THEN ((r.src_rank - 1) * (nt.n_total - 1))
+                             // (np.n_s - 1) + 1
+                        ELSE (nt.n_total + 1) // 2 END AS target_rank
+            FROM r JOIN np USING (stratum) CROSS JOIN nt
+        )
+        SELECT tr.id, tr.stratum,
+               CAST(tr.score AS BIGINT) AS score,
+               CAST(tr.src_rank AS BIGINT) AS src_rank,
+               CAST(g.norm_score AS BIGINT) AS norm_score
+        FROM tr JOIN g ON tr.target_rank = g.g_rank
+    """,
+    tags=("datasetops", "normalization", "curation"),
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document score:
+    each document's within-source rank maps onto the global score
+    distribution, making per-source score scales comparable before one
+    global keep-threshold — exact integer empirical-quantile lookup,
+    no floating-point percent_rank anywhere."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs, score_col="n_chars", strata_col="source", id_col="doc_id"
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_CTES},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        lab AS (
+            SELECT d.doc_id AS id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   d.n_chars AS quality
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT id, component, CAST(quality AS BIGINT) AS quality,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY quality DESC, id
+               ) = 1 AS keep
+        FROM lab
+    """,
+    tags=("datasetops", "dedup", "selection"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-decision downstream of dedup clustering: one survivor
+    per near-dup component, chosen by quality (longest doc, ties to
+    smallest id) instead of id-order accident; documents outside any
+    component keep trivially. Composition of the exact-Jaccard pair
+    graph, min-label connected components, and a per-component rank."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    )
+    comps = connected_components(pairs)
+    return cluster_representatives(
+        docs, comps, id_col="doc_id", quality_col="n_chars"
+    )
+
+
+_FUZZY_MAX_DIST = 3
+_CHUNK_W, _CHUNK_S = 50, 40
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        toks AS (
+            SELECT DISTINCT name,
+                   unnest(string_split_regex(trim(name), '\\s+')) AS tok
+            FROM names
+        ),
+        cand AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+        )
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+        FROM cand WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
+    """,
+    tags=("datasetops", "entity-resolution", "fuzzy"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match over the distinct part-name
+    registry: shared-token inverted-index blocking (equi-join, never
+    cross join) then exact Levenshtein verification ≤ 3 — the classic
+    block-then-verify shape, over the engine-native levenshtein (JVM
+    codegen on the Spark side, identical metric on DuckDB)."""
+    prepare(spark)
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(part, "p_name", max_distance=_FUZZY_MAX_DIST)
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id AS id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM documents
+        ), nc AS (
+            SELECT id, toks, n,
+                   CASE WHEN n <= {_CHUNK_W} THEN 1
+                        ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+                        END AS n_chunks
+            FROM t
+        ), c AS (
+            SELECT id, toks, n,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+            FROM nc
+        )
+        SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS start_tok,
+               CAST(least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n) AS BIGINT)
+                   AS end_tok,
+               CAST(least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n)
+                    - chunk_idx * {_CHUNK_S} AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                              least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n)),
+                   ' ')) AS chunk_hash
+        FROM c
+    """,
+    tags=("datasetops", "chunking", "rag"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: 50-token windows advancing by 40
+    (10-token overlap), per-chunk offsets + content hash, all
+    whole-stage-codegen built-ins (split/sequence/explode/slice/md5).
+    The loader-side complement of pack_sequences_chunked (which packs
+    WITHOUT overlap for pretraining; retrieval chunking overlaps so no
+    boundary-spanning answer is lost)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+@register(
+    "incremental_join_view_update",
+    oracle="""
+        SELECT c.c_nationkey AS nation_key,
+               count(*) AS n_rows,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    tags=("datasetops", "ivm", "incremental"),
+)
+def incremental_join_view_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view (revenue per
+    nation over orders ⋈ customer): the Spark side refreshes the view
+    by aggregating ONLY the order delta (keys ≥ the watermark split)
+    joined to the stable dimension and merging mergeable partials with
+    the old state — Δ(A⋈B) = ΔA⋈B with B stable, history never
+    rescanned. The oracle is the full recompute over all orders, so
+    the parity check certifies that delta maintenance and recompute
+    agree exactly."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    old_fact = orders.filter(F.col("o_orderkey") % 101 < 95)
+    delta_fact = orders.filter(F.col("o_orderkey") % 101 >= 95)
+    old_state = (
+        old_fact.join(customer, "o_custkey")
+        .groupBy("nation_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("total"),
+        )
+    )
+    new_state = incremental_join_view_merge(
+        old_state, delta_fact, customer,
+        join_key="o_custkey", group_key="nation_key", sum_col="o_totalprice",
+    )
+    return new_state.select(
+        "nation_key",
+        "n_rows",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+    )
+
+
+@register(
+    "pagerank_dup_docs",
+    oracle=None,  # 10-iteration power method isn't single-pass-SQL
+    # expressible (aggregation inside recursion is rejected by standard
+    # SQL); certified instead by the numpy power-iteration twin test in
+    # tests/test_datasetops.py.
+    tags=("datasetops", "graph", "centrality"),
+)
+def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph — popularity
+    weighting for curation decisions (e.g. the most-connected member of
+    a dup family is the template, its satellites are variants). Fixed
+    10-iteration power method, one join+groupBy per round, zero driver
+    round-trips."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    )
+    ranks = pagerank(pairs)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
