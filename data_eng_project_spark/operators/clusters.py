@@ -170,3 +170,73 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected pair graph — the cluster-cohesion diagnostic for dup
+    graphs: a near-clique dup family has coefficient ≈ 1, a chain of
+    borderline matches ≈ 0, so the coefficient separates "true
+    duplicate families" from "threshold-straddling chains" before any
+    keep-decision is made.
+
+    Triangles are enumerated once each via the ordered-edge join
+    (a<b<c): e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins on the
+    deduplicated edge list, no cross join. On power-law graphs the
+    standard refinement is to orient edges low-degree→high-degree
+    first (node-iterator++), which bounds the join fan-out by
+    arboricity; dup graphs are bounded by cluster size, so the plain
+    ordered join is already safe here.
+
+    Returns (id, degree, n_triangles, clustering_coeff) for every node
+    in ≥1 edge; coefficient is 0 for degree < 2.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(node_tri, "id", "left").select(
+        "id",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -526,3 +526,71 @@ def doc_novelty_scores(
             "novelty_ratio"
         ),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle *containment*:
+    |A∩B| / min(|A|,|B|) ≥ t — the quote/excerpt detector. Jaccard
+    misses a short document wholly contained in a long one (the union
+    term dilutes it); containment is the right metric for "B embeds A",
+    the common case for boilerplate, quotations, and partial scrapes
+    (Broder 1997's resemblance vs containment distinction).
+
+    Candidate generation is the containment adaptation of the PPJoin
+    prefix filter: if |A∩B| ≥ ceil(t·min(|A|,|B|)), the intersection
+    must hit one of the *smaller* set's first |S| − ceil(t·|S|) + 1
+    shingles in global (hashed) order. Since either side may be the
+    smaller, the inverted index joins each doc's prefix against the
+    other side's full set (both directions, deduped) — still an
+    equi-join on shingle hash, never all-pairs; the prefix bound keeps
+    the hot-shingle fan-out at (1−t) of set sizes rather than full
+    sets. Verification is exact via array_intersect on the cached set
+    arrays (see _verified_jaccard for the hashed-shingle exactness
+    note).
+
+    Returns (id_a, id_b, containment), id_a < id_b.
+    """
+    sets = _persist_tracked(_shingle_sets_direct(df, text_col, id_col, n))
+    prefix_len = (
+        F.size("_set")
+        - F.ceil(F.lit(float(threshold)) * F.size("_set")).cast("int")
+        + F.lit(1)
+    )
+    prefix = sets.select(
+        F.col("_id"), F.explode(F.slice("_set", 1, prefix_len)).alias("shingle")
+    )
+    full = sets.select(F.col("_id"), F.explode("_set").alias("shingle"))
+    cand = (
+        prefix.alias("p")
+        .join(full.alias("f"), "shingle")
+        .filter(F.col("p._id") != F.col("f._id"))
+        .select(
+            F.least("p._id", "f._id").alias("id_a"),
+            F.greatest("p._id", "f._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    verified = (
+        cand.join(
+            sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")),
+            on="id_a",
+        )
+        .join(
+            sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")),
+            on="id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(inter / F.least(F.size("_sa"), F.size("_sb")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return verified

@@ -257,3 +257,102 @@ def cusum_hourly_changepoints(
         s.cast("bigint").alias("cusum_scaled"),
         (s.cast("double") > F.lit(h_sigmas) * nsig).alias("alarm"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation's value is
+    weighted by how long it remained current (the gap to the next
+    observation), the standard irregular-sampling mean (TimescaleDB's
+    time_weight with LOCF semantics). The last observation of a key
+    carries no weight — the series ends there.
+
+    Exactness: gaps are integer microseconds, values go through
+    DECIMAL(12,2) (exact for 2-decimal generator values), so the
+    weighted sum is an exact decimal; only the final division is
+    floating point. Keys with <2 observations (no interval) or zero
+    span (all simultaneous) are excluded — a weighted mean over an
+    empty span is undefined, and emitting the raw value would silently
+    change semantics.
+
+    Scale: one lead() window + one groupBy on the same key — the
+    partitioning is reused; each key reduces to two sums.
+
+    Returns (key, n_obs, span_us, twa).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    dt_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    per_row = df.select(
+        F.col(key_col).alias("key"),
+        dt_us.alias("dt_us"),
+        F.col(value_col).cast("decimal(12,2)").alias("v"),
+    )
+    agg = (
+        per_row.groupBy("key")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("dt_us").alias("span_us"),
+            F.sum(F.col("v") * F.col("dt_us").cast("decimal(18,0)")).alias("wsum"),
+        )
+        .filter((F.col("n_obs") >= 2) & (F.col("span_us") > 0))
+    )
+    return agg.select(
+        "key",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("span_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.col("wsum").cast("double") / F.col("span_us").cast("double"), 6
+        ).alias("twa"),
+    )
+
+
+def hourly_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """OHLC candlestick rollup per hour: open/close are the first/last
+    values in event order (deterministic tie-break), high/low the
+    extremes — the classic downsampling shape for dashboards and
+    monitoring over any metric stream, not just prices.
+
+    open/close come from rank-1 rows of two windows over the hour
+    (ascending and descending) rather than min_by/max_by on a struct,
+    so both engines resolve ties identically. No arithmetic touches
+    the values — doubles pass through untouched, so cross-engine
+    comparison is exact.
+
+    Returns (hour_start, n_events, open, high, low, close).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    base = df.select(
+        hour.alias("hour_start"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_tiebreak).alias("_tb"),
+        F.col(value_col).alias("v"),
+    )
+    asc = Window.partitionBy("hour_start").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    desc = Window.partitionBy("hour_start").orderBy(
+        F.col("_ts").desc(), F.col("_tb").desc()
+    )
+    ranked = base.select(
+        "hour_start",
+        "v",
+        F.row_number().over(asc).alias("_ra"),
+        F.row_number().over(desc).alias("_rd"),
+    )
+    return ranked.groupBy("hour_start").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("_ra") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
+    )

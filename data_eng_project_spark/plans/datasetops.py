@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators import dedup as D
-from data_eng_project_spark.operators.clusters import connected_components, pagerank
+from data_eng_project_spark.operators.clusters import (
+    connected_components,
+    pagerank,
+    triangle_stats,
+)
 from data_eng_project_spark.operators.datasetops import (
     chunk_documents,
     cluster_representatives,
@@ -467,3 +471,81 @@ def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+_CONTAINMENT_T = 0.8
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+        WITH {_NGRAM_CTES}
+        SELECT id_a, id_b,
+               round(i / least(na.n, nb.n), 6) AS containment
+        FROM inter
+        JOIN sz na ON na.doc_id = id_a
+        JOIN sz nb ON nb.doc_id = id_b
+        WHERE round(i / least(na.n, nb.n), 6) >= {_CONTAINMENT_T}
+    """,
+    tags=("datasetops", "dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle containment
+    |A∩B|/min(|A|,|B|) ≥ 0.8 — catches a short document embedded in a
+    long one, which Jaccard's union term dilutes below threshold
+    (Broder's resemblance-vs-containment distinction; the quote /
+    boilerplate / partial-scrape detector). Prefix-filtered inverted
+    index, exact array_intersect verify (operators/dedup.py)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=_CONTAINMENT_T
+    )
+
+
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+        WITH {_NGRAM_CTES},
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tn AS (
+            SELECT id, count(*) AS n_tri FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY id
+        ),
+        deg AS (
+            SELECT id, count(*) AS degree FROM (
+                SELECT id_a AS id FROM pairs
+                UNION ALL SELECT id_b FROM pairs
+            ) GROUP BY id
+        )
+        SELECT deg.id, CAST(degree AS BIGINT) AS degree,
+               CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN degree >= 2
+                          THEN 2.0 * coalesce(n_tri, 0)
+                               / (degree * (degree - 1))
+                          ELSE 0.0 END, 6) AS clustering_coeff
+        FROM deg LEFT JOIN tn ON deg.id = tn.id
+    """,
+    tags=("datasetops", "graph", "triangles"),
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the near-dup
+    pair graph: separates true duplicate families (near-cliques,
+    coefficient ≈ 1) from threshold-straddling chains (coefficient ≈ 0)
+    before any keep-decision. Ordered-edge join enumeration — each
+    triangle found exactly once, no cross join."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    )
+    return triangle_stats(pairs)

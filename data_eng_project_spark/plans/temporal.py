@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_eng_project_spark.operators.temporal import asof_join, range_pairs
+from data_eng_project_spark.operators.temporal import (
+    asof_join,
+    hourly_ohlc,
+    range_pairs,
+    time_weighted_avg,
+)
 from data_eng_project_spark.plans.registry import register
 from data_eng_project_spark.session import prepare
 from data_eng_project_spark.tables import load_table
@@ -139,3 +144,74 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = hourly_rollup_state(events.filter(F.col("event_id") % 2 == 0))
     new_batch = hourly_rollup_state(events.filter(F.col("event_id") % 2 == 1))
     return finalize_rollup(merge_rollup_states(history, new_batch))
+
+
+@register(
+    "time_weighted_avg_user",
+    oracle="""
+        WITH p AS (
+            SELECT user_id AS key,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) - epoch_us(ts) AS dt_us,
+                   CAST(value AS DECIMAL(12,2)) AS v
+            FROM events
+        ), a AS (
+            SELECT key, count(*) AS n_obs, sum(dt_us) AS span_us,
+                   sum(v * CAST(dt_us AS DECIMAL(18,0))) AS wsum
+            FROM p GROUP BY key
+        )
+        SELECT key AS user_id,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(span_us AS BIGINT) AS span_us,
+               round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 6) AS twa
+        FROM a WHERE n_obs >= 2 AND span_us > 0
+    """,
+    tags=("temporal", "timeseries", "twa"),
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of event value (irregular-sampling
+    mean: each value weighted by how long it stayed current — the
+    TimescaleDB time_weight shape). Exact decimal×microsecond weighted
+    sums; only the final division is floating point."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        order_tiebreak="event_id",
+    ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "events_hourly_ohlc",
+    oracle="""
+        WITH r AS (
+            SELECT date_trunc('hour', ts) AS hour_start, value AS v,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS ra,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rd
+            FROM events
+        )
+        SELECT hour_start, CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN ra = 1 THEN v END) AS open,
+               max(v) AS high, min(v) AS low,
+               max(CASE WHEN rd = 1 THEN v END) AS close
+        FROM r GROUP BY hour_start
+    """,
+    tags=("temporal", "timeseries", "ohlc"),
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks over the event value stream — classic
+    monitoring downsample. Open/close resolved by rank-1 rows of
+    deterministic asc/desc windows (identical tie handling on both
+    engines); values pass through with no arithmetic."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return hourly_ohlc(
+        events, ts_col="ts", value_col="value", order_tiebreak="event_id"
+    )

@@ -235,3 +235,80 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in nodes:
         assert got[node] == pytest.approx(r[idx[node]], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from data_eng_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"          # 4 3-gram shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words only here nothing shared")],
+        "doc_id long, text string",
+    )
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)  # diluted
+    cont = ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.8)
+    rows = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
+    assert rows.get((1, 2)) == pytest.approx(1.0)  # short fully contained
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in rows)
+
+
+def test_triangle_stats_known_graph(spark):
+    from data_eng_project_spark.operators.clusters import triangle_stats
+
+    # triangle 0-1-2 plus pendant 3 hanging off 2
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r for r in triangle_stats(df).collect()}
+    assert got[0]["n_triangles"] == 1 and got[1]["n_triangles"] == 1
+    assert got[2]["n_triangles"] == 1 and got[3]["n_triangles"] == 0
+    assert got[0]["clustering_coeff"] == pytest.approx(1.0)   # deg 2, 1 tri
+    assert got[2]["clustering_coeff"] == pytest.approx(1 / 3)  # deg 3, 1 of 3
+    assert got[3]["clustering_coeff"] == 0.0                   # deg 1
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 10.0),                                  # holds 60 s
+        (1, 2, t0 + dt.timedelta(seconds=60), 20.0),       # holds 30 s
+        (1, 3, t0 + dt.timedelta(seconds=90), 99.0),       # last: no weight
+        (2, 4, t0, 5.0),                                   # single obs: drop
+    ]
+    df = spark.createDataFrame(rows, "user long, eid long, ts timestamp, v double")
+    out = time_weighted_avg(df, "user", "ts", "v", "eid").collect()
+    assert len(out) == 1 and out[0]["key"] == 1
+    # (10*60 + 20*30) / 90 = 1200/90
+    assert out[0]["twa"] == pytest.approx(1200 / 90, abs=1e-6)
+    assert out[0]["span_us"] == 90_000_000
+
+
+def test_hourly_ohlc_with_ties(spark):
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import hourly_ohlc
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 5.0),
+        (2, t0, 4.0),          # same ts as event 1: open resolves by eid → 5.0
+        (3, t0 + dt.timedelta(minutes=30), 9.0),
+        (4, t0 + dt.timedelta(minutes=59), 2.0),
+        (5, t0 + dt.timedelta(hours=1), 7.0),  # next hour
+    ]
+    df = spark.createDataFrame(rows, "eid long, ts timestamp, v double")
+    got = {r["hour_start"]: r for r in hourly_ohlc(df, "ts", "v", "eid").collect()}
+    h0 = got[t0]
+    assert (h0["open"], h0["high"], h0["low"], h0["close"]) == (5.0, 9.0, 2.0, 2.0)
+    assert h0["n_events"] == 4
+    h1 = got[t0 + dt.timedelta(hours=1)]
+    assert (h1["open"], h1["close"]) == (7.0, 7.0)
