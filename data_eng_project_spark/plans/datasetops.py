@@ -13,7 +13,7 @@ dedup clustering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators import dedup as D
@@ -549,3 +549,57 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
     )
     return triangle_stats(pairs)
+
+
+@register(
+    "knn_label_propagation",
+    oracle=None,  # exact k-NN needs the full bipartite product, which
+    # only the GEMM-blocked path evaluates scale-safely; its 6-dp
+    # rounding can disagree with a sequential-SQL fold by one ulp at a
+    # rounding boundary, so this is certified by the exact numpy twin
+    # test (tests/test_datasetops.py) instead of a DuckDB oracle — the
+    # same posture as embedding_dup_pairs_blocked.
+    tags=("datasetops", "similarity", "semi-supervised"),
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: labels of every 5th embedding
+    are withheld, then predicted as the majority label of its k=5
+    nearest labeled neighbors (cosine, GEMM-blocked bipartite k-NN —
+    operators/similarity.knn_join_blocked). Ties break to the smallest
+    label. Output carries the withheld truth so accuracy is a single
+    downstream aggregate — the auto-labeling primitive for extending a
+    small labeled seed set across a large corpus."""
+    prepare(spark)
+    from data_eng_project_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hidden = emb.filter(F.col("vec_id") % 5 == 0)
+    labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    knn = knn_join_blocked(
+        hidden.select("vec_id", "embedding"),
+        labeled.select("vec_id", "embedding"),
+        k=5,
+    )
+    votes = (
+        knn.join(
+            labeled.select(F.col("vec_id").alias("cid"), F.col("label")), "cid"
+        )
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("qid").alias("vec_id"), F.col("label").alias("predicted"))
+    )
+    return pred.join(
+        hidden.select("vec_id", F.col("label").alias("actual")), "vec_id"
+    ).select(
+        "vec_id",
+        F.col("predicted").cast("bigint").alias("predicted"),
+        F.col("actual").cast("bigint").alias("actual"),
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )

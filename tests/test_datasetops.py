@@ -312,3 +312,50 @@ def test_hourly_ohlc_with_ties(spark):
     assert h0["n_events"] == 4
     h1 = got[t0 + dt.timedelta(hours=1)]
     assert (h1["open"], h1["close"]) == (7.0, 7.0)
+
+
+def test_knn_join_blocked_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from data_eng_project_spark.operators.similarity import knn_join_blocked
+
+    rng = np.random.default_rng(7)
+    qv = rng.normal(size=(23, 16)).astype(float)
+    cv = rng.normal(size=(157, 16)).astype(float)
+    q = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qv)], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(1000 + i, v.tolist()) for i, v in enumerate(cv)],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_join_blocked(q, c, k=5).collect()
+
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    cn = cv / np.linalg.norm(cv, axis=1, keepdims=True)
+    S = qn @ cn.T
+    S = np.where(S >= 0, np.floor(S * 1e6 + 0.5), np.ceil(S * 1e6 - 0.5)) / 1e6
+    for qi in range(len(qv)):
+        # expected top-5: cosine desc, corpus id asc on ties
+        order = sorted(range(len(cv)), key=lambda j: (-S[qi, j], 1000 + j))[:5]
+        want = [(1000 + j, S[qi, j]) for j in order]
+        rows = sorted((r for r in got if r["qid"] == qi), key=lambda r: r["rank"])
+        assert [(r["cid"], r["cosine"]) for r in rows] == [
+            (cid, pytest.approx(cos, abs=1e-12)) for cid, cos in want
+        ]
+
+
+def test_knn_label_propagation_runs_and_is_complete(spark, sf_dir):
+    from data_eng_project_spark.plans import REGISTRY
+
+    out = REGISTRY["knn_label_propagation"].fn(spark, sf_dir)
+    rows = out.collect()
+    import duckdb
+
+    n_hidden = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet' WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_hidden           # every withheld point predicted
+    assert all(r["predicted"] is not None for r in rows)
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert 0.0 <= acc <= 1.0
