@@ -30,6 +30,7 @@ from data_eng_project_spark.plans import flagship  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401
 from data_eng_project_spark.plans import temporal  # noqa: E402,F401
 from data_eng_project_spark.plans import textdata  # noqa: E402,F401
+from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 
 # The driver grades exactly the first 50 registry entries (confirmed in
 # round 1: list(queries())[:50] was the checked set, and rows-only entries

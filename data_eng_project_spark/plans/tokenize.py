@@ -1,0 +1,115 @@
+"""Subword-tokenizer plans: the distributed BPE training statistic
+(oracle-checked) and fitted-vocabulary encoding statistics.
+
+The reference never tokenizes (``dags/global_dag.py`` is row-level
+civic-data ETL); this family serves the training-data-pipeline mandate —
+token budgets and packing consume real subword counts, not the regex
+proxy in plans/textdata.token_counts. Fitting follows the
+sample-the-statistic pattern (operators/tokenizer.py docstring): the
+word-frequency table is the sufficient statistic and is vocabulary-
+sized, so the sequential merge loop runs driver-side while everything
+corpus-sized stays distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.tokenizer import (
+    adjacent_pair_counts,
+    bpe_encode_stats,
+    bpe_fit_distributed,
+    word_frequencies,
+)
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS word
+            FROM documents
+        ), wf AS (
+            SELECT word, count(*) AS freq FROM words GROUP BY word
+        ), pos AS (
+            SELECT word, freq, unnest(range(1, length(word))) AS i
+            FROM wf WHERE length(word) >= 2
+        ), pairs AS (
+            SELECT substr(word, i, 1) AS lhs,
+                   substr(word, i + 1, 1) AS rhs,
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM pos GROUP BY 1, 2
+        )
+        SELECT lhs, rhs, pair_count
+        FROM pairs
+        ORDER BY pair_count DESC, lhs ASC, rhs ASC
+        LIMIT 50
+    """,
+    tags=("tokenizer", "textdata", "statistics"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs weighted by word frequency — one
+    full iteration of the BPE training statistic, computed corpus-wide
+    in DataFrame algebra and certified against the SQL twin. The greedy
+    fit (operators/tokenizer.bpe_fit) consumes exactly this table shape
+    per merge round."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        adjacent_pair_counts(docs)
+        .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "bpe_word_frequencies",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS word
+            FROM documents
+        )
+        SELECT word, count(*) AS freq
+        FROM words GROUP BY word
+        ORDER BY freq DESC, word ASC
+        LIMIT 100
+    """,
+    tags=("tokenizer", "textdata", "statistics"),
+)
+def bpe_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 rows of the word-frequency table the driver-side BPE fit
+    collects — certifying the distributed half of fitting (the collect
+    cap is deterministic: freq desc, word asc)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        word_frequencies(docs)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "bpe_encode_corpus_stats",
+    oracle=None,  # fit is a driver-side greedy loop — no SQL twin; exact
+    # pure-Python-twin parity is pytest-checked (tests/test_tokenizer.py)
+    tags=("tokenizer", "textdata", "curation"),
+)
+def bpe_encode_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a 200-merge BPE vocabulary on the corpus word-frequency
+    statistic, then encode every document distributed (Arrow batches,
+    memoized word→pieces): per-doc subword counts, compression, and
+    OOV-pressure. Deterministic end-to-end (tie-breaks are total in both
+    the fit and the stats)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit_distributed(docs, n_merges=200, max_words=20000)
+    return bpe_encode_stats(docs, merges).orderBy("doc_id")
