@@ -1,0 +1,158 @@
+"""Distributed linear algebra over embedding columns: one-pass moment
+statistics, PCA fitting, projection, and whitening.
+
+The reference has no embedding math at all (its ETL is civic-data
+pandas, SURVEY.md §2); this family serves the training-data-pipeline
+mandate — dimensionality reduction before clustering (SemDeDup's
+centroids live in a reduced space in the original paper) and whitening
+before cosine-similarity dedup are standard corpus-curation stages.
+
+Scale shape (the same fit-small/apply-distributed split as IVF and the
+BPE tokenizer):
+
+- **Moments** (`moment_partials` → `fit_pca`): each Arrow partition
+  computes (n, Σx, XᵀX) with one BLAS GEMM — O(rows·d²) flops but only
+  ONE output row per partition (d + d² doubles), so the driver collect
+  is #partitions-sized, never corpus-sized. This is the textbook
+  tree-aggregation of a second moment; at 100 TB with d=1024 each
+  partial is ~8 MB and 10⁴ partitions stream through the driver fine
+  (or fold through an intermediate repartition if not).
+- **Eigendecomposition** runs on the d×d covariance on the driver —
+  microseconds, not a distributed problem.
+- **Projection / whitening** broadcasts the (d×k) component matrix in
+  the task closure and GEMMs each Arrow batch — embarrassingly
+  parallel, zero shuffle.
+
+Determinism: partials are summed in partition-id order, `numpy.linalg.
+eigh` is deterministic, and each eigenvector's sign is canonicalized
+(largest-|coordinate| made positive), so repeated runs and both sides
+of a test twin agree bit-for-bit at fixed partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def moment_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-partition (n, Σx, flattened XᵀX) — one GEMM per Arrow batch.
+    Output has one row per non-empty input partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        m = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            m = g if m is None else m + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(
+        batches, schema="n long, s array<double>, m array<double>"
+    )
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA from the one-pass moment statistic: returns
+    (mean[d], components[k,d], eigenvalues[k]) — eigenvalues sorted
+    descending, eigenvector signs canonicalized."""
+    rows = moment_partials(df, vec_col).collect()
+    if not rows:
+        raise ValueError("fit_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    m = np.zeros((d, d))
+    for r in rows:  # summed driver-side in deterministic row order
+        s += np.asarray(r["s"])
+        m += np.asarray(r["m"]).reshape(d, d)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # Sign canonicalization: largest-|coordinate| positive per component.
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pc",
+    eigenvalues: np.ndarray | None = None,
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """(id, pc array<double>): centered GEMM projection per Arrow batch;
+    with ``whiten`` each component is scaled to unit variance
+    (1/√eigenvalue) — the ZCA-precursor form curation pipelines use
+    before cosine thresholds."""
+    w = components.T.copy()  # (d, k)
+    if whiten:
+        if eigenvalues is None:
+            raise ValueError("whiten=True requires eigenvalues")
+        w = w / np.sqrt(eigenvalues + eps)[None, :]
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mu
+            p = x @ w
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, schema=f"{id_col} long, {out_col} array<double>"
+    )
+
+
+def pca_variance_report(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> DataFrame:
+    """(component, eigenvalue, explained_pct, cumulative_pct) — the scree
+    table. Distributed moment pass + driver eigh; result is k rows."""
+    rows = moment_partials(df, vec_col).collect()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    m = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        m += np.asarray(r["m"]).reshape(d, d)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = float(evals.sum())
+    out = []
+    cum = 0.0
+    for i in range(min(k, d)):
+        ev = float(max(evals[i], 0.0))
+        cum += ev
+        out.append((i + 1, round(ev, 6), round(ev / total, 6), round(cum / total, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, schema="component int, eigenvalue double, explained_pct double, cumulative_pct double"
+    )

@@ -1,0 +1,53 @@
+"""Embedding linear-algebra plans: PCA scree and projection over the
+embeddings table (operators/linalg.py). Rows-only at the driver — the
+eigendecomposition has no SQL twin — with exact numpy-twin parity and
+moment/variance invariants pytest-checked (tests/test_linalg.py); the
+covariance statistic they consume IS oracle-certified separately
+(plans/textdata.embedding_covariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.linalg import fit_pca, pca_variance_report, project
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+
+@register(
+    "embedding_pca_scree",
+    oracle=None,  # driver-side eigh; covariance input is oracle-checked
+    tags=("embedding", "linalg", "pca"),
+)
+def embedding_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 eigenvalues of the embedding covariance with explained /
+    cumulative variance — the scree table a curation pipeline reads
+    before choosing a reduced dimension."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_variance_report(emb, k=8)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # projection of a driver-fit basis; numpy-twin pytest
+    tags=("embedding", "linalg", "pca"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-4 principal components
+    (centered GEMM per Arrow batch, zero shuffle): (vec_id, pc1..pc4),
+    rounded 6 dp under the canonical component signs so repeated runs
+    are bit-stable."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = fit_pca(emb, k=4)
+    proj = project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pc", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    ).orderBy("vec_id")

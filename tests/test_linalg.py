@@ -1,0 +1,77 @@
+"""PCA over embeddings: distributed moment fit vs exact numpy twin,
+projection variance/orthonormality invariants, whitening."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_eng_project_spark.operators.linalg import (
+    fit_pca,
+    moment_partials,
+    pca_variance_report,
+    project,
+)
+from data_eng_project_spark.tables import load_table
+
+
+def _collect_matrix(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return emb, np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    emb, x = _collect_matrix(spark, sf_dir)
+    parts = moment_partials(emb).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    m = np.sum([np.array(r["m"]).reshape(x.shape[1], -1) for r in parts], axis=0)
+    assert n == x.shape[0]
+    np.testing.assert_allclose(s, x.sum(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(m, x.T @ x, rtol=1e-10)
+
+
+def test_fit_matches_numpy_eigh(spark, sf_dir):
+    emb, x = _collect_matrix(spark, sf_dir)
+    mean, comps, evals = fit_pca(emb, k=6)
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-12)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ref_evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:6]
+    np.testing.assert_allclose(evals, ref_evals, rtol=1e-8)
+    # components orthonormal and actual eigenvectors of cov
+    np.testing.assert_allclose(comps @ comps.T, np.eye(6), atol=1e-10)
+    for i in range(6):
+        np.testing.assert_allclose(cov @ comps[i], evals[i] * comps[i], atol=1e-8)
+
+
+def test_projection_variance_equals_eigenvalues(spark, sf_dir):
+    emb, x = _collect_matrix(spark, sf_dir)
+    mean, comps, evals = fit_pca(emb, k=4)
+    proj = project(emb, mean, comps)
+    p = np.array(
+        [r["pc"] for r in sorted(proj.collect(), key=lambda r: r["vec_id"])]
+    )
+    np.testing.assert_allclose(p.mean(axis=0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(p.var(axis=0), evals, rtol=1e-8)
+    # distributed projection == numpy projection
+    np.testing.assert_allclose(p, (x - x.mean(axis=0)) @ comps.T, atol=1e-9)
+
+
+def test_whitening_unit_variance(spark, sf_dir):
+    emb, _ = _collect_matrix(spark, sf_dir)
+    mean, comps, evals = fit_pca(emb, k=4)
+    white = project(emb, mean, comps, eigenvalues=evals, whiten=True)
+    p = np.array([r["pc"] for r in white.collect()])
+    np.testing.assert_allclose(p.var(axis=0), 1.0, rtol=1e-6)
+
+
+def test_scree_table_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pca_variance_report(emb, k=8).collect()
+    assert [r["component"] for r in rows] == list(range(1, 9))
+    evs = [r["eigenvalue"] for r in rows]
+    assert evs == sorted(evs, reverse=True)
+    cums = [r["cumulative_pct"] for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1.0 + 1e-9
