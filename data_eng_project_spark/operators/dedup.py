@@ -594,3 +594,62 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", "containment")
     )
     return verified
+
+
+def fingerprint_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str = "id",
+    n_bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Generic pigeonhole band join over any 64-bit fingerprint column
+    (SimHash, pHash, audio prints): pairs within Hamming distance
+    ``max_hamming``, found exactly — with ``n_bands`` equal slices any
+    pair differing in ≤ n_bands−1 bits agrees on ≥1 whole band, so the
+    per-band equi-join misses nothing as long as
+    ``max_hamming ≤ n_bands − 1`` (asserted). Verification is an exact
+    popcount on candidates. Same shape as simhash_pairs' quarter split,
+    parameterized for wider radii; at 100 TB the band rows are
+    (n_bands×) the corpus and the join is an equi-shuffle, never
+    all-pairs.
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs bands > hamming"
+    assert 64 % n_bands == 0, "64-bit fingerprints split into equal bands only"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    rows = fp.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "_fp", "s.band", "s.bv")
+    cand = (
+        rows.alias("x")
+        .join(rows.alias("y"), on=["band", "bv"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x._fp").alias("fp_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("y._fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

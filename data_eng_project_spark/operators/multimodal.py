@@ -639,3 +639,95 @@ def extract_audio_spectrum(media_df: DataFrame, n_fft: int = 1024) -> DataFrame:
             "dominant_share double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) — the image-modality near-duplicate
+# detector, closing the dedup matrix across modalities (text: MinHash/
+# SimHash/Jaccard in operators/dedup.py; embeddings: SemDeDup/cosine in
+# operators/similarity.py). Classic DCT pHash (Zauner 2010, "Implementation
+# and Benchmarking of Perceptual Image Hash Functions"): grayscale →
+# 32×32 bilinear resample → 2-D DCT-II → low-frequency 8×8 block minus DC
+# → median-threshold → 64-bit fingerprint. Small pixel edits move few
+# low-frequency coefficients, so near-duplicate images land within a small
+# Hamming radius; candidate pairs come from the same pigeonhole band join
+# the SimHash path uses — never all-pairs.
+
+
+def _dct_basis(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (n×n): B @ x applies the 1-D DCT."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    b = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    b[0] /= np.sqrt(2.0)
+    return b
+
+
+def phash_image(img: "np.ndarray", basis: "np.ndarray" | None = None) -> int:
+    """64-bit DCT perceptual hash of one h×w×3 uint8 image."""
+    if basis is None:
+        basis = _dct_basis(32)
+    gray = (
+        0.299 * img[..., 0].astype(np.float64)
+        + 0.587 * img[..., 1].astype(np.float64)
+        + 0.114 * img[..., 2].astype(np.float64)
+    )
+    small = bilinear_resize(
+        np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8), 32, 32
+    )[..., 0].astype(np.float64)
+    coef = basis @ small @ basis.T  # 2-D DCT-II
+    block = coef[:8, :8].reshape(-1)[1:]  # 63 low-freq ACs, DC dropped
+    med = float(np.median(block))
+    bits = block > med
+    h = 0
+    for idx in np.nonzero(bits)[0]:
+        h |= 1 << int(idx)
+    return h
+
+
+def phash_images(media_df: DataFrame) -> DataFrame:
+    """(doc_id, phash long) over raw-RGB payloads — decode + DCT per
+    Arrow batch, basis matrix built once per partition. Zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        basis = _dct_basis(32)
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_raw_image(bytes(pl))
+                ids.append(doc_id)
+                hashes.append(phash_image(img, basis))
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media_df.mapInPandas(batches, schema="doc_id long, phash long")
+
+
+def attach_noise_grouped_images(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 100, noise_pixels: int = 4
+) -> DataFrame:
+    """Mint near-duplicate test images: rows sharing ``doc_id % groups``
+    get the same seeded random base image, then ``noise_pixels`` pixels
+    are perturbed per individual id — same-group pairs are perceptual
+    near-dups, cross-group pairs are unrelated noise. Executor-side via
+    mapInPandas like the other attach_* fakes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % groups
+                w = 40 + g % 17
+                h = 40 + g % 13
+                rng = np.random.RandomState(1000 + g)
+                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                jit = np.random.RandomState(int(doc_id))
+                for _ in range(noise_pixels):
+                    y, x = jit.randint(0, h), jit.randint(0, w)
+                    img[y, x] = jit.randint(0, 256, size=3)
+                ids.append(doc_id)
+                payloads.append(encode_raw_image(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")

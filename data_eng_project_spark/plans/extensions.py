@@ -298,3 +298,33 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = load_table(spark, sf_dir, "nation")
     agg = static_enrich_counts_stream(stream, customers, nations)
     return run_available_now(agg, f"mem_enrich_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "multimodal_phash_dups",
+    oracle=None,  # DCT over minted pixels has no SQL twin; hash physics
+    # (noise invariance, cross-group separation, band-join exactness)
+    # are pinned by tests/test_multimodal_phash.py
+    tags=("multimodal", "image", "dedup"),
+)
+def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: mint noise-grouped
+    raw-RGB images (same-group = same base picture with a few pixels
+    perturbed), DCT-pHash each in Arrow batches, then find all pairs
+    within Hamming ≤ 6 via the generic pigeonhole band join — the
+    image-modality column of the dedup matrix. Scale: hashing is
+    map-only; candidates come from an 8-band equi-join, never
+    all-pairs."""
+    from data_eng_project_spark.operators.dedup import fingerprint_hamming_pairs
+    from data_eng_project_spark.operators.multimodal import (
+        attach_noise_grouped_images,
+        phash_images,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = phash_images(attach_noise_grouped_images(docs, groups=100))
+    return (
+        fingerprint_hamming_pairs(fp, "phash", id_col="doc_id", n_bands=8, max_hamming=6)
+        .orderBy("id_a", "id_b")
+    )

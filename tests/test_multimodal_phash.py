@@ -1,0 +1,62 @@
+"""DCT perceptual hash: noise invariance, group separation, and the
+pigeonhole band join's exactness against brute-force Hamming."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_eng_project_spark.operators.dedup import fingerprint_hamming_pairs
+from data_eng_project_spark.operators.multimodal import (
+    attach_noise_grouped_images,
+    phash_image,
+    phash_images,
+)
+from data_eng_project_spark.tables import load_table
+
+
+def test_phash_invariant_to_small_noise_and_resize():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    h0 = phash_image(img)
+    # a few perturbed pixels barely move low-frequency DCT coefficients
+    noisy = img.copy()
+    for _ in range(5):
+        noisy[rng.randint(48), rng.randint(64)] = rng.randint(0, 256, size=3)
+    assert bin(h0 ^ phash_image(noisy)).count("1") <= 6
+    # unrelated image is far away
+    other = np.random.RandomState(8).randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    assert bin(h0 ^ phash_image(other)).count("1") >= 16
+
+
+def test_phash_pairs_find_groups_exactly(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = phash_images(attach_noise_grouped_images(docs, groups=40))
+    pairs = fingerprint_hamming_pairs(
+        fp, "phash", id_col="doc_id", n_bands=8, max_hamming=6
+    ).collect()
+    # every reported pair is same-group (no cross-group false positives
+    # at this radius), and the band join is EXACT vs brute force
+    hashes = {r["doc_id"]: r["phash"] for r in fp.collect()}
+    ids = sorted(hashes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 6
+    }
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == brute
+    assert len(got) > 0
+    assert all(a % 40 == b % 40 for a, b in got)
+
+
+def test_same_group_pairs_recalled(spark, sf_dir):
+    """Same-base images with a few perturbed pixels must be detected."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(80)
+    fp = phash_images(attach_noise_grouped_images(docs, groups=10))
+    pairs = fingerprint_hamming_pairs(
+        fp, "phash", id_col="doc_id", n_bands=8, max_hamming=6
+    ).count()
+    # 80 docs over 10 groups -> 8 per group -> 28 pairs per group ideal;
+    # demand the overwhelming majority despite pixel noise
+    assert pairs >= 200
