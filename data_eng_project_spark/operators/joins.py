@@ -57,3 +57,77 @@ def upsert_anti_join(
     dedup new rows on the key, then keep only keys absent from existing."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     return new.dropDuplicates(key_list).join(existing, on=key_list, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning (Bloom 1970; the DataFrame-algebra form of
+# Spark's own runtime row-level filtering). Spark injects these filters
+# automatically only under narrow plan shapes; building one explicitly in
+# the dataflow makes the pruning portable, oracle-checkable, and tunable.
+# Cross-engine-reproducible hashing (md5 prefix → integer, the same bridge
+# operators/textops.feature_hash_doc_vectors uses), 32-bit words in BIGINT
+# so shifts never touch the sign bit on either engine.
+
+BLOOM_BITS = 1 << 16  # 65,536 bits — ~8 KB; scale with build-side NDV
+BLOOM_WORDS = BLOOM_BITS // 32
+BLOOM_SEEDS = 3
+
+
+def _bloom_hash(key: Column, seed: int) -> Column:
+    """Seeded 32-bit hash of a key column: md5 of 'key#seed', first 8 hex
+    digits, mod the filter width. Identical strings hash identically on
+    any engine with md5."""
+    s = F.concat_ws("#", key.cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % BLOOM_BITS
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx int, word bigint): the Bloom bitset over the build-side
+    key set, as ≤``BLOOM_WORDS`` rows — one distinct + one explode + one
+    bit_or aggregate. At any scale this output is ~8 KB and broadcasts."""
+    k = F.col(key_col)
+    bits = keys.select(k).distinct().select(
+        F.explode(
+            F.array(*[_bloom_hash(k, j).alias(f"h{j}") for j in range(BLOOM_SEEDS)])
+        ).alias("idx")
+    )
+    return (
+        bits.select(
+            (F.col("idx") / 32).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe_keys(probe: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Tag each distinct probe key with ``bloom_pass``: true iff every
+    seeded bit is set. The bitset joins by word index with an explicit
+    broadcast — the big side never shuffles, which is the entire point
+    of the operator at 100 TB: the filter rides to the data."""
+    k = F.col(key_col)
+    exploded = probe.select(k).distinct().select(
+        key_col,
+        F.explode(
+            F.array(*[_bloom_hash(k, j).alias(f"h{j}") for j in range(BLOOM_SEEDS)])
+        ).alias("idx"),
+    ).select(
+        key_col,
+        (F.col("idx") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    hit = (
+        exploded.join(F.broadcast(bloom), on="word_idx", how="left")
+        .withColumn(
+            "bit_set",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))) != 0,
+        )
+        .groupBy(key_col)
+        .agg(F.bool_and("bit_set").alias("bloom_pass"))
+    )
+    return hit

@@ -328,3 +328,105 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_hamming_pairs(fp, "phash", id_col="doc_id", n_bands=8, max_hamming=6)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "bloom_join_prune_stats",
+    oracle="""
+        WITH build AS (
+            SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), seeds AS (
+            SELECT unnest(range(0, 3)) AS j
+        ), build_idx AS (
+            SELECT CAST(list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                             substr(md5(CAST(key AS VARCHAR) || '#'
+                                        || CAST(j AS VARCHAR)), i, 1)) - 1)
+                            * 16 ** (8 - i))) AS BIGINT) % 65536 AS idx
+            FROM build CROSS JOIN seeds
+        ), words AS (
+            SELECT CAST(idx // 32 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS word
+            FROM build_idx GROUP BY 1
+        ), probe_keys AS (
+            SELECT DISTINCT l_orderkey AS key FROM lineitem
+        ), probe_idx AS (
+            SELECT key,
+                   CAST(list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                             substr(md5(CAST(key AS VARCHAR) || '#'
+                                        || CAST(j AS VARCHAR)), i, 1)) - 1)
+                            * 16 ** (8 - i))) AS BIGINT) % 65536 AS idx
+            FROM probe_keys CROSS JOIN seeds
+        ), tagged AS (
+            SELECT p.key,
+                   bool_and((coalesce(w.word, 0)
+                             & (CAST(1 AS BIGINT) << CAST(p.idx % 32 AS INT)))
+                            <> 0) AS bloom_pass
+            FROM probe_idx p
+            LEFT JOIN words w ON CAST(p.idx // 32 AS INT) = w.word_idx
+            GROUP BY p.key
+        ), truth AS (
+            SELECT t.key, t.bloom_pass, (b.key IS NOT NULL) AS is_true
+            FROM tagged t LEFT JOIN build b ON t.key = b.key
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_neg,
+               round(CAST(sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / nullif(count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0),
+                     6) + 0.0 AS fp_rate
+        FROM truth
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning, measured: build an 8 KB bitset
+    over urgent-order keys (operators/joins.bloom_build), probe every
+    distinct lineitem key map-side via a broadcast word-index join, then
+    score the filter against exact truth — false negatives MUST be zero
+    (Bloom guarantee, oracle-checked), false positives are the tunable
+    cost. The big side never shuffles; this is the dataflow form of
+    Spark's runtime row-level filtering, made portable and testable."""
+    from data_eng_project_spark.operators.joins import bloom_build, bloom_probe_keys
+
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build_keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(build_keys, "key")
+    tagged = bloom_probe_keys(
+        lineitem.select(F.col("l_orderkey").alias("key")), "key", bloom
+    )
+    truth = tagged.join(
+        build_keys.withColumn("is_true", F.lit(True)), on="key", how="left"
+    ).withColumn("is_true", F.coalesce("is_true", F.lit(False)))
+    fp = F.sum(F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0))
+    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        n_true.alias("n_true"),
+        fp.alias("n_false_pos"),
+        F.sum(F.when(F.col("is_true") & ~F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_false_neg"
+        ),
+        (
+            F.round(
+                fp.cast("double")
+                / F.when(F.count(F.lit(1)) - n_true != 0, F.count(F.lit(1)) - n_true),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fp_rate"),
+    )
