@@ -29,6 +29,7 @@ from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401
 from data_eng_project_spark.plans import linalg  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401
+from data_eng_project_spark.plans import privacy  # noqa: E402,F401
 from data_eng_project_spark.plans import temporal  # noqa: E402,F401
 from data_eng_project_spark.plans import textdata  # noqa: E402,F401
 from data_eng_project_spark.plans import tokenize  # noqa: E402,F401

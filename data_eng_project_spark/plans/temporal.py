@@ -215,3 +215,122 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_ohlc(
         events, ts_col="ts", value_col="value", order_tiebreak="event_id"
     )
+
+
+@register(
+    "hour_of_week_profile",
+    oracle="""
+        WITH e AS (
+            SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   value AS v
+            FROM events
+        )
+        SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+                   + 0.0 AS avg_value
+        FROM e GROUP BY dow, hod
+    """,
+    tags=("temporal", "timeseries", "seasonal"),
+)
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """168-slot hour-of-week seasonal profile of the event stream — the
+    baseline table behind seasonality-aware anomaly detection. Day-of-
+    week comes from pure epoch arithmetic ((days+4) % 7, Sunday=0) so
+    both engines agree without touching locale-dependent date parts."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        events.select(
+            (F.floor(us / F.lit(86_400_000_000)) + 4).cast("bigint").alias("_d"),
+            F.hour("ts").cast("bigint").alias("hod"),
+            F.col("value").alias("v"),
+        )
+        .select((F.col("_d") % 7).alias("dow"), "hod", "v")
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "seasonal_anomaly_events",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, value AS v,
+                   CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod
+            FROM events
+        ), prof AS (
+            SELECT dow, hod, count(*) AS n,
+                   CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+                   CAST(sum(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                     - (CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                       * (CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                       AS var
+            FROM e GROUP BY dow, hod
+        )
+        SELECT e.event_id, e.user_id, e.dow, e.hod,
+               round(e.v, 6) AS value,
+               round((e.v - p.mu) / sqrt(p.var), 6) + 0.0 AS seasonal_z
+        FROM e JOIN prof p ON e.dow = p.dow AND e.hod = p.hod
+        WHERE p.var > 0 AND abs((e.v - p.mu) / sqrt(p.var)) > 2.0
+        ORDER BY abs((e.v - p.mu) / sqrt(p.var)) DESC, e.event_id ASC
+        LIMIT 100
+    """,
+    tags=("temporal", "timeseries", "seasonal", "quality"),
+)
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-conditioned outliers: events > 2σ from their OWN
+    hour-of-week slot (the global z-score twin is zscore_outlier_events;
+    conditioning on the 168-slot profile is what stops nightly troughs
+    flagging every daytime peak). Profile join is 168 rows — broadcast;
+    decimal sums keep μ/σ² order-free; top-100 with a total tie-break."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("v"),
+        ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    )
+    dec = F.col("v").cast("decimal(28,6)")
+    prof = e.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum((F.col("v") * F.col("v")).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+            - (F.sum(dec).cast("double") / F.count(F.lit(1)))
+            * (F.sum(dec).cast("double") / F.count(F.lit(1)))
+        ).alias("var"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.sqrt(F.col("var"))
+    return (
+        e.join(F.broadcast(prof), on=["dow", "hod"])
+        .filter((F.col("var") > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            "dow",
+            "hod",
+            F.round(F.col("v"), 6).alias("value"),
+            (F.round(z, 6) + F.lit(0.0)).alias("seasonal_z"),
+            F.abs(z).alias("_absz"),
+        )
+        .orderBy(F.col("_absz").desc(), F.col("event_id").asc())
+        .limit(100)
+        .drop("_absz")
+    )
