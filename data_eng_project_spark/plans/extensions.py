@@ -430,3 +430,47 @@ def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "streaming_heavy_hitters",
+    oracle=None,  # bounded-state sketch: MG bound + convergence are
+    # pytest-pinned (tests/test_streaming.py); exact counts attached
+    # batch-side below make the output self-describing
+    tags=("streaming", "stateful", "sketch", "topk"),
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent users from the event stream with O(capacity) state per
+    shard (Misra–Gries under applyInPandasWithState), drained with
+    AvailableNow; the surviving candidates are joined to their exact
+    batch counts and ranked — the streaming half finds the candidates
+    with bounded memory, the batch half certifies them. Top-20,
+    deterministic tie-break."""
+    import uuid
+
+    from data_eng_project_spark.streaming.incremental import read_events_stream
+    from data_eng_project_spark.streaming.stateful import (
+        final_heavy_hitter_summaries,
+        heavy_hitters_stream,
+    )
+    from data_eng_project_spark.streaming.windows import run_available_now
+    from data_eng_project_spark.tables import table_path
+
+    prepare(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    emitted = run_available_now(
+        heavy_hitters_stream(stream),
+        f"mem_hh_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    cands = final_heavy_hitter_summaries(emitted).select("user_id", "mg_count")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        cands.join(exact, on="user_id")
+        .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -92,4 +93,94 @@ def running_user_profile_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra–Gries summaries under applyInPandasWithState.
+# State per shard is a capacity-bounded (key → count) dictionary with the
+# mergeable-summaries decrement rule (Agarwal et al. 2013, "Mergeable
+# Summaries"): merging batch counts then subtracting the (m+1)-th largest
+# count preserves the deterministic error bound err ≤ N_shard/(m+1) while
+# keeping state O(m) forever — the property that makes top-k over an
+# unbounded 100 TB/day stream feasible where exact per-key counts are not.
+
+MG_CAPACITY = 64
+N_SHARDS = 8
+
+HH_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("user_id", LongType()),
+        StructField("mg_count", LongType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+
+def _update_heavy_hitters(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        keys, counts, n_proc = state.get
+        d = dict(zip(keys, counts))
+    else:
+        d, n_proc = {}, 0
+    for pdf in pdfs:
+        n_proc += len(pdf)
+        for uid, c in pdf["user_id"].value_counts().items():
+            d[int(uid)] = d.get(int(uid), 0) + int(c)
+        if len(d) > MG_CAPACITY:
+            thresh = sorted(d.values(), reverse=True)[MG_CAPACITY]
+            d = {k: v - thresh for k, v in d.items() if v > thresh}
+    state.update((list(d.keys()), list(d.values()), n_proc))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(d),
+            "user_id": list(d.keys()),
+            "mg_count": list(d.values()),
+            "n_processed": [n_proc] * len(d),
+        }
+    )
+
+
+def heavy_hitters_stream(events_stream: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Bounded-state frequent-user summaries over the event stream: hash
+    shards spread the state across executors; each shard maintains one
+    Misra–Gries dictionary. Emits its full summary per micro-batch
+    (update mode); the final emission per shard is the converged
+    summary."""
+    return (
+        events_stream.select(
+            (F.col("user_id") % n_shards).alias("shard"), "user_id"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_heavy_hitters,
+            outputStructType=HH_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def final_heavy_hitter_summaries(emitted: DataFrame) -> DataFrame:
+    """Keep each shard's last (largest n_processed) emission — the
+    converged Misra–Gries summary after the stream drains."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("n_processed").desc())
+    return (
+        emitted.withColumn("_mx", F.max("n_processed").over(Window.partitionBy("shard")))
+        .filter(F.col("n_processed") == F.col("_mx"))
+        .drop("_mx")
     )

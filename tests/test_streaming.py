@@ -333,3 +333,40 @@ def test_stream_stream_left_outer_equals_batch(spark):
     horizon = max_ts - dt.timedelta(minutes=3)  # watermark 2m + gap 1m
     finalized = {x for x in want_outer if ev_ts[(x[0], x[1])] <= horizon}
     assert finalized <= got_outer and len(finalized) > 0
+
+
+def test_misra_gries_heavy_hitters_bound(spark):
+    """Bounded-state streaming heavy hitters: after draining, every
+    shard's Misra–Gries summary must satisfy the deterministic bound
+    (true_count − N_shard/(m+1) ≤ mg_count ≤ true_count) and contain
+    every key whose true count exceeds N_shard/(m+1)."""
+    from data_eng_project_spark.streaming.stateful import (
+        MG_CAPACITY,
+        N_SHARDS,
+        final_heavy_hitter_summaries,
+        heavy_hitters_stream,
+    )
+    from data_eng_project_spark.streaming.windows import run_available_now
+
+    stream = read_events_stream(spark, table_path(SF, "events"))
+    emitted = run_available_now(
+        heavy_hitters_stream(stream), "t_hh", output_mode="update"
+    )
+    summaries = final_heavy_hitter_summaries(emitted).collect()
+    mg = {(r["shard"], r["user_id"]): r["mg_count"] for r in summaries}
+
+    events = load_table(spark, SF, "events").select("user_id").collect()
+    exact: dict[tuple[int, int], int] = {}
+    shard_n: dict[int, int] = {}
+    for r in events:
+        s = r["user_id"] % N_SHARDS
+        exact[(s, r["user_id"])] = exact.get((s, r["user_id"]), 0) + 1
+        shard_n[s] = shard_n.get(s, 0) + 1
+
+    for (s, uid), c in mg.items():
+        err = shard_n[s] / (MG_CAPACITY + 1)
+        assert c <= exact[(s, uid)], "sketch may never overcount"
+        assert c >= exact[(s, uid)] - err - 1e-9
+    for (s, uid), true_c in exact.items():
+        if true_c > shard_n[s] / (MG_CAPACITY + 1):
+            assert (s, uid) in mg, "guaranteed heavy hitter missing"
