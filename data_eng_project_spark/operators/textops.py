@@ -451,3 +451,40 @@ def feature_hash_doc_vectors(
         .filter(F.col("weight") != 0)
         .select(F.col("_id").alias(id_col), "dim_idx", "weight")
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a positional inverted index — the
+    scalable form of ``text LIKE '%w0 w1%'``: explode (doc, position,
+    token) once, keep only postings for the phrase's tokens (a selective
+    filter that at 100 TB would be an index lookup, not a scan), then
+    self-join adjacent positions. Cost is driven by the phrase tokens'
+    posting lists, never the corpus; overlapping occurrences (e.g. 'w w
+    w' for phrase 'w w') are counted correctly, which substring-replace
+    counting gets wrong. Returns (doc_id, n_occurrences ≥ 1)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    first = phrase[0]
+    out = toks.filter(F.col("tok") == first).select("_id", F.col("pos").alias("p0"))
+    for k, w in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("tok") == w).select(
+            F.col("_id").alias("_idr"), (F.col("pos") - k).alias("p0r")
+        )
+        out = out.join(
+            nxt,
+            (out["_id"] == nxt["_idr"]) & (out["p0"] == nxt["p0r"]),
+        ).select("_id", "p0")
+    return (
+        out.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(F.col("_id").alias(id_col), "n_occurrences")
+    )

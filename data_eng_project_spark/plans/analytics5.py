@@ -915,3 +915,145 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
         ).alias("attributed_value"),
     )
+
+
+@register(
+    "log_histogram_quantiles",
+    oracle="""
+        WITH b AS (
+            SELECT length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))
+                       AS mag,
+                   CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 2) AS BIGINT) AS lead2,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice >= 10
+            GROUP BY 1, 2
+        ), c AS (
+            SELECT mag, lead2, n,
+                   sum(n) OVER (ORDER BY mag ASC, lead2 ASC) AS cum,
+                   sum(n) OVER () AS total
+            FROM b
+        ), q AS (
+            SELECT CAST(p AS DOUBLE) AS p
+            FROM (VALUES (0.5), (0.9), (0.99)) v(p)
+        )
+        SELECT p,
+               round(min((lead2 + 0.5)
+                         * CAST('1e' || CAST(mag - 2 AS VARCHAR) AS DOUBLE)), 6)
+                   AS est_value
+        FROM q JOIN c ON c.cum >= CAST(ceil(p * c.total) AS BIGINT)
+        GROUP BY p
+    """,
+    tags=("analytics", "sketch", "percentile"),
+)
+def log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch as pure DataFrame algebra: HDR-style
+    two-significant-digit buckets — (decimal magnitude, leading two
+    digits) of each price — whose counts are a plain groupBy, so partial
+    aggregation, cross-shard merging, and incremental maintenance are
+    free, unlike percentile_approx's opaque state. Quantile = first
+    bucket whose cumulative count crosses ⌈p·N⌉, estimated at the bucket
+    midpoint; relative error ≤ 0.5/lead2 ≤ 5% by construction (pinned in
+    tests/test_datasetops.py against exact percentiles).
+
+    Cross-engine determinism is why the bucketing is STRING-based: log/
+    pow are transcendental (not IEEE correctly-rounded, so Spark's JVM
+    and DuckDB's libm may differ by an ulp exactly at a bucket
+    boundary); integer decimal-digit extraction and a '1e<k>'-literal
+    cast are bit-identical everywhere."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.floor(F.col("o_totalprice")).cast("bigint").cast("string")
+    b = (
+        orders.filter(F.col("o_totalprice") >= 10)
+        .select(
+            F.length(s).alias("mag"),
+            F.substring(s, 1, 2).cast("bigint").alias("lead2"),
+        )
+        .groupBy("mag", "lead2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy(F.col("mag").asc(), F.col("lead2").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.select(
+        "mag",
+        "lead2",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    est = (F.col("lead2") + 0.5) * F.concat(
+        F.lit("1e"), (F.col("mag") - 2).cast("string")
+    ).cast("double")
+    return (
+        q.join(c, F.col("cum") >= F.ceil(F.col("p") * F.col("total")).cast("bigint"))
+        .groupBy("p")
+        .agg(F.round(F.min(est), 6).alias("est_value"))
+    )
+
+
+@register(
+    "chisq_source_lang_independence",
+    oracle="""
+        WITH obs AS (
+            SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+        ), m AS (
+            SELECT source, sum(o) AS rs FROM obs GROUP BY 1
+        ), c AS (
+            SELECT lang, sum(o) AS cs FROM obs GROUP BY 1
+        ), t AS (
+            SELECT sum(o) AS n FROM obs
+        ), grid AS (
+            SELECT m.source, c.lang, coalesce(obs.o, 0) AS o,
+                   CAST(m.rs AS DOUBLE) * c.cs / t.n AS e
+            FROM m CROSS JOIN c CROSS JOIN t
+            LEFT JOIN obs ON obs.source = m.source AND obs.lang = c.lang
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+                    AS BIGINT) AS dof,
+               round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
+                          AS DOUBLE), 6) AS chi_square
+        FROM grid
+    """,
+    tags=("analytics", "statistics", "quality"),
+)
+def chisq_source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between document source and language —
+    the drift/contingency check a corpus QA stage runs when one crawl
+    source suddenly skews monolingual. Expected counts come from the
+    row/column marginals (including structurally-zero cells via the
+    marginal cross join — |sources|×|langs| rows, broadcast); the only
+    corpus-sized pass is one grouped count. Per-cell terms are pure IEEE
+    arithmetic (identical on both engines); the cross-cell sum goes
+    through DECIMAL(38,12) so accumulation order cannot move the
+    result."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    m = obs.groupBy("source").agg(F.sum("o").alias("rs"))
+    c = obs.groupBy("lang").agg(F.sum("o").alias("cs"))
+    t = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        m.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(obs, on=["source", "lang"], how="left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rs").cast("double") * F.col("cs") / F.col("n")).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct(F.col("source")) - 1)
+            * (F.count_distinct(F.col("lang")) - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+        ).alias("chi_square"),
+    )

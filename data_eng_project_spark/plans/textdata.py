@@ -1440,3 +1440,33 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.feature_hash_doc_vectors(
         load_table(spark, sf_dir, "documents"), dim=_FH_DIM
     )
+
+
+@register(
+    "phrase_search_positional",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS ts
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'order' AND ts[i + 1] = 'fast'))
+                    AS BIGINT) AS n_occurrences
+        FROM toks
+        WHERE len(list_filter(range(1, len(ts)),
+                  i -> ts[i] = 'order' AND ts[i + 1] = 'fast')) > 0
+    """,
+    tags=("textdata", "search", "index"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('order fast') by positional-index adjacency
+    join (operators/textops.phrase_occurrences). The oracle deliberately
+    uses a DIFFERENT algorithm — a per-document sliding window over the
+    token list — so agreement certifies the semantics, not a mirrored
+    query plan. Postings-list join cost ∝ the phrase tokens' document
+    frequency, never the corpus."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return T.phrase_occurrences(docs, ("order", "fast"))

@@ -359,3 +359,42 @@ def test_knn_label_propagation_runs_and_is_complete(spark, sf_dir):
     assert all(r["predicted"] is not None for r in rows)
     acc = sum(r["correct"] for r in rows) / len(rows)
     assert 0.0 <= acc <= 1.0
+
+
+def test_log_histogram_quantiles_error_bound(spark, sf_dir):
+    """HDR-style sketch estimates must sit within the constructive
+    relative-error bound of the exact percentiles."""
+    from data_eng_project_spark.plans import REGISTRY
+    from data_eng_project_spark.tables import load_table
+
+    est = {
+        r["p"]: r["est_value"]
+        for r in REGISTRY["log_histogram_quantiles"].fn(spark, sf_dir).collect()
+    }
+    prices = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+        if r["o_totalprice"] >= 10
+    )
+    import math
+
+    for p in (0.5, 0.9, 0.99):
+        exact = prices[max(0, math.ceil(p * len(prices)) - 1)]
+        assert abs(est[p] - exact) / exact <= 0.05, (p, est[p], exact)
+
+
+def test_phrase_occurrences_counts_overlaps():
+    """Self-overlapping phrases must count every start position —
+    the case substring-replace counting undercounts."""
+    from data_eng_project_spark.operators.textops import phrase_occurrences
+    from data_eng_project_spark.session import get_session
+
+    spark = get_session("tests", cpus=8)
+    docs = spark.createDataFrame(
+        [(1, "w w w w"), (2, "a w w b"), (3, "w x w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(docs, ("w", "w")).collect()
+    }
+    assert got == {1: 3, 2: 1}
