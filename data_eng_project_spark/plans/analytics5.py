@@ -1057,3 +1057,98 @@ def chisq_source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(term.cast("decimal(38,12)")).cast("double"), 6
         ).alias("chi_square"),
     )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, max(event_type) AS touch_type
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ), purch AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), joined AS (
+            SELECT p.event_id, p.value, t.touch_type,
+                   CAST(1.0 / (1.0 + CAST(epoch_us(p.ts) - epoch_us(t.ts)
+                                          AS DOUBLE) / 3600000000.0)
+                        AS DECIMAL(38,12)) AS w_d
+            FROM purch p
+            LEFT JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000
+        ), shared AS (
+            SELECT event_id, value, touch_type, w_d,
+                   sum(w_d) OVER (PARTITION BY event_id) AS sum_w
+            FROM joined
+        ), credited AS (
+            SELECT CASE WHEN touch_type IS NULL THEN 'none'
+                        ELSE touch_type END AS channel,
+                   CASE WHEN touch_type IS NULL THEN value
+                        ELSE value * CAST(w_d AS DOUBLE)
+                                   / CAST(sum_w AS DOUBLE) END AS credit
+            FROM shared
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_credited_touches,
+               round(CAST(sum(CAST(credit AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS attributed_value
+        FROM credited GROUP BY channel
+    """,
+    tags=("analytics", "attribution", "behavioral"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click/view in the 24h
+    lookback shares a purchase's value, weighted 1/(1+Δhours) and
+    normalized per purchase — the multi-touch generalization of
+    attribution_last_touch. The decay is deliberately RATIONAL, not
+    exp(−Δ/τ): transcendentals are not IEEE correctly-rounded, so the
+    exponential form could differ in the last ulp across engines, while
+    division is bit-exact everywhere. Per-purchase weight sums and the
+    channel rollup accumulate in DECIMAL(38,12) (order-free); each
+    credit term is pure IEEE arithmetic on identical inputs."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+        .select("user_id", F.col("ts").alias("tts"), "touch_type")
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    gap_us = F.unix_micros("pts") - F.unix_micros("tts")
+    joined = purch.join(
+        touches,
+        (purch["user_id"] == touches["user_id"])
+        & (F.col("tts") <= F.col("pts"))
+        & (gap_us <= 86_400_000_000),
+        how="left",
+    ).select(
+        "event_id",
+        "value",
+        "touch_type",
+        (F.lit(1.0) / (F.lit(1.0) + gap_us.cast("double") / F.lit(3.6e9)))
+        .cast("decimal(38,12)")
+        .alias("w_d"),
+    )
+    shared = joined.withColumn(
+        "sum_w", F.sum("w_d").over(Window.partitionBy("event_id"))
+    )
+    credit = F.when(F.col("touch_type").isNull(), F.col("value")).otherwise(
+        F.col("value") * F.col("w_d").cast("double") / F.col("sum_w").cast("double")
+    )
+    channel = F.coalesce(F.col("touch_type"), F.lit("none"))
+    return (
+        shared.select(channel.alias("channel"), credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.round(
+                F.sum(F.col("credit").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("attributed_value"),
+        )
+    )

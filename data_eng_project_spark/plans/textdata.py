@@ -13,7 +13,7 @@ candidates) are exercised in tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_eng_project_spark.functions.text import LANG_MARKERS, substr_count_sql
@@ -1470,3 +1470,133 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return T.phrase_occurrences(docs, ("order", "fast"))
+
+
+def _bm25_scored_frame(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, bm25) for a fixed term query — the BM25 core shared by
+    hybrid_search (min-max fusion) and rrf_hybrid_search (rank fusion);
+    expression-identical to the SQL oracles of both."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = tok.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i+1}")
+            for i, t in enumerate(terms)
+        ],
+        F.count(F.lit(1)).alias("dl"),
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i+1}") > 0, 1)).alias(f"df{i+1}")
+            for i in range(len(terms))
+        ],
+    )
+    dl_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    bm25 = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i+1}"), F.col(f"df{i+1}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
+        term_score = idf * (tf * F.lit(2.2)) / (tf + dl_norm)
+        bm25 = term_score if bm25 is None else bm25 + term_score
+    return per_doc.join(F.broadcast(g)).select("doc_id", bm25.alias("bm25"))
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        ), tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE term = 'spark') AS tf1,
+                   count(*) FILTER (WHERE term = 'merge') AS tf2,
+                   count(*) FILTER (WHERE term = 'window') AS tf3,
+                   count(*) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        g AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   count(*) FILTER (WHERE tf1 > 0) AS df1,
+                   count(*) FILTER (WHERE tf2 > 0) AS df2,
+                   count(*) FILTER (WHERE tf3 > 0) AS df3
+            FROM per_doc
+        ),
+        scored AS (
+            SELECT doc_id,
+                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                       * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                       * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                       * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       AS bm25
+            FROM per_doc CROSS JOIN g
+        ),
+        withcos AS (
+            SELECT s.doc_id, s.bm25,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) AS cos
+            FROM scored s
+            JOIN embeddings e ON e.vec_id = s.doc_id
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm,
+                   row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_cos
+            FROM withcos
+        )
+        SELECT doc_id,
+               CAST(r_bm AS BIGINT) AS rank_bm25,
+               CAST(r_cos AS BIGINT) AS rank_cosine,
+               round(1.0 / (60 + r_bm) + 1.0 / (60 + r_cos), 6) AS rrf_score
+        FROM ranked
+        ORDER BY 1.0 / (60 + r_bm) + 1.0 / (60 + r_cos) DESC, doc_id ASC
+        LIMIT 10
+    """,
+    tags=("textdata", "search", "hybrid", "embedding"),
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion retrieval (Cormack et al. 2009) — the
+    production-default fusion for lexical+semantic search: each ranker
+    contributes 1/(60+rank), so scales never need calibrating (the
+    weakness of hybrid_search's min-max fusion when score distributions
+    drift). Ranks are integers with total tie-breaks, so the fusion is
+    exactly deterministic cross-engine — no float-normalization
+    boundary risk at all."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _bm25_scored_frame(docs, ["spark", "merge", "window"])
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    query = F.array(*[F.lit(float(x)) for x in qvec])
+    withcos = scored.join(
+        emb.select(F.col("vec_id").alias("_vid"), "embedding"),
+        F.col("doc_id") == F.col("_vid"),
+    ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    w_cos = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    ranked = withcos.select(
+        "doc_id",
+        F.row_number().over(w_bm).alias("rank_bm25"),
+        F.row_number().over(w_cos).alias("rank_cosine"),
+    )
+    rrf = F.lit(1.0) / (F.lit(60) + F.col("rank_bm25")) + F.lit(1.0) / (
+        F.lit(60) + F.col("rank_cosine")
+    )
+    return (
+        ranked.withColumn("_s", rrf)
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+            F.col("rank_cosine").cast("bigint").alias("rank_cosine"),
+            F.round("_s", 6).alias("rrf_score"),
+        )
+    )

@@ -398,3 +398,33 @@ def test_phrase_occurrences_counts_overlaps():
         for r in phrase_occurrences(docs, ("w", "w")).collect()
     }
     assert got == {1: 3, 2: 1}
+
+
+def test_time_decay_attribution_conserves_value(spark, sf_dir):
+    """Fractional multi-touch credit must exactly conserve total
+    purchase value across channels (normalization is per purchase)."""
+    from data_eng_project_spark.plans import REGISTRY
+    from data_eng_project_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["attribution_time_decay"].fn(spark, sf_dir).collect()
+    total_credit = sum(r["attributed_value"] for r in out)
+    total_value = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(total_credit - total_value) < 1e-3
+
+
+def test_rrf_ranks_are_permutations(spark, sf_dir):
+    from data_eng_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["rrf_hybrid_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert len({r["doc_id"] for r in rows}) == 10
+    # the fused score is exactly the RRF formula of the emitted ranks
+    for r in rows:
+        expect = 1.0 / (60 + r["rank_bm25"]) + 1.0 / (60 + r["rank_cosine"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
