@@ -1152,3 +1152,116 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9, as shared
+# literals on both engines (transcendental-free cross-engine determinism).
+_BENFORD = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+_BENFORD_VALUES_SQL = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD.items())
+
+
+@register(
+    "benford_price_digits",
+    oracle=f"""
+        WITH obs AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice >= 1
+            GROUP BY 1
+        ), t AS (SELECT sum(n) AS total FROM obs),
+        exp_t AS (
+            SELECT CAST(d AS BIGINT) AS digit, CAST(p AS DOUBLE) AS expected_pct
+            FROM (VALUES {_BENFORD_VALUES_SQL}) v(d, p)
+        )
+        SELECT e.digit,
+               CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+               round(CAST(coalesce(obs.n, 0) AS DOUBLE) / t.total, 6)
+                   AS observed_pct,
+               round(e.expected_pct, 6) AS expected_pct,
+               round(CAST(coalesce(obs.n, 0) AS DOUBLE) / t.total
+                     - e.expected_pct, 6) + 0.0 AS deviation
+        FROM exp_t e LEFT JOIN obs ON obs.digit = e.digit CROSS JOIN t
+    """,
+    tags=("analytics", "quality", "statistics"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the classic
+    fabricated-data screen for numeric columns. Digit extraction is
+    string-based (deterministic); the expected shares log10(1+1/d) are
+    shared 12-digit literals on both engines, so no transcendental is
+    evaluated at query time."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.floor(F.col("o_totalprice")).cast("bigint").cast("string")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(F.substring(s, 1, 1).cast("bigint").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = obs.agg(F.sum("n").alias("total"))
+    exp_rows = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit bigint, expected_pct double"
+    )
+    return (
+        exp_rows.join(obs, on="digit", how="left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("total"), 6
+            ).alias("observed_pct"),
+            F.round("expected_pct", 6).alias("expected_pct"),
+            (
+                F.round(
+                    F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+                    - F.col("expected_pct"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("deviation"),
+        )
+    )
+
+
+@register(
+    "grouped_value_quartiles",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.25), 6) AS q1,
+               round(quantile_cont(value, 0.5), 6) AS median,
+               round(quantile_cont(value, 0.75), 6) AS q3
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("analytics", "percentile", "events"),
+)
+def grouped_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles of event values: Spark's percentile
+    aggregate and DuckDB's quantile_cont share the (n−1)·p linear-
+    interpolation definition, so the cross-engine agreement certifies
+    the implementation, not a mirrored plan. At scale exact grouped
+    percentiles are one sort-based shuffle per group partition; the
+    sketch alternative is log_histogram_quantiles."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )

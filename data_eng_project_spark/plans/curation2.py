@@ -417,3 +417,91 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(
         load_table(spark, sf_dir, "documents"), alpha=_BACKOFF_ALPHA
     )
+
+
+@register(
+    "psi_source_drift",
+    oracle="""
+        WITH b AS (
+            SELECT source,
+                   least(CAST(n_chars // 100 AS BIGINT), 20) AS bucket,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), src AS (
+            SELECT DISTINCT source FROM documents
+        ), grid AS (
+            SELECT s.source, g.bucket,
+                   coalesce(b.n, 0) + 1 AS n_sm
+            FROM src s
+            CROSS JOIN (SELECT DISTINCT bucket FROM b) g
+            LEFT JOIN b ON b.source = s.source AND b.bucket = g.bucket
+        ), p AS (
+            SELECT source, bucket,
+                   CAST(n_sm AS DOUBLE)
+                       / sum(n_sm) OVER (PARTITION BY source) AS pr
+            FROM grid
+        )
+        SELECT a.source AS source_a, c.source AS source_b,
+               round(CAST(sum(CAST((a.pr - c.pr) * ln(a.pr / c.pr)
+                                   AS DECIMAL(38,18))) AS DOUBLE), 6)
+                   AS psi
+        FROM p a JOIN p c ON a.bucket = c.bucket AND a.source < c.source
+        GROUP BY a.source, c.source
+    """,
+    tags=("curation", "quality", "drift"),
+)
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between every source pair's
+    document-length distribution — the monitor a continuously-ingesting
+    corpus runs to catch a crawl source silently changing shape
+    (PSI < 0.1 stable, > 0.25 action). Fixed 100-char buckets capped at
+    21 with add-one smoothing (so log ratios are total); per-pair sums
+    go through DECIMAL so bucket order cannot move the result. One
+    grouped count is the only corpus-sized pass; the pair join runs on
+    |sources|×|buckets| rows."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.least((F.col("n_chars") / 100).cast("bigint"), F.lit(20)).alias("bucket"),
+    ).groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    src = docs.select("source").distinct()
+    buckets = b.select("bucket").distinct()
+    grid = (
+        src.crossJoin(F.broadcast(buckets))
+        .join(b, on=["source", "bucket"], how="left")
+        .select(
+            "source", "bucket", (F.coalesce("n", F.lit(0)) + 1).alias("n_sm")
+        )
+    )
+    p = grid.select(
+        "source",
+        "bucket",
+        (
+            F.col("n_sm").cast("double")
+            / F.sum("n_sm").over(Window.partitionBy("source"))
+        ).alias("pr"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "bucket", F.col("pr").alias("pa")
+    )
+    c = p.select(
+        F.col("source").alias("source_b"), F.col("bucket").alias("bucket_b"),
+        F.col("pr").alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return (
+        a.join(
+            c,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("psi")
+        )
+    )
