@@ -829,3 +829,87 @@ def export_training_shards(
             (F.max("end_chunk") + 1).cast("bigint").alias("n_chunks"),
         )
     )
+
+
+def split_column(
+    id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10
+) -> "F.Column":
+    """Deterministic train/val/test assignment as a pure column
+    expression: a multiplicative hash of the id (Knuth constant, id
+    reduced mod a large prime first so the product stays in 63-bit
+    range) lands each document in a percent bucket; buckets map to
+    splits. No RNG, no shuffle, identical on any engine and any
+    partitioning — the property a 100 TB pipeline needs so that split
+    membership never changes when the corpus is re-partitioned,
+    re-ordered, or incrementally extended (a new document's split is a
+    function of its id alone).
+    """
+    bucket = (F.col(id_col) % 1000003) * F.lit(2654435761) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Per-(split, source) composition report for a deterministic split:
+    document and token counts plus each cell's share of its split's
+    docs — the table a data-mixture owner reads to confirm val/test are
+    compositionally representative of train before signing off a
+    dataset release. One scan, one groupBy; the split is a pushed-down
+    expression so at scale this is a pure map-side-combine aggregate.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    assigned = docs.select(
+        split_column(id_col, train_pct, val_pct).alias("split"),
+        F.col(source_col).alias("source"),
+        F.size(toks).alias("_nt"),
+    )
+    per_cell = assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    split_tot = per_cell.groupBy("split").agg(
+        F.sum("n_docs").alias("_split_docs")
+    )
+    return per_cell.join(F.broadcast(split_tot), on="split").select(
+        "split",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("_split_docs"), 6).alias("doc_share"),
+    )
+
+
+def cross_split_leakage(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Contamination audit: near-duplicate pairs whose two members fall
+    in *different* splits of a deterministic hash split — exactly the
+    pairs through which evaluation data leaks into training. Takes the
+    pair list from any dedup detector (exact, n-gram Jaccard, MinHash,
+    SemDeDup) so the audit's notion of "duplicate" matches the
+    pipeline's. The split of each endpoint is recomputed from its id
+    (no join against the corpus needed), so the audit costs one
+    projection + filter over the pair list.
+    """
+    sa = split_column(id_a, train_pct, val_pct)
+    sb = split_column(id_b, train_pct, val_pct)
+    return (
+        pairs.select(
+            "*", sa.alias("split_a"), sb.alias("split_b")
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -425,3 +425,160 @@ def cluster_representatives(
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def boilerplate_segment_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet/RefinedWeb-style):
+    cut every document into non-overlapping k-word segments, count how
+    many *distinct* documents each segment occurs in, and report per
+    document how much of it is corpus-frequent boilerplate (headers,
+    footers, nav text, license blurbs — anything repeated verbatim
+    across ≥ min_df documents). Downstream either drops the flagged
+    segments or drops documents whose boilerplate fraction is high.
+
+    Scale design: segmentation is pure array algebra on the already-
+    scanned row (sequence → slice → array_join; no shuffle, whole-stage
+    codegen), then one explode and two hash aggregations — segment
+    document-frequency on the md5 key, and the per-document rollup.
+    The segment df table is the only intermediate proportional to the
+    corpus; it is ~n_tokens/k rows of (16-byte hash, count), the same
+    cost class as the dedup shingle index. No Python, no windows, no
+    driver state.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_ws"))
+    nseg = F.ceil(F.size("_ws") / F.lit(k)).cast("int")
+    seg_strings = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(F.col("_ws"), i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = base.select("_id", F.explode(seg_strings).alias("_seg")).select(
+        "_id", F.md5("_seg").alias("_fp")
+    )
+    seg_df = (
+        inst.distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    per_doc = (
+        inst.join(seg_df, on="_fp")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_seg"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0)).alias("_n_boiler"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("_id")).join(
+        per_doc, on="_id", how="left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_n_seg", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("_n_boiler", F.lit(0)).cast("bigint").alias("n_boilerplate"),
+        F.round(
+            F.when(
+                F.col("_n_seg") > 0, F.coalesce("_n_boiler", F.lit(0)) / F.col("_n_seg")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate stats — the shift-robust
+    complement to fixed k-word segmentation. Chunk boundaries are cut
+    where the hash of the local word bigram lands in a target subset
+    (p = len(boundary_hex)/16, so expected chunk length ≈ 16/len words):
+    because the cut decision depends only on *local content*, inserting
+    or deleting words early in a document re-aligns all later chunks,
+    whereas fixed windows shift and miss every downstream duplicate.
+    This is the chunking used by storage dedup (LBFS/Venti lineage) and
+    by shift-tolerant corpus dedup. Emitted per document: chunk count
+    and how many of its chunks also occur verbatim in other documents.
+
+    Scale design: one posexplode (linear in tokens), two windows
+    partitioned by document id ordered by position (lag + running sum —
+    per-doc sorts, distributed across documents), an ordered per-chunk
+    rollup via sort_array(collect_list(struct(pos, word))) bounded by
+    chunk length, then the same df-count + per-doc rollup pattern as
+    boilerplate_segment_stats. Hot keys are documents, so skew is
+    bounded by the longest single document, not corpus size.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    words = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_w")
+    )
+    win = Window.partitionBy("_id").orderBy("_pos")
+    cut = F.when(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.lag("_w", 1).over(win), F.col("_w"))), 1, 1
+        ).isin(*boundary_hex)
+        & (F.col("_pos") > 0),
+        1,
+    ).otherwise(0)
+    chunked = words.select(
+        "_id",
+        "_pos",
+        "_w",
+        F.sum(cut).over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("_cid"),
+    )
+    chunks = (
+        chunked.groupBy("_id", "_cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_w"))),
+                    lambda s: s["_w"],
+                ),
+                " ",
+            ).alias("_chunk"),
+            F.count(F.lit(1)).cast("bigint").alias("_n_words"),
+        )
+        .select("_id", F.md5("_chunk").alias("_fp"), "_n_words")
+    )
+    chunk_df = (
+        chunks.select("_id", "_fp")
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    return (
+        chunks.join(chunk_df, on="_fp")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("_n_words").cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_chunk_frac"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            "n_words",
+            "n_shared_chunks",
+            "shared_chunk_frac",
+        )
+    )

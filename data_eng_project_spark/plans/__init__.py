@@ -24,6 +24,7 @@ from data_eng_project_spark.plans import analytics4  # noqa: E402,F401
 from data_eng_project_spark.plans import analytics5  # noqa: E402,F401
 from data_eng_project_spark.plans import curation  # noqa: E402,F401
 from data_eng_project_spark.plans import curation2  # noqa: E402,F401
+from data_eng_project_spark.plans import curation3  # noqa: E402,F401
 from data_eng_project_spark.plans import datasetops  # noqa: E402,F401
 from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401

@@ -1,0 +1,213 @@
+"""Third curation batch: deterministic dataset splits, cross-split
+contamination audit, cross-document boilerplate segmentation, and
+content-defined (shift-robust) chunk dedup.
+
+These close the dataset-release loop the earlier curation batches left
+open: after dedup/quality/mixing, a pipeline must (1) assign train/val/
+test deterministically, (2) prove the near-dup graph doesn't leak eval
+content into train, and (3) account for verbatim boilerplate — both the
+fixed-segment corpus-frequency kind and the insertion-tolerant CDC
+kind. The reference ETL (dags/global_dag.py) has no corpus surface at
+all; these are brief-mandated LLM-pipeline extensions (SURVEY.md §2
+extension inventory).
+
+Oracle notes: splits are pure 63-bit integer arithmetic (bit-identical
+everywhere); segment/chunk fingerprints are md5 of the joined words
+(same bytes on both engines); every count is CAST to BIGINT so DuckDB's
+HUGEINT sum never reaches the driver's hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators import dedup as D
+from data_eng_project_spark.operators.curation import (
+    cross_split_leakage,
+    split_profile,
+)
+from data_eng_project_spark.operators.datasetops import (
+    boilerplate_segment_stats,
+    cdc_chunk_stats,
+)
+from data_eng_project_spark.plans.registry import register
+from data_eng_project_spark.plans.textdata import _NGRAM_CTES, JACCARD_THRESHOLD
+from data_eng_project_spark.session import prepare
+from data_eng_project_spark.tables import load_table
+
+_TRAIN_PCT = 80
+_VAL_PCT = 10
+
+_SPLIT_CASE = """
+    CASE WHEN ({id} % 1000003) * 2654435761 % 100 < 80 THEN 'train'
+         WHEN ({id} % 1000003) * 2654435761 % 100 < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+_SEG_K = 8
+_SEG_MIN_DF = 3
+
+
+@register(
+    "dataset_split_profile",
+    oracle=f"""
+        WITH a AS (
+            SELECT {_SPLIT_CASE.format(id="doc_id")} AS split,
+                   source,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS nt
+            FROM documents
+        ), cell AS (
+            SELECT split, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM a GROUP BY split, source
+        ), tot AS (
+            SELECT split, CAST(sum(n_docs) AS BIGINT) AS sd
+            FROM cell GROUP BY split
+        )
+        SELECT cell.split, cell.source, cell.n_docs, cell.n_tokens,
+               round(CAST(cell.n_docs AS DOUBLE) / tot.sd, 6) AS doc_share
+        FROM cell JOIN tot USING (split)
+    """,
+    tags=("curation", "splits"),
+)
+def dataset_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 hash split + per-(split, source)
+    composition report. Split membership is a function of doc_id alone
+    (multiplicative hash), so it survives re-partitioning and
+    incremental corpus growth — the invariant a 100 TB dataset release
+    needs."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return split_profile(
+        docs, train_pct=_TRAIN_PCT, val_pct=_VAL_PCT
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+        WITH {_NGRAM_CTES}
+        SELECT id_a, id_b, jaccard,
+               {_SPLIT_CASE.format(id="id_a")} AS split_a,
+               {_SPLIT_CASE.format(id="id_b")} AS split_b
+        FROM pairs
+        WHERE {_SPLIT_CASE.format(id="id_a")}
+              <> {_SPLIT_CASE.format(id="id_b")}
+    """,
+    tags=("curation", "splits", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: n-gram-Jaccard near-dup pairs
+    whose endpoints land in different splits of the deterministic
+    80/10/10 hash split — each row is a concrete leak path from eval
+    into train. Composes the exact PPJoin-pruned pair detector, so the
+    audit's duplicate notion is the pipeline's own."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    )
+    return cross_split_leakage(
+        pairs, train_pct=_TRAIN_PCT, val_pct=_VAL_PCT
+    ).select("id_a", "id_b", "jaccard", "split_a", "split_b")
+
+
+@register(
+    "boilerplate_segments",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), seg AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       ws[(t.i*{_SEG_K}+1):(t.i*{_SEG_K}+{_SEG_K})], ' '
+                   )) AS fp
+            FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ws)/{_SEG_K}.0) AS BIGINT))) AS i
+            ) t
+        ), sdf AS (
+            SELECT fp, count(DISTINCT doc_id) AS df FROM seg GROUP BY fp
+        ), per AS (
+            SELECT seg.doc_id, count(*) AS n_seg,
+                   sum(CASE WHEN sdf.df >= {_SEG_MIN_DF} THEN 1 ELSE 0 END)
+                       AS n_boiler
+            FROM seg JOIN sdf USING (fp) GROUP BY seg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_seg, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boilerplate,
+               round(CASE WHEN per.n_seg > 0
+                          THEN CAST(per.n_boiler AS DOUBLE) / per.n_seg
+                          ELSE 0.0 END, 6) AS boilerplate_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    tags=("curation", "boilerplate"),
+)
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate accounting from non-overlapping 8-word
+    segments whose verbatim text recurs in ≥3 distinct documents —
+    segmentation is pure array algebra on the scanned row, then two
+    hash aggregations on 16-byte segment fingerprints."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_segment_stats(docs, k=_SEG_K, min_df=_SEG_MIN_DF)
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, t.i AS i, ws[t.i+1] AS w,
+                   CASE WHEN t.i = 0 THEN NULL ELSE ws[t.i] END AS prev
+            FROM w, LATERAL (SELECT unnest(range(len(ws))) AS i) t
+        ), c AS (
+            SELECT doc_id, i, w,
+                   CASE WHEN i > 0
+                             AND substr(md5(prev || ' ' || w), 1, 1)
+                                 IN ('0', '1')
+                        THEN 1 ELSE 0 END AS cut
+            FROM pos
+        ), cid AS (
+            SELECT doc_id, i, w,
+                   sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+            FROM c
+        ), ch AS (
+            SELECT doc_id, chunk_id,
+                   md5(string_agg(w, ' ' ORDER BY i)) AS fp,
+                   count(*) AS n_words
+            FROM cid GROUP BY doc_id, chunk_id
+        ), cdf AS (
+            SELECT fp, count(DISTINCT doc_id) AS df FROM ch GROUP BY fp
+        )
+        SELECT ch.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN cdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_chunks,
+               round(CAST(sum(CASE WHEN cdf.df >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS shared_chunk_frac
+        FROM ch JOIN cdf USING (fp)
+        GROUP BY ch.doc_id
+    """,
+    tags=("curation", "dedup", "cdc"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dup stats: boundaries cut where the
+    local word-bigram md5 lands in 2/16 of hash space (expected chunk
+    ≈ 8 words), so insertions re-align instead of shifting every
+    downstream chunk — the shift-robust dedup accounting fixed windows
+    cannot give."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs)

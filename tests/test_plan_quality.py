@@ -253,3 +253,27 @@ def test_attribution_asof_single_user_shuffle(spark):
     plan = _plan(spark, "attribution_last_touch")
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_boilerplate_segments_no_python_no_cartesian(spark):
+    """Segmentation must stay in array-expression codegen (no Python
+    eval nodes) and the df-count/rollup joins must be equi-joins."""
+    plan = _plan(spark, "boilerplate_segments")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_chunk_dedup_no_python_no_cartesian(spark):
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_profile_is_pure_aggregate(spark):
+    """The split is a pushed-down expression: plan must be scan →
+    partial agg → exchange → final agg, with a broadcast for the
+    3-row split-totals join — no sort, no wide shuffle of raw docs."""
+    plan = _plan(spark, "dataset_split_profile")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
