@@ -913,3 +913,46 @@ def cross_split_leakage(
         )
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by 1/|its duplicate cluster| so each duplicate *family*
+    contributes one document's worth of training mass (the repetition-
+    aware reweighting alternative to hard removal — keeps coverage,
+    kills over-representation). Documents outside the pair graph keep
+    weight 1. Emitted per document: component, cluster size, weight,
+    raw and effective (weight-scaled) token counts — the numbers a
+    mixture planner feeds into its sampling rates.
+
+    Scale design: one connected-components run over the pair list
+    (min-label propagation, O(diameter) rounds — operators/clusters.py),
+    one cluster-size aggregate, one left join back to the corpus scan.
+    The weight is derived, not stored state, so incremental corpus
+    growth just re-runs components on the (small) pair graph.
+    """
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("_csize"))
+    assigned = comps.join(sizes, on="comp").select(
+        F.col("id").alias("_cid"), F.col("comp").alias("_comp"), "_csize"
+    )
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col), F.size(toks).alias("_nt"))
+    csize = F.coalesce(F.col("_csize"), F.lit(1))
+    return base.join(
+        assigned, base[id_col] == assigned["_cid"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("_comp", F.col(id_col)).alias("component"),
+        csize.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / csize, 6).alias("weight"),
+        F.col("_nt").cast("bigint").alias("n_tokens"),
+        F.round(F.col("_nt") / csize, 6).alias("effective_tokens"),
+    )

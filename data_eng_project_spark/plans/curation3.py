@@ -211,3 +211,60 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_stats(docs)
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_CTES},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        csize AS (
+            SELECT component, count(*) AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        d AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS nt
+            FROM documents
+        )
+        SELECT d.doc_id,
+               coalesce(comp.component, d.doc_id) AS component,
+               CAST(coalesce(csize.cluster_size, 1) AS BIGINT) AS cluster_size,
+               round(1.0 / coalesce(csize.cluster_size, 1), 6) AS weight,
+               CAST(d.nt AS BIGINT) AS n_tokens,
+               round(CAST(d.nt AS DOUBLE) / coalesce(csize.cluster_size, 1), 6)
+                   AS effective_tokens
+        FROM d
+        LEFT JOIN comp ON comp.doc_id = d.doc_id
+        LEFT JOIN csize ON csize.component = comp.component
+    """,
+    tags=("curation", "dedup", "weights"),
+)
+def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware soft dedup: every document weighted by
+    1/|duplicate cluster| over the exact n-gram-Jaccard pair graph, so
+    duplicate families contribute one document's training mass instead
+    of being dropped — per-doc weights and effective token counts for
+    the mixture planner."""
+    prepare(spark)
+    from data_eng_project_spark.operators.curation import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    )
+    return soft_dedup_weights(docs, pairs)

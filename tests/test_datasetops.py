@@ -536,3 +536,20 @@ def test_cdc_chunks_partition_words_exactly(spark):
     out = cdc_chunk_stats(_docs(spark, [(7, text)])).collect()
     assert len(out) == 1
     assert out[0]["n_words"] == 100  # chunks partition the token stream
+
+
+def test_soft_dedup_family_mass_sums_to_one(spark):
+    from data_eng_project_spark.operators.curation import soft_dedup_weights
+
+    # 3-doc dup family (chain a-b, b-c) + 1 singleton
+    docs = _docs(
+        spark,
+        [(1, "x y z"), (2, "x y z"), (3, "x y z"), (9, "totally different")],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert all(out[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert abs(sum(out[i]["weight"] for i in (1, 2, 3)) - 1.0) < 1e-5
+    assert out[9]["cluster_size"] == 1 and out[9]["weight"] == 1.0
+    assert out[9]["effective_tokens"] == out[9]["n_tokens"]
