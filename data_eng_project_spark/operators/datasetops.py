@@ -582,3 +582,52 @@ def cdc_chunk_stats(
             "shared_chunk_frac",
         )
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle for training order: every row
+    gets a stable ``global_pos`` in [0, n) that is uncorrelated with
+    storage order — what a trainer needs so each epoch's sequential
+    shard read is an unbiased sample stream, without ever materializing
+    a true random permutation.
+
+    Scale design: a single global row_number() would funnel the corpus
+    through ONE partition (the classic zipWithIndex trap). Instead the
+    shuffle is hierarchical: a multiplicative hash assigns each row to
+    one of ``n_buckets`` buckets, rows are ranked *within* their bucket
+    (distributed window, one shuffle on the bucket key), and bucket
+    base offsets come from a prefix sum over the n_buckets-row size
+    table — the only single-partition window runs on 1024 rows. The
+    within-bucket sort key is md5(id), so the full ordering is a fixed
+    pseudo-random permutation reproducible on any engine, any cluster
+    size, any input partitioning.
+    """
+    bucket = ((F.col(id_col) % 1000003) * F.lit(2654435761)) % n_buckets
+    a = df.select(
+        F.col(id_col),
+        bucket.cast("bigint").alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("_k", id_col)
+    )
+    ranked = a.select(id_col, "bucket", rnk.alias("_rnk"))
+    sizes = a.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    off = (
+        F.sum("_n")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+    )
+    offsets = sizes.select("bucket", F.coalesce(off, F.lit(0)).alias("_off"))
+    return ranked.join(F.broadcast(offsets), on="bucket").select(
+        F.col(id_col),
+        F.col("bucket"),
+        (F.col("_off") + F.col("_rnk") - 1).cast("bigint").alias("global_pos"),
+    )
