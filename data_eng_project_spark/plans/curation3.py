@@ -268,3 +268,46 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
     )
     return soft_dedup_weights(docs, pairs)
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id,
+                   (doc_id % 1000003) * 2654435761 % 1024 AS bucket,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ), r AS (
+            SELECT doc_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket ORDER BY k, doc_id
+                   ) AS rnk
+            FROM a
+        ), s AS (
+            SELECT bucket, count(*) AS n FROM a GROUP BY bucket
+        ), o AS (
+            SELECT bucket,
+                   coalesce(sum(n) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM s
+        )
+        SELECT r.doc_id,
+               CAST(r.bucket AS BIGINT) AS bucket,
+               CAST(o.off + r.rnk - 1 AS BIGINT) AS global_pos
+        FROM r JOIN o USING (bucket)
+    """,
+    tags=("curation", "shuffle", "training-order"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle without the
+    zipWithIndex trap: hash-bucket + within-bucket md5 rank + a prefix
+    sum over the 1024-row bucket-size table — every row gets a stable
+    position in a fixed pseudo-random permutation, computed with no
+    single-partition pass over data rows."""
+    prepare(spark)
+    from data_eng_project_spark.operators.datasetops import shuffle_order
+
+    return shuffle_order(load_table(spark, sf_dir, "documents"))

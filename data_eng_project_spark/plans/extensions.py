@@ -474,3 +474,103 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "streaming_drift_monitor",
+    oracle="""
+        WITH hc AS (
+            SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), types AS (SELECT DISTINCT event_type FROM events),
+        hours AS (SELECT DISTINCT h FROM hc),
+        grid AS (
+            SELECT hours.h, types.event_type, coalesce(hc.n, 0) + 1 AS n_sm
+            FROM hours CROSS JOIN types
+            LEFT JOIN hc ON hc.h = hours.h AND hc.event_type = types.event_type
+        ), p AS (
+            SELECT h, event_type, n_sm,
+                   CAST(n_sm AS DOUBLE) / sum(n_sm) OVER (PARTITION BY h) AS pr
+            FROM grid
+        ), base AS (
+            SELECT event_type, count(*) + 1 AS bn FROM events GROUP BY 1
+        ), bp AS (
+            SELECT event_type,
+                   CAST(bn AS DOUBLE) / (SELECT sum(bn) FROM base) AS bpr
+            FROM base
+        )
+        SELECT p.h AS window_start,
+               CAST(sum(p.n_sm - 1) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST((p.pr - bp.bpr) * ln(p.pr / bp.bpr)
+                                   AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+        FROM p JOIN bp USING (event_type)
+        GROUP BY p.h
+    """,
+    tags=("streaming", "drift", "psi"),
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online distribution-drift monitor: the *stream* maintains the
+    per-hour event-type counts (tumbling-window aggregation run to
+    completion with AvailableNow), then each window's smoothed type
+    distribution is scored against the static all-time baseline with a
+    population-stability index — the alert a continuously-ingesting
+    pipeline fires when a producer's mix silently changes. Add-one
+    smoothing on both sides keeps every log ratio total; per-window
+    sums go through DECIMAL so partition order cannot move the result.
+
+    Scale: the streaming state is |windows in watermark| × |types|;
+    the PSI join runs on the (hours × types) grid, never on raw events;
+    the baseline is a broadcast-sized per-type aggregate.
+    """
+    prepare(spark)
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    # localCheckpoint cuts the memory-sink view lineage so the hours ×
+    # counts self-join below resolves (and the stream result is read once).
+    counts = run_available_now(
+        hourly_counts_stream(stream), f"mem_drift_{uuid.uuid4().hex[:8]}"
+    ).localCheckpoint()
+    events = load_table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct()
+    hours = counts.select("window_start").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(
+            counts.select("window_start", "event_type", "n_events"),
+            on=["window_start", "event_type"],
+            how="left",
+        )
+        .select(
+            "window_start",
+            "event_type",
+            (F.coalesce("n_events", F.lit(0)) + 1).alias("n_sm"),
+        )
+    )
+    p = grid.select(
+        "window_start",
+        "event_type",
+        "n_sm",
+        (
+            F.col("n_sm").cast("double")
+            / F.sum("n_sm").over(Window.partitionBy("window_start"))
+        ).alias("pr"),
+    )
+    base = events.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 1).alias("bn")
+    )
+    tb = base.agg(F.sum("bn").alias("tb"))
+    bp = base.crossJoin(F.broadcast(tb)).select(
+        "event_type", (F.col("bn").cast("double") / F.col("tb")).alias("bpr")
+    )
+    term = (F.col("pr") - F.col("bpr")) * F.log(F.col("pr") / F.col("bpr"))
+    return (
+        p.join(F.broadcast(bp), on="event_type")
+        .groupBy("window_start")
+        .agg(
+            F.sum(F.col("n_sm") - 1).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("psi"),
+        )
+    )

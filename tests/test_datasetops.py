@@ -553,3 +553,21 @@ def test_soft_dedup_family_mass_sums_to_one(spark):
     assert abs(sum(out[i]["weight"] for i in (1, 2, 3)) - 1.0) < 1e-5
     assert out[9]["cluster_size"] == 1 and out[9]["weight"] == 1.0
     assert out[9]["effective_tokens"] == out[9]["n_tokens"]
+
+
+def test_shuffle_order_is_permutation_and_stable(spark):
+    from data_eng_project_spark.operators.datasetops import shuffle_order
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_order(df).collect()
+    positions = sorted(r["global_pos"] for r in out)
+    assert positions == list(range(500))  # exact permutation of 0..n-1
+    # stable under re-partitioning
+    again = {
+        r["doc_id"]: r["global_pos"]
+        for r in shuffle_order(df.repartition(13)).collect()
+    }
+    assert {r["doc_id"]: r["global_pos"] for r in out} == again
+    # and actually shuffled: not the identity, not sorted by id
+    by_id = [p for _, p in sorted(again.items())]
+    assert by_id != sorted(by_id)
