@@ -156,3 +156,56 @@ def pca_variance_report(
     return spark.createDataFrame(
         out, schema="component int, eigenvalue double, explained_pct double, cumulative_pct double"
     )
+
+
+def embedding_health_report(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension embedding QA: count, mean, std, min/max, exact-zero
+    fraction, and a near-constant flag per coordinate — the screen a
+    pipeline runs before trusting a new embedding model's output
+    (collapsed dimensions, dead ReLU coordinates, un-normalized scales
+    all show up here, and all of them silently poison ANN recall and
+    cosine thresholds downstream).
+
+    Exactness: sums and sums-of-squares accumulate in DECIMAL (order-
+    free), so the report is bit-identical across engines and partition
+    counts; the variance is the textbook E[x²]−E[x]² on those exact
+    sums. Scale: one posexplode (n·d rows of (int, double)) into one
+    map-side-combinable aggregate keyed by dimension — d final rows,
+    no window, no driver state. `+ 0.0` collapses IEEE −0.0 after
+    rounding (driver-hash canonicalization).
+    """
+    x = df.select(F.posexplode(vec_col).alias("dim", "_v")).select(
+        "dim", F.col("_v").cast("double").alias("val")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+    ss = F.sum((F.col("val") * F.col("val")).cast("decimal(38,18)")).cast("double")
+    mean = s / n
+    var = ss / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        x.groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            (F.round(mean, 6) + 0.0).alias("mean"),
+            (F.round(std, 6) + 0.0).alias("std"),
+            (F.round(F.min("val"), 6) + 0.0).alias("min_val"),
+            (F.round(F.max("val"), 6) + 0.0).alias("max_val"),
+            F.round(
+                F.sum(F.when(F.col("val") == 0.0, 1).otherwise(0)) / n, 6
+            ).alias("zero_frac"),
+            (std < 1e-6).alias("near_constant"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n_vecs",
+            "mean",
+            "std",
+            "min_val",
+            "max_val",
+            "zero_frac",
+            "near_constant",
+        )
+    )

@@ -51,3 +51,50 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     ).orderBy("vec_id")
+
+
+@register(
+    "embedding_health_report",
+    oracle="""
+        WITH x AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*), 6) + 0.0 AS mean,
+               round(sqrt(greatest(
+                   CAST(sum(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*)
+                   - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*))
+                     * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*)),
+                   0.0)), 6) + 0.0 AS std,
+               round(min(val), 6) + 0.0 AS min_val,
+               round(max(val), 6) + 0.0 AS max_val,
+               round(CAST(sum(CASE WHEN val = 0.0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS zero_frac,
+               sqrt(greatest(
+                   CAST(sum(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*)
+                   - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*))
+                     * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*)),
+                   0.0)) < 1e-6 AS near_constant
+        FROM x
+        GROUP BY dim
+    """,
+    tags=("linalg", "embedding", "quality"),
+)
+def embedding_health_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA (collapsed/dead/un-normalized
+    coordinate screen) — exact decimal-accumulated moments, one
+    map-side-combinable aggregate over the posexploded coordinates."""
+    prepare(spark)
+    from data_eng_project_spark.operators.linalg import embedding_health_report
+
+    return embedding_health_report(load_table(spark, sf_dir, "embeddings"))

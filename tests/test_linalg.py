@@ -75,3 +75,17 @@ def test_scree_table_sane(spark, sf_dir):
     cums = [r["cumulative_pct"] for r in rows]
     assert all(b >= a for a, b in zip(cums, cums[1:]))
     assert cums[-1] <= 1.0 + 1e-9
+
+
+def test_embedding_health_flags_planted_dead_dimension(spark):
+    from data_eng_project_spark.operators.linalg import embedding_health_report
+
+    # dim0 varies, dim1 constant 0.5, dim2 always exactly zero
+    rows = [(i, [float(i), 0.5, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in embedding_health_report(df).collect()}
+    assert not out[0]["near_constant"]
+    assert out[1]["near_constant"] and out[1]["std"] == 0.0
+    assert out[2]["near_constant"] and out[2]["zero_frac"] == 1.0
+    assert out[0]["n_vecs"] == 50
+    assert out[0]["min_val"] == 0.0 and out[0]["max_val"] == 49.0
