@@ -211,6 +211,52 @@ def minhash_signatures(
     )
 
 
+def lsh_band_rows(
+    sets: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bucket) LSH keys from per-doc shingle-set arrays
+    (_shingle_sets_direct output) — the join key of every MinHash-LSH
+    consumer, including the persisted streaming dedup index
+    (streaming/dedup_index.py).
+
+    Signatures come straight from the set arrays: sig[i] =
+    min_j xxhash64(i, set[j]) via transform+array_min — per-row array
+    math in codegen, no exploded-index groupBy — then each band of
+    r = num_hashes/bands signature rows collapses to one xxhash64
+    bucket key. Deterministic: fixed seeds, so band rows computed in
+    different jobs / sessions / machines agree (what makes the
+    persisted index mergeable across ingest batches).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def _minhash(seed: int) -> F.Column:
+        # NB: the lambda must take exactly one arg — a two-arg lambda
+        # would be treated as transform's (element, index) form.
+        return F.array_min(F.transform("_set", lambda s: F.xxhash64(F.lit(seed), s)))
+
+    sig = sets.select(
+        F.col("_id").alias("id"),
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature"),
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -240,34 +286,7 @@ def minhash_lsh_pairs(
             df.sparkSession.sparkContext.defaultParallelism
         )
     )
-    # Signatures straight from the cached set arrays: sig[i] =
-    # min_j xxhash64(i, set[j]) via transform+array_min — per-row array
-    # math in codegen, no second groupBy over an exploded index.
-    def _minhash(seed: int) -> F.Column:
-        # NB: the lambda must take exactly one arg — a two-arg lambda
-        # would be treated as transform's (element, index) form.
-        return F.array_min(F.transform("_set", lambda s: F.xxhash64(F.lit(seed), s)))
-
-    sig = sets.select(
-        F.col("_id").alias("id"),
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature"),
-    )
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    band_rows = lsh_band_rows(sets, num_hashes=num_hashes, bands=bands)
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), on=["band", "bucket"])

@@ -574,3 +574,42 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@register(
+    "streaming_dedup_index_probe",
+    oracle=None,  # LSH sketch path (seeded xxhash64) — exactness asserted
+    # against planted perturbed copies in tests/test_streaming.py
+    tags=("streaming", "dedup", "lsh", "index"),
+)
+def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup end-to-end: a Structured Streaming job
+    maintains the persisted MinHash-LSH band-row index over arriving
+    document files (foreachBatch, replay-idempotent dynamic partition
+    overwrite), then a new batch of perturbed copies (every 20th doc,
+    one appended token) probes the index — band-bucket equi-join plus
+    exact-Jaccard verification against only the matched corpus docs.
+    History is never rescanned: the probe cost is batch + matched
+    buckets, the index is ~16 rows of 20 bytes per corpus document."""
+    prepare(spark)
+    import tempfile
+
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_index,
+        stream_build_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="dedup_index_")
+    index_dir = f"{base}/index"
+    stream_build_index(
+        spark, table_path(sf_dir, "documents"), index_dir, f"{base}/ckpt"
+    )
+    new_batch = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probeword")).alias("text"),
+        )
+    )
+    return probe_index(spark, index_dir, new_batch, docs)

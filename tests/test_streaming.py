@@ -370,3 +370,77 @@ def test_misra_gries_heavy_hitters_bound(spark):
     for (s, uid), true_c in exact.items():
         if true_c > shard_n[s] / (MG_CAPACITY + 1):
             assert (s, uid) in mg, "guaranteed heavy hitter missing"
+
+
+def test_streaming_dedup_index_build_probe_and_replay(spark, tmp_path):
+    """The persisted LSH index: (1) built across multiple micro-batches
+    it equals the band rows computed in one batch job; (2) replaying a
+    batch leaves the index byte-identical (dynamic partition overwrite
+    + deterministic rows); (3) probing with perturbed copies finds each
+    copy's original without rescanning the corpus."""
+    from data_eng_project_spark.operators.dedup import (
+        _shingle_sets_direct,
+        lsh_band_rows,
+    )
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_index,
+        read_index,
+        stream_build_index,
+        write_index_delta,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60).localCheckpoint()
+    # three source files → three micro-batches with maxFilesPerTrigger=1
+    src = tmp_path / "docs_in"
+    docs.repartition(3).write.parquet(str(src))
+    index_dir = str(tmp_path / "lsh_index")
+    ckpt = str(tmp_path / "ckpt")
+    stream_build_index(
+        spark, str(src), index_dir, ckpt, maxFilesPerTrigger="1"
+    )
+
+    idx = spark.read.parquet(index_dir)
+    n_batches = idx.select("batch_id").distinct().count()
+    assert n_batches >= 2  # really was incremental
+
+    # (1) streamed index == one-shot band rows over the same corpus
+    batch_rows = lsh_band_rows(_shingle_sets_direct(docs, "text", "doc_id", 3))
+    streamed = {(r["id"], r["band"], r["bucket"]) for r in idx.collect()}
+    oneshot = {(r["id"], r["band"], r["bucket"]) for r in batch_rows.collect()}
+    assert streamed == oneshot
+
+    # (2) replaying batch 0 (crash-after-write-before-commit) is a no-op:
+    # re-deliver exactly the docs the stream processed as batch 0 (their
+    # ids are recorded in the index partition) — the rewrite must leave
+    # the whole index set-identical, not just same-sized.
+    b0_ids = (
+        idx.filter(F.col("batch_id") == 0)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    first_batch = docs.join(b0_ids, on="doc_id", how="left_semi")
+    write_index_delta(
+        first_batch.localCheckpoint(), 0, index_dir
+    )  # same batch_id, overwrites its own partition only
+    after = {
+        (r["id"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    assert after == streamed
+
+    # (3) probe: perturbed copies of 5 indexed docs must each find
+    # their original (and only cross batch↔index pairs are returned)
+    new_batch = (
+        docs.limit(5)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    hits = probe_index(spark, index_dir, new_batch, docs).collect()
+    found = {(r["id_new"], r["id_indexed"]) for r in hits}
+    for r in new_batch.collect():
+        assert (r["doc_id"], r["doc_id"] - 1_000_000) in found
+    assert all(r["id_new"] >= 1_000_000 for r in hits)
+    assert all(r["jaccard"] >= 0.5 for r in hits)
