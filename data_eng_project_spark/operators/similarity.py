@@ -691,3 +691,57 @@ def knn_join_blocked(
         .filter(F.col("rank") <= kk)
         .select("qid", "cid", "cosine", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the k most-cosine-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives that make a contrastive/metric-learning batch
+    informative (easy random negatives teach nothing).
+
+    Exact O(n²) formulation with the sequential JVM cosine fold, the
+    oracle-checkable baseline twin of ``all_pairs_above``: ranking is on
+    the 6-dp-rounded cosine with id tie-break, so the order is
+    bit-stable across engines. At corpus scale swap the cross join for
+    ``knn_join_blocked`` (GEMM blocks) with an over-fetch + label
+    filter, or restrict queries to the current training batch — the
+    mining pattern is per-batch, so the query side is small by
+    construction and the corpus side broadcasts per block.
+
+    Returns (qid, cid, label_q, label_c, cosine, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    a = vectors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_va"),
+        F.col(label_col).alias("label_q"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("_vb"),
+        F.col(label_col).alias("label_c"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("label_q") != F.col("label_c"))
+        .withColumn("cosine", F.round(cosine("_va", "_vb"), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.select(
+            "qid",
+            "cid",
+            "label_q",
+            "label_c",
+            "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -311,3 +311,97 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.operators.datasetops import shuffle_order
 
     return shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+        WITH p AS (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+                   a.label AS label_q, b.label AS label_c,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label <> b.label
+        ), r AS (
+            SELECT qid, cid, label_q, label_c, cosine,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, cid
+                   ) AS rank
+            FROM p
+        )
+        SELECT qid, cid, label_q, label_c, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """,
+    tags=("similarity", "contrastive", "mining"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per vector, the 3 most
+    similar different-label vectors (rounded-cosine ranking, id
+    tie-break — bit-stable across engines). Exact baseline; the GEMM
+    blocked k-NN join is the documented scale path."""
+    prepare(spark)
+    from data_eng_project_spark.operators.similarity import hard_negative_topk
+
+    return hard_negative_topk(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                   CAST(sum(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS z07,
+                   CAST(sum(CAST(pow(CAST(n_tokens AS DOUBLE), 0.3)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS z03
+            FROM s
+        )
+        SELECT s.source, s.n_docs, s.n_tokens,
+               round(CAST(s.n_tokens AS DOUBLE) / t.tot, 6) AS p_raw,
+               round(pow(CAST(s.n_tokens AS DOUBLE), 0.7) / t.z07, 6)
+                   AS p_temp07,
+               round(pow(CAST(s.n_tokens AS DOUBLE), 0.3) / t.z03, 6)
+                   AS p_temp03
+        FROM s CROSS JOIN t
+    """,
+    tags=("curation", "mixture", "sampling"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling table (the mT5/multilingual
+    recipe): per-source sampling probability ∝ n_tokens^α for α = 1,
+    0.7, 0.3 — flattening the source distribution so low-resource
+    sources aren't starved. One rollup + a broadcast 1-row normalizer;
+    pow on exact BIGINT token counts is deterministic cross-engine."""
+    prepare(spark)
+    from data_eng_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda x: x != F.lit(""))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot"),
+        F.sum(F.pow(nt, 0.7).cast("decimal(38,12)")).cast("double").alias("z07"),
+        F.sum(F.pow(nt, 0.3).cast("decimal(38,12)")).cast("double").alias("z03"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(nt / F.col("tot"), 6).alias("p_raw"),
+        F.round(F.pow(nt, 0.7) / F.col("z07"), 6).alias("p_temp07"),
+        F.round(F.pow(nt, 0.3) / F.col("z03"), 6).alias("p_temp03"),
+    )

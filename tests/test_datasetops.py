@@ -571,3 +571,57 @@ def test_shuffle_order_is_permutation_and_stable(spark):
     # and actually shuffled: not the identity, not sorted by id
     by_id = [p for _, p in sorted(again.items())]
     assert by_id != sorted(by_id)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _py_cdc_chunks(words):
+    """Driver-side exact twin of cdc_chunk_stats' chunking rule."""
+    import hashlib
+
+    chunks, cur = [], []
+    for i, w in enumerate(words):
+        if i > 0 and hashlib.md5(
+            f"{words[i - 1]} {w}".encode()
+        ).hexdigest()[0] in ("0", "1"):
+            chunks.append(cur)
+            cur = []
+        cur.append(w)
+    if cur:
+        chunks.append(cur)
+    return [" ".join(c) for c in chunks]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=60),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_cdc_chunks_match_python_twin(spark, docs_words):
+    from collections import Counter
+
+    from data_eng_project_spark.operators.datasetops import cdc_chunk_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {
+        r["doc_id"]: r
+        for r in cdc_chunk_stats(_docs(spark, rows)).collect()
+    }
+    # exact twin: chunk multiset per doc + cross-doc df
+    per_doc = {i: _py_cdc_chunks(ws) for i, ws in enumerate(docs_words)}
+    df = Counter()
+    for i, chs in per_doc.items():
+        for c in set(chs):
+            df[c] += 1
+    for i, ws in enumerate(docs_words):
+        chs = per_doc[i]
+        assert out[i]["n_chunks"] == len(chs)
+        assert out[i]["n_words"] == len(ws)
+        assert out[i]["n_shared_chunks"] == sum(1 for c in chs if df[c] >= 2)
