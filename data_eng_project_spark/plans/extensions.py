@@ -613,3 +613,54 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probe_index(spark, index_dir, new_batch, docs)
+
+
+@register(
+    "audio_fingerprint_match",
+    oracle=None,  # FFT peak track (platform-float DSP) — planted-truth
+    # recovery is asserted in tests/test_multimodal_phash.py
+    tags=("multimodal", "audio", "fingerprint"),
+)
+def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup/content-ID end-to-end: constellation fingerprints
+    (per-STFT-window peak bins paired into (bin, bin, Δt) hashes) for a
+    deterministic melody catalog, probed with cropped copies of every
+    50th melody — hash equi-join + offset-histogram vote returns each
+    probe's best time-aligned catalog match. The waveform never crosses
+    the join: only ~fanout rows of 16 bytes per window do."""
+    prepare(spark)
+    from data_eng_project_spark.operators.multimodal import (
+        attach_melody_audio,
+        audio_fingerprints,
+        audio_match_votes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    catalog = attach_melody_audio(docs)
+    index_fps = audio_fingerprints(catalog)
+    probes = attach_melody_audio(
+        docs.filter(F.col("doc_id") % 50 == 0)
+    ).mapInPandas(
+        _crop_audio_batches, schema="doc_id long, payload binary"
+    )
+    probe_fps = audio_fingerprints(probes)
+    return audio_match_votes(probe_fps, index_fps)
+
+
+def _crop_audio_batches(it):
+    """Drop the first 800 samples (0.1 s) and re-id (+5M): a time-
+    shifted partial copy, the content-ID probe case."""
+    import pandas as pd
+
+    from data_eng_project_spark.operators.multimodal import (
+        decode_raw_audio,
+        encode_raw_audio,
+    )
+
+    for pdf in it:
+        ids, payloads = [], []
+        for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+            samples, sr = decode_raw_audio(bytes(pl))
+            ids.append(int(doc_id) + 5_000_000)
+            payloads.append(encode_raw_audio(samples[800:], sr))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -60,3 +60,45 @@ def test_same_group_pairs_recalled(spark, sf_dir):
     # 80 docs over 10 groups -> 8 per group -> 28 pairs per group ideal;
     # demand the overwhelming majority despite pixel noise
     assert pairs >= 200
+
+
+def test_audio_fingerprint_match_recovers_cropped_copies(spark):
+    """Planted truth: cropped (time-shifted) copies of catalog melodies
+    must each match their original with a consistent negative offset
+    and dominant vote count."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.multimodal import (
+        attach_melody_audio,
+        audio_fingerprints,
+        audio_match_votes,
+        decode_raw_audio,
+        encode_raw_audio,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    catalog = attach_melody_audio(docs)
+    index_fps = audio_fingerprints(catalog).localCheckpoint()
+
+    def crop(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr = decode_raw_audio(bytes(pl))
+                ids.append(int(doc_id) + 1000)
+                payloads.append(encode_raw_audio(samples[800:], sr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    probes = attach_melody_audio(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    ).mapInPandas(crop, schema="doc_id long, payload binary")
+    out = {r["probe_id"]: r for r in audio_match_votes(
+        audio_fingerprints(probes), index_fps
+    ).collect()}
+    assert set(out) == {1000, 1005, 1010, 1015, 1020, 1025}
+    for pid, r in out.items():
+        assert r["matched_id"] == pid - 1000, r
+        assert r["offset"] >= 5  # ~0.1s crop ≈ 6 hops later in the original
+        assert r["votes"] >= 10
