@@ -845,3 +845,75 @@ def audio_match_votes(probe_fps: DataFrame, index_fps: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("probe_id", "matched_id", "offset", "votes")
     )
+
+
+def attach_scene_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mint a deterministic multi-scene clip per row: 2–4 scenes whose
+    count, lengths, and background colors derive from the id, with a
+    hard cut between scenes — ground truth for scene-boundary
+    detection (the single-pattern sweep clip of attach_raw_video has no
+    cuts to find)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 32, 24
+                n_scenes = 2 + i % 3
+                segs = []
+                for s in range(n_scenes):
+                    length = 6 + (i * 7 + s * 13) % 8  # 6..13 frames
+                    shade = 30 + ((i * 31 + s * 97) % 7) * 30  # step ≥30 luma
+                    seg = np.full((length, h, w, 3), shade, dtype=np.uint8)
+                    # mild intra-scene motion: one moving brighter column
+                    for f in range(length):
+                        seg[f, :, (f + s) % w, :] = min(shade + 20, 255)
+                    segs.append(seg)
+                frames = np.concatenate(segs)
+                ids.append(doc_id)
+                payloads.append(encode_raw_video(frames, fps=12.0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def detect_scene_cuts(media_df: DataFrame, threshold: float = 8.0) -> DataFrame:
+    """Scene-change detection over raw clips: mean absolute luma
+    difference between consecutive frames; a frame whose diff exceeds
+    ``threshold`` (luma levels, 0–255 scale) starts a new scene — the
+    shot-segmentation primitive under keyframe selection and per-scene
+    frame sampling in video curation. Intra-scene motion (a few moving
+    pixels) stays far under the threshold; a background change crosses
+    it. One output row per detected cut plus a row for frame 0, so
+    downstream gets scene spans by windowing over cut_idx. Arrow-
+    batched; whole clips never leave the executor Python process."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "cut_frame": [], "scene_idx": [], "diff": []}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = decode_raw_video(bytes(pl))
+                luma = (
+                    0.299 * frames[..., 0]
+                    + 0.587 * frames[..., 1]
+                    + 0.114 * frames[..., 2]
+                )
+                diffs = np.abs(luma[1:] - luma[:-1]).mean(axis=(1, 2))
+                scene = 0
+                rows["doc_id"].append(doc_id)
+                rows["cut_frame"].append(0)
+                rows["scene_idx"].append(0)
+                rows["diff"].append(0.0)
+                for f, d in enumerate(diffs, start=1):
+                    if d > threshold:
+                        scene += 1
+                        rows["doc_id"].append(doc_id)
+                        rows["cut_frame"].append(f)
+                        rows["scene_idx"].append(scene)
+                        rows["diff"].append(round(float(d), 6))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        batches, schema="doc_id long, cut_frame int, scene_idx int, diff double"
+    )

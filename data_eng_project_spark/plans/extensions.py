@@ -664,3 +664,25 @@ def _crop_audio_batches(it):
             ids.append(int(doc_id) + 5_000_000)
             payloads.append(encode_raw_audio(samples[800:], sr))
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+@register(
+    "video_scene_cuts",
+    oracle=None,  # numpy luma-diff DSP; planted scene-count/boundary
+    # recovery asserted in tests/test_multimodal_phash.py
+    tags=("multimodal", "video", "scenes"),
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation over raw clips: per-frame mean-|Δluma| with a
+    threshold cut detector — deterministic multi-scene clips minted
+    executor-side, one output row per detected scene start. The
+    keyframe-selection primitive of a video curation pipeline; clips
+    never leave the Arrow batch."""
+    prepare(spark)
+    from data_eng_project_spark.operators.multimodal import (
+        attach_scene_video,
+        detect_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return detect_scene_cuts(attach_scene_video(docs))

@@ -102,3 +102,29 @@ def test_audio_fingerprint_match_recovers_cropped_copies(spark):
         assert r["matched_id"] == pid - 1000, r
         assert r["offset"] >= 5  # ~0.1s crop ≈ 6 hops later in the original
         assert r["votes"] >= 10
+
+
+def test_scene_cut_detection_recovers_planted_scene_structure(spark):
+    """attach_scene_video plants 2 + id%3 scenes with hard cuts; the
+    detector must recover exactly that many scenes per clip, with cut
+    frames strictly increasing and intra-scene motion never flagged."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.multimodal import (
+        attach_scene_video,
+        detect_scene_cuts,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    out = detect_scene_cuts(attach_scene_video(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(30))
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["scene_idx"])
+        expected_scenes = 2 + doc_id % 3
+        assert len(rows) == expected_scenes, (doc_id, rows)
+        frames = [r["cut_frame"] for r in rows]
+        assert frames[0] == 0 and frames == sorted(frames)
+        assert all(r["diff"] > 8.0 for r in rows[1:])
