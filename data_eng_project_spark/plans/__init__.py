@@ -59,6 +59,14 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     langid_confusion_matrix, curation_funnel_stats, bigram_lm_quality,
 #     composed_corpus_pipeline, data_quality_report, cusum_changepoints,
 #     attribution_last_touch, attribution_first_touch, mad_outlier_summary
+#   new in r3 final session (all oracle-parity + driver-sim green at
+#   sf0.01): dataset_split_profile, split_leakage_audit,
+#     boilerplate_segments, cdc_chunk_dedup, soft_dedup_weights,
+#     corpus_shuffle_order, streaming_drift_monitor,
+#     embedding_health_report, hard_negative_mining,
+#     mixture_temperature_weights (rows-only additions:
+#     streaming_dedup_index_probe, audio_fingerprint_match,
+#     video_scene_cuts)
 #   r1-green but never re-certified: window_rank_events,
 #     moving_avg_user_value, set_ops_*, distinct_aggregates,
 #     scalar_kitchen_sink, array_functions, cube_order_summary,
