@@ -104,3 +104,29 @@ def compose(docs: DataFrame, spec: list[dict]) -> DataFrame:
             raise KeyError(f"unknown stage {name!r}; known: {sorted(STAGES)}")
         out = STAGES[name](out, **params)
     return out
+
+
+@stage("near_dedup")
+def _near_dedup(df: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Drop non-canonical members of near-dup clusters: exact
+    n-gram-Jaccard pairs (PPJoin-pruned) → connected components → keep
+    each component's minimum id. Runs on whatever rows reach this
+    stage, so place it after the cheap filters."""
+    from data_eng_project_spark.operators.clusters import connected_components
+    from data_eng_project_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=n, threshold=threshold)
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    return df.join(drop, on="doc_id", how="left_anti")
+
+
+@stage("split_tag")
+def _split_tag(df: DataFrame, train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Tag every row with its deterministic train/val/test split
+    (transform stage — adds a ``split`` column, drops nothing)."""
+    from data_eng_project_spark.operators.curation import split_column
+
+    return df.withColumn("split", split_column("doc_id", train_pct, val_pct))

@@ -405,3 +405,100 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(nt, 0.7) / F.col("z07"), 6).alias("p_temp07"),
         F.round(F.pow(nt, 0.3) / F.col("z03"), 6).alias("p_temp03"),
     )
+
+
+def _clean_ngram_ctes() -> str:
+    """The shared n-gram-pair CTE chain retargeted at the `clean` CTE
+    (the pair graph must be computed over the *cleaned* corpus, not the
+    raw table — dedup after filtering is the release order)."""
+    return _NGRAM_CTES.replace("FROM documents", "FROM clean")
+
+
+@register(
+    "dataset_release_pipeline",
+    oracle=None,  # assembled in _release_oracle() below (needs the
+    # textdata language CASE; registered via REGISTRY patch right after)
+    tags=("pipeline", "composite", "release"),
+)
+def dataset_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dataset-release chain as ONE declarative config —
+    language filter → min-length → exact dedup → near-dup canonical
+    keep → deterministic split tag — folded by pipelines/composer into
+    a single lazy plan, reported as the per-(split, source) release
+    table. The oracle replays every stage in SQL (recursive transitive
+    closure for the dup components), so the whole chained semantics is
+    bit-certified, not just each stage in isolation."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.composer import compose
+    from data_eng_project_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    released = compose(
+        docs,
+        [
+            {"stage": "lang_filter", "lang": "en"},
+            {"stage": "min_words", "n": 20},
+            {"stage": "dedup_exact"},
+            {"stage": "near_dedup", "n": 3, "threshold": 0.5},
+            {"stage": "split_tag", "train_pct": _TRAIN_PCT, "val_pct": _VAL_PCT},
+        ],
+    )
+    toks = F.filter(_tokens("text"), lambda x: x != F.lit(""))
+    return released.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _release_oracle() -> str:
+    from data_eng_project_spark.plans.textdata import _PRED_CASE
+
+    return f"""
+        WITH RECURSIVE canon AS (
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        ), feat AS (
+            SELECT doc_id,
+                   {_PRED_CASE} AS lang_pred,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words
+            FROM documents
+        ), clean AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d
+            JOIN canon ON d.doc_id = canon.keep_id
+            JOIN feat ON feat.doc_id = d.doc_id
+            WHERE feat.lang_pred = 'en' AND feat.n_words >= 20
+        ), {_clean_ngram_ctes()},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        kept AS (
+            SELECT c.doc_id, c.source, c.text
+            FROM clean c
+            LEFT JOIN comp ON comp.doc_id = c.doc_id
+            WHERE comp.doc_id IS NULL OR comp.component = c.doc_id
+        )
+        SELECT {_SPLIT_CASE.format(id="doc_id")} AS split,
+               source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM kept
+        GROUP BY 1, 2
+    """
+
+
+from data_eng_project_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["dataset_release_pipeline"].oracle = _release_oracle()
