@@ -107,3 +107,55 @@ def kanonymize_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["nation_q", "segment_q", "band_q", "n", "anon_level"]
     return pass0.select(*cols).unionByName(pass1).unionByName(pass2)
+
+
+@register(
+    "ldiversity_check",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(c_nationkey AS VARCHAR) AS nation_q,
+                   CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR)
+                       AS band_q,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                       AS n_distinct_segments
+            FROM customer
+            GROUP BY 1, 2
+        )
+        SELECT nation_q, band_q, n, n_distinct_segments,
+               n_distinct_segments >= 3 AS l_diverse
+        FROM g
+    """,
+    tags=("privacy", "ldiversity"),
+)
+def ldiversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the check k-anonymity alone misses: a
+    quasi-identifier group where every member shares one sensitive
+    value (here: market segment) leaks that value even at count ≥ k.
+    Per (nation, balance-band) group: size, distinct sensitive values,
+    and the l ≥ 3 verdict. One grouped aggregate with a distinct count
+    — partial-aggregable, no Python, no windows."""
+    prepare(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").cast("string").alias("nation_q"),
+            F.floor(F.col("c_acctbal") / 2000)
+            .cast("bigint")
+            .cast("string")
+            .alias("band_q"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias(
+                "n_distinct_segments"
+            ),
+        )
+        .select(
+            "nation_q",
+            "band_q",
+            "n",
+            "n_distinct_segments",
+            (F.col("n_distinct_segments") >= 3).alias("l_diverse"),
+        )
+    )

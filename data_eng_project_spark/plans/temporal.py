@@ -334,3 +334,97 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_absz")
     )
+
+
+@register(
+    "acf_event_counts",
+    oracle="""
+        WITH hc AS (
+            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT a.event_type, l.lag,
+                   CAST(a.n AS DECIMAL(28,6)) AS x,
+                   CAST(b.n AS DECIMAL(28,6)) AS y
+            FROM hc a
+            CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+            JOIN hc b
+              ON b.event_type = a.event_type AND b.h = a.h - l.lag
+        ), s AS (
+            SELECT event_type, lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy
+            FROM lagged GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+               round(CASE
+                   WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)
+                        <= 0 THEN NULL
+                   ELSE (n_pairs * sxy - sx * sy)
+                        / sqrt((n_pairs * sxx - sx * sx)
+                               * (n_pairs * syy - sy * sy))
+               END, 6) + 0.0 AS acf
+        FROM s
+    """,
+    tags=("temporal", "diagnostics", "acf"),
+)
+def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics of the hourly event-rate series:
+    Pearson r between each type's hourly counts and the same series
+    lagged 1–6 hours — the periodicity screen run before picking
+    seasonal-anomaly windows or forecasting features. Exact: integer
+    counts accumulate in DECIMAL, the Pearson formula then runs on the
+    exact sums in double — identical on both engines regardless of
+    partitioning. Costs one rollup + one rollup-sized self-join per
+    lag (the lag fan-out is an explode over 6 values, not a shuffle
+    multiplier: everything is keyed by event_type)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    hc = (
+        events.groupBy(
+            F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # reused on both sides of the lag self-join
+    )
+    a = hc.select(
+        "event_type",
+        F.col("h").alias("_ha"),
+        F.col("n").cast("decimal(28,6)").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("lag"),
+    )
+    b = hc.select(
+        F.col("event_type").alias("_et"),
+        F.col("h").alias("_hb"),
+        F.col("n").cast("decimal(28,6)").alias("y"),
+    )
+    lagged = a.join(
+        b,
+        (F.col("_et") == F.col("event_type"))
+        & (F.col("_hb") == F.col("_ha") - F.col("lag")),
+    )
+    s = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.when(dx * dy <= 0, F.lit(None)).otherwise(num / F.sqrt(dx * dy))
+    return s.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        (F.round(acf, 6) + 0.0).alias("acf"),
+    )
