@@ -635,6 +635,13 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_match_votes,
     )
 
+    # Payload-bearing Arrow stages: 10k-row default batches hold
+    # ~160 MB of PCM per task (16 KB/payload) — at 10× corpus that
+    # exhausts an 8 GB local heap before the fingerprints shrink it.
+    # 512-row batches cap in-flight buffers at ~8 MB/task; at cluster
+    # scale this is the executor-memory sizing knob for media columns.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     catalog = attach_melody_audio(docs)
     index_fps = audio_fingerprints(catalog)
@@ -684,5 +691,8 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_scene_cuts,
     )
 
+    # Raw clips are ~70 KB each — cap Arrow batch rows so in-flight
+    # payload buffers stay bounded (see audio_fingerprint_match note).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return detect_scene_cuts(attach_scene_video(docs))

@@ -164,3 +164,30 @@ def probe_index(
         F.col("id_b").alias("id_indexed"),
         "jaccard",
     )
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, out_dir: str, num_files: int = 8
+) -> tuple[int, int]:
+    """Serving-layout compaction for a long-running index: hundreds of
+    tiny per-batch partitions accrete (one per micro-batch), and every
+    probe pays per-file open costs with no pruning — batch_id is
+    useless as a probe predicate. Rewrite the index range-clustered by
+    (bucket, band): each output file covers a disjoint bucket range
+    with parquet min/max stats, so a probe's band-bucket join reads
+    only the files whose range intersects its buckets, and file count
+    drops to ``num_files``. Run it on a cadence (like OPTIMIZE);
+    maintenance then restarts appending batch partitions beside the
+    compacted base — read_index globs both.
+
+    Returns (files_before, files_after).
+    """
+    import glob
+
+    from data_eng_project_spark.operators.sink import write_range_sorted
+
+    before = len(glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+    rows = spark.read.parquet(index_dir).select("id", "band", "bucket")
+    write_range_sorted(rows, out_dir, ["bucket", "band"], num_files=num_files)
+    after = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return before, after

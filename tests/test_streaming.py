@@ -444,3 +444,71 @@ def test_streaming_dedup_index_build_probe_and_replay(spark, tmp_path):
         assert (r["doc_id"], r["doc_id"] - 1_000_000) in found
     assert all(r["id_new"] >= 1_000_000 for r in hits)
     assert all(r["jaccard"] >= 0.5 for r in hits)
+
+
+def test_dedup_index_compaction_preserves_rows_and_prunes(spark, tmp_path):
+    """compact_index must (a) cut file count, (b) preserve the exact
+    band-row set, (c) produce disjoint per-file bucket ranges (the
+    footer property that lets probes skip files), and (d) leave probe
+    results identical."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_eng_project_spark.streaming.dedup_index import (
+        compact_index,
+        probe_index,
+        stream_build_index,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60).localCheckpoint()
+    src = tmp_path / "docs_in"
+    docs.repartition(8).write.parquet(str(src))
+    index_dir = str(tmp_path / "idx")
+    stream_build_index(
+        spark, str(src), index_dir, str(tmp_path / "ckpt"), maxFilesPerTrigger="1"
+    )
+    compacted = str(tmp_path / "idx_compacted")
+    before, after = compact_index(spark, index_dir, compacted, num_files=4)
+    assert after < before and after <= 4
+    orig = {(r["id"], r["band"], r["bucket"])
+            for r in spark.read.parquet(index_dir)
+            .select("id", "band", "bucket").collect()}
+    comp = {(r["id"], r["band"], r["bucket"])
+            for r in spark.read.parquet(compacted).collect()}
+    assert comp == orig
+    # disjoint bucket ranges across files (probe-side file pruning)
+    ranges = []
+    for f in sorted(os.listdir(compacted)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(compacted, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "bucket"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # no overlap
+    # probe equivalence
+    from pyspark.sql import functions as F
+
+    new_batch = (
+        docs.limit(5)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    a = {(r["id_new"], r["id_indexed"], r["jaccard"])
+         for r in probe_index(spark, index_dir, new_batch, docs).collect()}
+    b = {(r["id_new"], r["id_indexed"], r["jaccard"])
+         for r in probe_index(spark, compacted, new_batch, docs).collect()}
+    assert a == b and a
