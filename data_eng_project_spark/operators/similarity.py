@@ -612,6 +612,7 @@ def knn_join_blocked(
     n_corpus_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Exact bipartite k-NN join via block-matrix multiplication: every
     (query-block, corpus-block) pair is one applyInPandas group whose
@@ -633,27 +634,34 @@ def knn_join_blocked(
     import pandas as pd
 
     spark = queries.sparkSession
+    tag = (
+        F.col(exclude_match_col).cast("string")
+        if exclude_match_col is not None
+        else F.lit(None).cast("string")
+    )
     qb = queries.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("_qb"),
         F.lit("q").alias("side"),
+        tag.alias("tag"),
     )
     cb = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("_cb"),
         F.lit("c").alias("side"),
+        tag.alias("tag"),
     )
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_query_blocks) for j in range(n_corpus_blocks)],
         "bq int, bc int",
     )
     q_rep = qb.join(F.broadcast(grid), qb["_qb"] == grid["bq"]).select(
-        "bq", "bc", "id", "vec", "side"
+        "bq", "bc", "id", "vec", "side", "tag"
     )
     c_rep = cb.join(F.broadcast(grid), cb["_cb"] == grid["bc"]).select(
-        "bq", "bc", "id", "vec", "side"
+        "bq", "bc", "id", "vec", "side", "tag"
     )
     rep = q_rep.unionByName(c_rep)
     kk = int(k)
@@ -669,6 +677,12 @@ def knn_join_blocked(
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         S = Qn @ Cn.T
         S = np.where(S >= 0, np.floor(S * 1e6 + 0.5), np.ceil(S * 1e6 - 0.5)) / 1e6
+        if exclude_match_col is not None:
+            # mask same-tag pairs (e.g. same label for hard-negative
+            # mining) below any real cosine so they never reach top-k
+            qt = q["tag"].to_numpy()
+            ct = c["tag"].to_numpy()
+            S = np.where(qt[:, None] == ct[None, :], -2.0, S)
         top = min(kk, S.shape[1])
         # block-local top-k per query row (argpartition then exact sort)
         part = np.argpartition(-S, top - 1, axis=1)[:, :top]
@@ -685,6 +699,8 @@ def knn_join_blocked(
     cand = rep.groupBy("bq", "bc").applyInPandas(
         gemm_topk, schema="qid long, cid long, cosine double"
     )
+    if exclude_match_col is not None:
+        cand = cand.filter(F.col("cosine") > -1.5)  # drop masked cells
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

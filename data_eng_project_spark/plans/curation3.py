@@ -502,3 +502,28 @@ def _release_oracle() -> str:
 from data_eng_project_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["dataset_release_pipeline"].oracle = _release_oracle()
+
+
+@register(
+    "hard_negative_mining_blocked",
+    oracle=None,  # GEMM float path (ulp-level vs the JVM fold) — exact
+    # agreement with the O(n²) baseline asserted in tests/test_linalg.py
+    tags=("similarity", "contrastive", "mining", "scale-path"),
+)
+def hard_negative_mining_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for hard-negative mining: the GEMM-blocked
+    bipartite k-NN join with same-label cells masked inside each block
+    sub-matrix before block-local top-k — exact top-k among
+    different-label vectors without materializing the similarity
+    matrix or the n² pair list. Shuffle carries k rows per (query,
+    corpus-block); corpus replication is n_query_blocks×."""
+    prepare(spark)
+    from data_eng_project_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_blocked(
+        emb.select("vec_id", "embedding", "label"),
+        emb.select("vec_id", "embedding", "label"),
+        k=3,
+        exclude_match_col="label",
+    )

@@ -89,3 +89,35 @@ def test_embedding_health_flags_planted_dead_dimension(spark):
     assert out[2]["near_constant"] and out[2]["zero_frac"] == 1.0
     assert out[0]["n_vecs"] == 50
     assert out[0]["min_val"] == 0.0 and out[0]["max_val"] == 49.0
+
+
+def test_blocked_hard_negatives_match_exact_baseline(spark, sf_dir):
+    """The GEMM label-masked blocked k-NN must agree with the O(n²)
+    JVM-fold baseline pair-for-pair on the real embeddings table."""
+    from data_eng_project_spark.operators.similarity import (
+        hard_negative_topk,
+        knn_join_blocked,
+    )
+    from data_eng_project_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in hard_negative_topk(emb, k=3).collect()
+    }
+    blocked = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in knn_join_blocked(
+            emb.select("vec_id", "embedding", "label"),
+            emb.select("vec_id", "embedding", "label"),
+            k=3,
+            exclude_match_col="label",
+        ).collect()
+    }
+    assert blocked == exact
+    # and the unmasked default path is unchanged by the new parameter
+    plain = knn_join_blocked(
+        emb.select("vec_id", "embedding"), emb.select("vec_id", "embedding"), k=1
+    )
+    top1 = {r["qid"]: r["cid"] for r in plain.collect()}
+    assert all(top1[q] == q for q in top1)  # self is its own nearest
