@@ -66,7 +66,9 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     embedding_health_report, hard_negative_mining,
 #     mixture_temperature_weights (rows-only additions:
 #     streaming_dedup_index_probe, audio_fingerprint_match,
-#     video_scene_cuts)
+#     video_scene_cuts, hard_negative_mining_blocked), plus
+#     dataset_release_pipeline, ldiversity_check, acf_event_counts,
+#     hard_negative_mining, mixture_temperature_weights (oracle-backed)
 #   r1-green but never re-certified: window_rank_events,
 #     moving_avg_user_value, set_ops_*, distinct_aggregates,
 #     scalar_kitchen_sink, array_functions, cube_order_summary,
