@@ -32,6 +32,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (pandas_udf / applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Restore the Arrow batch-row default on every prepare(): media
+    # queries (audio fingerprints, scene cuts) lower it to bound
+    # payload-bearing batches, and without this pin the lowered cap
+    # would leak into whatever query runs next on the shared session.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Junk date strings parse to NULL instead of raising (F1 semantics).
     "spark.sql.legacy.timeParserPolicy": "LEGACY",
     # Pin the session timezone so timestamp values collected from Spark

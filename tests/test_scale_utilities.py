@@ -256,3 +256,16 @@ def test_export_training_shards_layout_and_manifest(spark, tmp_path):
         run += r.n_tokens
     m = manifest[shards[0]]
     assert run == m.n_tokens and m.n_chunks == (run + 511) // 512
+
+
+def test_prepare_restores_arrow_batch_default(spark):
+    """Media queries lower arrow.maxRecordsPerBatch to bound payload
+    batches; prepare() must restore the default so the cap never leaks
+    into the next query on a shared session."""
+    from data_eng_project_spark.session import prepare
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    prepare(spark)
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "10000"
+    )
