@@ -277,3 +277,12 @@ def test_split_profile_is_pure_aggregate(spark):
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_release_pipeline_no_cartesian_no_python(spark):
+    """The five-stage composed release plan must stay equi-join +
+    aggregate shaped end to end: no cartesian blowup from the dedup
+    stages, no Python eval nodes anywhere."""
+    plan = _plan(spark, "dataset_release_pipeline")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
