@@ -527,3 +527,88 @@ def hard_negative_mining_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         exclude_match_col="label",
     )
+
+
+@register(
+    "quality_retention_curve",
+    oracle=None,  # assembled below (needs textdata's stopword SQL terms)
+    tags=("curation", "quality", "ablation"),
+)
+def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter ablation curve: documents bucketed by fixed-
+    width stopword-ratio bands (0.05 wide), and for every band the
+    docs/tokens that SURVIVE a "keep score ≥ band" cutoff — the table a
+    curation owner reads to pick a threshold by seeing exactly how many
+    tokens each notch costs. Fixed absolute bands (not rank deciles) on
+    purpose: the heavy pass is a pure map-side bucket aggregate with no
+    global sort, and the cumulative sweep is a window over the ~13 band
+    rows — the PSI-bucket pattern, scale-free."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.functions.text import tokens as _tokens
+    from data_eng_project_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens("text"), lambda x: x != F.lit(""))
+    scored = quality_score(docs).select(
+        "doc_id",
+        F.floor(F.col("stopword_ratio") * 20).cast("int").alias("band"),
+    ).join(docs.select("doc_id", F.size(toks).alias("_nt")), on="doc_id")
+    per_band = scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_band.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.round(F.col("band") / 20.0, 6).alias("min_score"),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs_kept"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens_kept"),
+    )
+
+
+def _retention_oracle() -> str:
+    from data_eng_project_spark.plans.textdata import _PADDED
+    from data_eng_project_spark.functions.text import (
+        EN_STOPWORDS,
+        substr_count_sql,
+    )
+
+    stop_sum = " + ".join(substr_count_sql(_PADDED, f" {w} ") for w in EN_STOPWORDS)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(floor(round(({stop_sum})
+                       / len(string_split_regex(trim(text), '\\s+')), 6)
+                       * 20) AS INT) AS band,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS nt
+            FROM documents
+        ), per_band AS (
+            SELECT band,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM scored GROUP BY band
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               round(band / 20.0, 6) AS min_score,
+               n_docs,
+               n_tokens,
+               CAST(sum(n_docs) OVER (
+                   ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_docs_kept,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens_kept
+        FROM per_band
+    """
+
+
+_REG["quality_retention_curve"].oracle = _retention_oracle()
