@@ -612,3 +612,95 @@ def _retention_oracle() -> str:
 
 
 _REG["quality_retention_curve"].oracle = _retention_oracle()
+
+
+@register(
+    "dataset_datasheet",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, lang, text,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS nt,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), agg AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(nt) AS DOUBLE) AS n_tokens,
+                   CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS pct_en,
+                   1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)
+                       AS exact_dup_rate,
+                   CAST(sum(nt) AS DOUBLE) / count(*) AS mean_doc_tokens,
+                   CAST(min(nt) AS DOUBLE) AS min_doc_tokens,
+                   CAST(max(nt) AS DOUBLE) AS max_doc_tokens
+            FROM base
+        )
+        SELECT m.metric, round(m.value, 6) AS value
+        FROM agg, LATERAL (VALUES
+            ('n_docs', n_docs),
+            ('n_tokens', n_tokens),
+            ('n_sources', n_sources),
+            ('n_langs', n_langs),
+            ('pct_en', pct_en),
+            ('exact_dup_rate', exact_dup_rate),
+            ('mean_doc_tokens', mean_doc_tokens),
+            ('min_doc_tokens', min_doc_tokens),
+            ('max_doc_tokens', max_doc_tokens)
+        ) m(metric, value)
+    """,
+    tags=("curation", "datasheet", "governance"),
+)
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet in one scan: corpus-level release stats
+    (size, sources, language mix, exact-dup rate, length profile) as
+    (metric, value) rows — the numbers a dataset card's quantitative
+    section publishes. One aggregate over the corpus (distinct counts
+    partial-aggregated), then a 9-row unpivot."""
+    prepare(spark)
+    from data_eng_project_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens("text"), lambda x: x != F.lit(""))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    a = docs.select(
+        "doc_id", "source", "lang", F.size(toks).alias("nt"), fp.alias("fp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("nt").cast("double").alias("n_tokens"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("pct_en"),
+        (
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        (F.sum("nt") / F.count(F.lit(1))).alias("mean_doc_tokens"),
+        F.min("nt").cast("double").alias("min_doc_tokens"),
+        F.max("nt").cast("double").alias("max_doc_tokens"),
+    )
+    pairs = [
+        ("n_docs", "n_docs"),
+        ("n_tokens", "n_tokens"),
+        ("n_sources", "n_sources"),
+        ("n_langs", "n_langs"),
+        ("pct_en", "pct_en"),
+        ("exact_dup_rate", "exact_dup_rate"),
+        ("mean_doc_tokens", "mean_doc_tokens"),
+        ("min_doc_tokens", "min_doc_tokens"),
+        ("max_doc_tokens", "max_doc_tokens"),
+    ]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("metric"), F.col(col).alias("value"))
+                for name, col in pairs
+            ]
+        )
+    ).alias("kv")
+    return a.select(stack).select(
+        "kv.metric", F.round("kv.value", 6).alias("value")
+    )
