@@ -704,3 +704,73 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(stack).select(
         "kv.metric", F.round("kv.value", 6).alias("value")
     )
+
+
+@register(
+    "split_shingle_leakage_rate",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   {_SPLIT_CASE.format(id="doc_id")} AS split,
+                   text
+            FROM documents
+        ), words AS (
+            SELECT doc_id, split,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS wd,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM w
+        ), sh AS (
+            SELECT DISTINCT split,
+                   wd || ' ' || lead(wd, 1) OVER win || ' '
+                      || lead(wd, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(wd, 2) OVER win IS NOT NULL
+        ), ev AS (
+            SELECT split, shingle FROM sh WHERE split <> 'train'
+        ), tr AS (
+            SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+        )
+        SELECT ev.split,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen_in_train,
+               round(CAST(sum(CASE WHEN tr.shingle IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS leakage_rate
+        FROM ev LEFT JOIN tr ON tr.shingle = ev.shingle
+        GROUP BY ev.split
+    """,
+    tags=("curation", "splits", "leakage"),
+)
+def split_shingle_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination stat that complements the doc-level
+    pair audit: for val and test, the fraction of their distinct
+    3-gram shingles that also occur anywhere in train. Doc-level
+    near-dup pairs catch wholesale leaks; this rate catches the
+    diffuse kind (shared boilerplate, templated text) that no single
+    pair crosses the Jaccard threshold for. One inverted-index
+    semi-join on 8-byte shingle hashes per eval split."""
+    prepare(spark)
+    from data_eng_project_spark.operators.curation import split_column
+    from data_eng_project_spark.operators.dedup import _distinct_shingles
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", split_column("doc_id", _TRAIN_PCT, _VAL_PCT)
+    )
+    sh = _distinct_shingles(docs, "text", "doc_id", 3).join(
+        docs.select(F.col("doc_id").alias("_id"), "split"), on="_id"
+    ).select("split", "shingle").distinct()
+    ev = sh.filter(F.col("split") != "train")
+    tr = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    hits = ev.join(
+        tr.withColumn("_hit", F.lit(1)), on="shingle", how="left"
+    )
+    return hits.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_seen_in_train"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("leakage_rate"),
+    )
