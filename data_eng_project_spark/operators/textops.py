@@ -488,3 +488,48 @@ def phrase_occurrences(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .select(F.col("_id").alias(id_col), "n_occurrences")
     )
+
+
+def compression_ratio_signal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Entropy-proxy quality signal: per-document zlib compression
+    ratio (compressed/raw bytes). Highly repetitive machine-generated
+    text compresses far below natural prose, and high-entropy noise
+    barely compresses at all — so both tails of the ratio are removal
+    candidates (the signal behind Gopher-style 'compressible ≠
+    natural' screens). Deterministic (fixed zlib level 6), Arrow-
+    batched mapInPandas — the one stage where Python is honest, since
+    no SQL engine exposes a codec. Flags: too_repetitive (< 0.25),
+    too_random (> 0.85)."""
+    import pandas as pd
+    import zlib
+
+    def batches(it):
+        for pdf in it:
+            ids, raws, comps = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                b = (txt or "").encode("utf-8")
+                ids.append(doc_id)
+                raws.append(len(b))
+                comps.append(len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {"doc_id": ids, "raw_bytes": raws, "compressed_bytes": comps}
+            )
+            yield out
+
+    stats = docs.select(id_col, text_col).mapInPandas(
+        batches, schema="doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.round(F.col("compressed_bytes") / F.col("raw_bytes"), 6),
+    ).otherwise(F.lit(None))
+    return stats.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        ratio.alias("compression_ratio"),
+        (ratio < 0.25).alias("too_repetitive"),
+        (ratio > 0.85).alias("too_random"),
+    )

@@ -774,3 +774,20 @@ def split_shingle_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 6
         ).alias("leakage_rate"),
     )
+
+
+@register(
+    "compression_quality_signal",
+    oracle=None,  # zlib is not expressible in SQL; exact python-twin
+    # equality asserted in tests/test_datasetops.py
+    tags=("curation", "quality", "entropy"),
+)
+def compression_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio with repetitive/random
+    flags — the entropy-proxy quality screen (machine-generated
+    repetition compresses too well, noise too poorly). Arrow-batched;
+    fixed codec level so results are run- and cluster-invariant."""
+    prepare(spark)
+    from data_eng_project_spark.operators.textops import compression_ratio_signal
+
+    return compression_ratio_signal(load_table(spark, sf_dir, "documents"))

@@ -625,3 +625,33 @@ def test_cdc_chunks_match_python_twin(spark, docs_words):
         assert out[i]["n_chunks"] == len(chs)
         assert out[i]["n_words"] == len(ws)
         assert out[i]["n_shared_chunks"] == sum(1 for c in chs if df[c] >= 2)
+
+
+def _sha_noise(n):
+    import hashlib
+
+    b, seed = b"", b"x"
+    while len(b) < n:
+        seed = hashlib.sha256(seed).digest()
+        b += seed
+    return "".join(chr(33 + c % 94) for c in b[:n])
+
+
+def test_compression_signal_matches_python_twin_and_flags(spark):
+    import zlib
+
+    from data_eng_project_spark.operators.textops import compression_ratio_signal
+
+    rows = [
+        (1, "spam " * 200),                      # highly repetitive
+        (2, "the quick brown fox jumps over the lazy dog " * 3),
+        (3, _sha_noise(500)),                    # aperiodic printable noise
+    ]
+    out = {r["doc_id"]: r for r in compression_ratio_signal(_docs(spark, rows)).collect()}
+    for doc_id, txt in rows:
+        b = txt.encode()
+        assert out[doc_id]["raw_bytes"] == len(b)
+        assert out[doc_id]["compressed_bytes"] == len(zlib.compress(b, 6))
+    assert out[1]["too_repetitive"] and not out[1]["too_random"]
+    assert not out[2]["too_repetitive"] and not out[2]["too_random"]
+    assert out[3]["too_random"] and not out[3]["too_repetitive"]
