@@ -791,3 +791,75 @@ def compression_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.operators.textops import compression_ratio_signal
 
     return compression_ratio_signal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "temporal_split_user_overlap",
+    oracle="""
+        WITH cut AS (
+            SELECT min(epoch_us(ts))
+                   + (max(epoch_us(ts)) - min(epoch_us(ts))) * 8 // 10 AS t_us
+            FROM events
+        ), u AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN epoch_us(ts) < cut.t_us
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_train_events,
+                   CAST(sum(CASE WHEN epoch_us(ts) >= cut.t_us
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_events
+            FROM events CROSS JOIN cut
+            GROUP BY user_id
+        )
+        SELECT CASE
+                   WHEN n_train_events > 0 AND n_eval_events > 0 THEN 'both'
+                   WHEN n_train_events > 0 THEN 'train_only'
+                   ELSE 'eval_only'
+               END AS cohort,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_train_events) AS BIGINT) AS train_events,
+               CAST(sum(n_eval_events) AS BIGINT) AS eval_events
+        FROM u GROUP BY 1
+    """,
+    tags=("curation", "splits", "temporal"),
+)
+def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split audit for behavioral models: cut the event
+    timeline at the 80% point and report how many users appear only
+    before, only after, or in BOTH windows with their event masses —
+    'both' users are where target leakage lives if features are built
+    carelessly across the cut. Exact integer-microsecond cut (no float
+    timestamp math). One scan for the cut (2-value aggregate,
+    broadcast), one grouped conditional aggregate."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_us", F.unix_micros("ts")
+    )
+    cut = events.agg(
+        (
+            F.min("_us")
+            + F.expr("(max(_us) - min(_us)) * 8 div 10")
+        ).alias("t_us")
+    )
+    u = (
+        events.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("_us") < F.col("t_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train_events"),
+            F.sum(F.when(F.col("_us") >= F.col("t_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eval_events"),
+        )
+    )
+    cohort = (
+        F.when(
+            (F.col("n_train_events") > 0) & (F.col("n_eval_events") > 0), "both"
+        )
+        .when(F.col("n_train_events") > 0, "train_only")
+        .otherwise("eval_only")
+    )
+    return u.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_train_events").cast("bigint").alias("train_events"),
+        F.sum("n_eval_events").cast("bigint").alias("eval_events"),
+    )
