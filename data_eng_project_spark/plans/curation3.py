@@ -863,3 +863,105 @@ def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_train_events").cast("bigint").alias("train_events"),
         F.sum("n_eval_events").cast("bigint").alias("eval_events"),
     )
+
+
+@register(
+    "minhash_accuracy_report",
+    oracle=None,  # the MinHash side is sketch-based; the exact side IS
+    # the measuring stick, so the report itself quantifies the sketch
+    tags=("dedup", "minhash", "evaluation"),
+)
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy accounting made driver-visible: MinHash-LSH
+    candidate pairs vs the exact PPJoin Jaccard pairs on the same
+    corpus and threshold — TP / FN / FP counts with recall and
+    precision in ONE row. This is the number that justifies running
+    the sketch path at 100 TB where the exact join's candidate set
+    would be too hot; the test suite asserts recall ≥ 0.99 on planted
+    dups, this query publishes the measured value per run."""
+    prepare(spark)
+    from data_eng_project_spark.plans.textdata import JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    sketch = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16,
+        threshold=JACCARD_THRESHOLD,
+    ).select("id_a", "id_b")
+    both = exact.intersect(sketch)
+    tp = both.count()
+    fn = exact.exceptAll(both).count()
+    fp = sketch.exceptAll(both).count()
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    return spark.createDataFrame(
+        [(tp, fn, fp, round(rec, 6), round(prec, 6))],
+        "true_pairs bigint, missed_pairs bigint, spurious_pairs bigint, "
+        "recall double, precision double",
+    )
+
+
+@register(
+    "source_token_gini",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS nt
+            FROM documents GROUP BY source
+        ), r AS (
+            SELECT source, nt,
+                   row_number() OVER (ORDER BY nt, source) AS i,
+                   count(*) OVER () AS n,
+                   CAST(sum(nt) OVER () AS BIGINT) AS tot
+            FROM s
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_sources,
+               CAST(max(tot) AS BIGINT) AS total_tokens,
+               round(CAST(sum((2 * i - n - 1) * nt) AS DOUBLE)
+                     / (max(n) * max(tot)), 6) + 0.0 AS gini
+        FROM r
+    """,
+    tags=("curation", "mixture", "balance"),
+)
+def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-source token distribution — the
+    one-number imbalance gauge a mixture planner watches (0 = sources
+    contribute equally, →1 = one source dominates; pairs with
+    mixture_temperature_weights, which is the corrective lever). The
+    corpus pass is one rollup; the Gini formula runs on |sources|
+    rows via exact integer sums."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens("text"), lambda x: x != F.lit(""))
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("nt")
+    )
+    w_all = Window.partitionBy()
+    r = s.select(
+        "nt",
+        F.row_number().over(Window.orderBy("nt", "source")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("nt").over(w_all).cast("bigint").alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.max("tot").cast("bigint").alias("total_tokens"),
+        (
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("nt")).cast(
+                    "double"
+                )
+                / (F.max("n") * F.max("tot")),
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
