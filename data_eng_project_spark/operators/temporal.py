@@ -356,3 +356,84 @@ def hourly_ohlc(
         F.min("v").alias("low"),
         F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    ``right_ts >= left_ts`` for the same key — "what happened next"
+    (next order after a touchpoint, next reading after an alarm). Same
+    union-merge shape as the backward join, mirrored: right rows tag 1
+    so at an exact tie they sort *after* the left row (inclusive), and
+    the window takes ``first(payload, ignorenulls)`` over the
+    FOLLOWING frame. One shuffle on the key, no row explosion.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_asof", F.first("_payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_tag") == 0).select(
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(f"next_{c}") for c in payload_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"next_{payload_cols[0]}").isNotNull())
+    return out
+
+
+def debounce_events(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 5,
+) -> DataFrame:
+    """Telemetry debounce: within each key, coalesce BURSTS — chains of
+    events where each arrives within ``gap_seconds`` of its
+    predecessor (double-fires, retry storms, bounce clicks; the timer
+    resets on every event, which is what distinguishes debounce from
+    throttle's fixed-interval survivor chain) — and keep only each
+    burst's first event. Gaps-and-islands: a new island starts when
+    the gap from the previous row exceeds the threshold; island
+    membership is transitive by construction. One window shuffle on
+    the key. Returns input rows + ``debounce_keep`` flag.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_island = (
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000)
+    ).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iw = Window.partitionBy(*key_cols, island).orderBy(ts_col, id_col)
+    return events.withColumn(
+        "debounce_keep", F.row_number().over(iw) == 1
+    )

@@ -428,3 +428,112 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.round(acf, 6) + 0.0).alias("acf"),
     )
+
+
+@register(
+    "asof_next_order",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS next_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS next_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    tags=("temporal", "asof", "forward"),
+)
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every event, the user's EARLIEST order at or
+    after event time — the 'what did the touchpoint lead to' join,
+    attribution's other half. Union-merge with a FOLLOWING-frame
+    first() (operators/temporal.asof_join_forward): one shuffle on the
+    user key, no inequality join node, no row explosion."""
+    prepare(spark)
+    from data_eng_project_spark.operators.temporal import asof_join_forward
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_forward(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("next_o_orderkey").alias("next_orderkey"),
+        F.date_format("next_o_orderdate", "yyyy-MM-dd").alias("next_orderdate"),
+    )
+
+
+@register(
+    "event_debounce_summary",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS prev_us
+            FROM events
+        ), isl AS (
+            SELECT user_id, event_type, event_id, us,
+                   sum(CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > 300000000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY us, event_id
+                   ) AS island
+            FROM x
+        ), flagged AS (
+            SELECT event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, island
+                       ORDER BY us, event_id
+                   ) = 1 AS keep
+            FROM isl
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_suppressed,
+               round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+                     / count(*), 6) AS suppression_rate
+        FROM flagged GROUP BY event_type
+    """,
+    tags=("temporal", "debounce", "quality"),
+)
+def event_debounce_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-coalescing debounce audit: per event type, how many events
+    a 5-minute per-(user, type) debounce would keep vs suppress — the
+    double-fire/retry-storm accounting run before trusting event
+    counts. Gaps-and-islands, one window shuffle."""
+    prepare(spark)
+    from data_eng_project_spark.operators.temporal import debounce_events
+
+    events = load_table(spark, sf_dir, "events")
+    flagged = debounce_events(
+        events, key_cols=["user_id", "event_type"], gap_seconds=300
+    )
+    keep = F.col("debounce_keep")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias("n_suppressed"),
+        F.round(
+            F.sum(F.when(keep, 0).otherwise(1)) / F.count(F.lit(1)), 6
+        ).alias("suppression_rate"),
+    )

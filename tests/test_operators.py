@@ -1065,3 +1065,50 @@ def test_pq_index_save_load_serves_same_answer(spark, vectors, tmp_path):
     direct = [(r.vec_id, r.cosine) for r in pq_topk(vectors, q, k=3).collect()]
     assert served == direct
     assert {v for v, _ in served} == {0, 100, 101}
+
+
+def test_debounce_burst_semantics(spark):
+    """Chained burst: events at t=0,3,6,9 s with a 5 s gap form ONE
+    island (each within 5 s of its predecessor) — only t=0 survives;
+    an event at t=20 starts a new island."""
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import debounce_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "click", base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 3, 6, 9, 20])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["event_id"]: r["debounce_keep"]
+        for r in debounce_events(
+            df, key_cols=["user_id", "event_type"], gap_seconds=5
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: False, 3: False, 4: True}
+
+
+def test_forward_asof_matches_earliest_following(spark):
+    import datetime as dt
+
+    from data_eng_project_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 1, 8)),
+         (2, dt.datetime(2024, 1, 1))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3), 30), (1, dt.datetime(2024, 1, 7), 70),
+         (1, dt.datetime(2024, 1, 9), 90)],
+        "k long, t timestamp, v long",
+    )
+    out = asof_join_forward(
+        left, right, on="k", left_ts="t", right_ts="t", payload_cols=["v"]
+    ).collect()
+    got = {(r["k"], r["t"].day): r["next_v"] for r in out}
+    assert got == {(1, 5): 70, (1, 8): 90, (2, 1): None}
