@@ -537,3 +537,101 @@ def event_debounce_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, 0).otherwise(1)) / F.count(F.lit(1)), 6
         ).alias("suppression_rate"),
     )
+
+
+_FUNNEL_H_US = 24 * 3600 * 1_000_000  # 24-hour completion horizon
+
+
+@register(
+    "window_funnel_levels",
+    oracle=f"""
+        WITH a AS (
+            SELECT user_id, event_id, ts AS t1 FROM events
+            WHERE event_type = 'view'
+        ), b AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ), ab AS (
+            SELECT a.user_id, a.t1, b.ts AS t2
+            FROM a ASOF LEFT JOIN b
+              ON a.user_id = b.user_id AND a.t1 <= b.ts
+        ), c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), abc AS (
+            SELECT ab.user_id, ab.t1, ab.t2, c.ts AS t3
+            FROM ab ASOF LEFT JOIN c
+              ON ab.user_id = c.user_id AND ab.t2 <= c.ts
+        ), lvl AS (
+            SELECT user_id, CASE
+                WHEN t2 IS NOT NULL
+                     AND epoch_us(t2) - epoch_us(t1) <= {_FUNNEL_H_US}
+                     AND t3 IS NOT NULL
+                     AND epoch_us(t3) - epoch_us(t1) <= {_FUNNEL_H_US} THEN 3
+                WHEN t2 IS NOT NULL
+                     AND epoch_us(t2) - epoch_us(t1) <= {_FUNNEL_H_US} THEN 2
+                ELSE 1 END AS lv
+            FROM abc
+        ), m AS (SELECT user_id, max(lv) AS lv FROM lvl GROUP BY user_id)
+        SELECT CAST(lv AS BIGINT) AS funnel_level,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM m GROUP BY lv
+    """,
+    tags=("temporal", "funnel", "window"),
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel-style ordered funnel with a completion
+    horizon: for EVERY view anchor (not just each user's first), chain
+    the next click and then the next purchase via forward as-of joins,
+    score the chain's depth if it completes within 24 h of the anchor,
+    and report users by their best level. Anchor-per-event is what the
+    horizon requires — a user whose first view fizzles but whose later
+    view converts still counts — and each chain link is one union-merge
+    window on the user key, never an inequality join."""
+    prepare(spark)
+    from data_eng_project_spark.operators.temporal import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t1"), "event_id"
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("bts")
+    ).groupBy("user_id", "bts").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    ab = asof_join_forward(
+        a, b, on="user_id", left_ts="t1", right_ts="bts",
+        payload_cols=["bts"],
+    ).select("user_id", "t1", F.col("next_bts").alias("t2"), "event_id")
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts")
+    ).groupBy("user_id", "cts").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    # rows with no click never reach stage 3; keep them aside so NULL
+    # t2 can't misorder the forward-merge window
+    ab_hit = ab.filter(F.col("t2").isNotNull())
+    ab_miss = ab.filter(F.col("t2").isNull()).withColumn(
+        "t3", F.lit(None).cast("timestamp")
+    )
+    abc = asof_join_forward(
+        ab_hit, c, on="user_id", left_ts="t2", right_ts="cts",
+        payload_cols=["cts"],
+    ).select(
+        "user_id", "t1", "t2", F.col("next_cts").alias("t3")
+    ).unionByName(ab_miss.select("user_id", "t1", "t2", "t3"))
+    h = F.lit(_FUNNEL_H_US)
+    d2 = F.unix_micros("t2") - F.unix_micros("t1")
+    d3 = F.unix_micros("t3") - F.unix_micros("t1")
+    lv = (
+        F.when(
+            F.col("t2").isNotNull() & (d2 <= h)
+            & F.col("t3").isNotNull() & (d3 <= h),
+            3,
+        )
+        .when(F.col("t2").isNotNull() & (d2 <= h), 2)
+        .otherwise(1)
+    )
+    m = abc.select("user_id", lv.alias("lv")).groupBy("user_id").agg(
+        F.max("lv").alias("lv")
+    )
+    return m.groupBy(F.col("lv").cast("bigint").alias("funnel_level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
