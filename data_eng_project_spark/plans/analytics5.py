@@ -1265,3 +1265,58 @@ def grouped_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+        WITH cu AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   sum(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), q AS (
+            SELECT custkey,
+                   ntile(5) OVER (ORDER BY last_order, custkey) AS r_q,
+                   ntile(5) OVER (ORDER BY frequency, custkey) AS f_q,
+                   ntile(5) OVER (ORDER BY monetary, custkey) AS m_q
+            FROM cu
+        )
+        SELECT CAST(r_q AS BIGINT) AS r_q,
+               CAST(f_q AS BIGINT) AS f_q,
+               CAST(m_q AS BIGINT) AS m_q,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM q GROUP BY r_q, f_q, m_q
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer (higher = better on each axis), reported as the 5×5×5
+    segment-population cube marketing reads. Quintiles are exact
+    ntile(5) with custkey tie-breaks (deterministic cross-engine);
+    monetary sums in decimal. The ranking windows run on the
+    CUSTOMER-DIMENSION rollup (one row per buyer), which is
+    dimension-sized, not fact-sized — at 100 TB the orders scan is the
+    cost and it is one partial-aggregable groupBy."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cu = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("monetary"),
+    )
+    q = cu.select(
+        "custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_q"),
+    )
+    return q.groupBy(
+        F.col("r_q").cast("bigint").alias("r_q"),
+        F.col("f_q").cast("bigint").alias("f_q"),
+        F.col("m_q").cast("bigint").alias("m_q"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
