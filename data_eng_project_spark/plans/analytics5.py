@@ -1320,3 +1320,75 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_q").cast("bigint").alias("f_q"),
         F.col("m_q").cast("bigint").alias("m_q"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS tc
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.tv
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS tp
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc
+            GROUP BY e.user_id
+        ), d AS (
+            SELECT p.user_id,
+                   (epoch_us(p.tp) - epoch_us(v.tv)) / 60000000.0 AS mins
+            FROM p JOIN v ON p.user_id = v.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(mins, 0.25), 6) AS q1_minutes,
+               round(quantile_cont(mins, 0.5), 6) AS median_minutes,
+               round(quantile_cont(mins, 0.75), 6) AS q3_minutes,
+               round(max(mins), 6) AS max_minutes
+        FROM d
+    """,
+    tags=("analytics", "funnel", "latency"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's latency dimension: for users completing
+    view→click→purchase (same stage chaining as funnel_conversion),
+    exact quartiles of total minutes from first view to converting
+    purchase — the time-to-convert profile behind campaign-window
+    decisions. Exact percentile over the converter rollup (one row per
+    converting user)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    d = p.join(v, on="user_id").select(
+        (
+            (F.unix_micros("tp") - F.unix_micros("tv")) / F.lit(60000000.0)
+        ).alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(mins, 0.25)"), 6).alias("q1_minutes"),
+        F.round(F.expr("percentile(mins, 0.5)"), 6).alias("median_minutes"),
+        F.round(F.expr("percentile(mins, 0.75)"), 6).alias("q3_minutes"),
+        F.round(F.max("mins"), 6).alias("max_minutes"),
+    )

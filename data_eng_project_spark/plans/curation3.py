@@ -965,3 +965,98 @@ def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("gini"),
     )
+
+
+@register(
+    "split_embedding_drift",
+    oracle=f"""
+        WITH x AS (
+            SELECT {_SPLIT_CASE.format(id="vec_id")} AS split,
+                   label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ), m AS (
+            SELECT split, label, dim,
+                   CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*) AS mu,
+                   count(*) AS n
+            FROM x WHERE split <> 'val' GROUP BY 1, 2, 3
+        ), tr AS (SELECT label, dim, mu, n FROM m WHERE split = 'train'),
+        te AS (SELECT label, dim, mu, n FROM m WHERE split = 'test'),
+        j AS (
+            SELECT tr.label,
+                   sum(CAST(tr.mu * te.mu AS DECIMAL(38,18))) AS dot,
+                   sum(CAST(tr.mu * tr.mu AS DECIMAL(38,18))) AS na,
+                   sum(CAST(te.mu * te.mu AS DECIMAL(38,18))) AS nb,
+                   max(tr.n) AS n_train, max(te.n) AS n_test
+            FROM tr JOIN te ON tr.label = te.label AND tr.dim = te.dim
+            GROUP BY tr.label
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(n_train AS BIGINT) AS n_train,
+               CAST(n_test AS BIGINT) AS n_test,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                     6) + 0.0 AS centroid_cosine
+        FROM j
+    """,
+    tags=("curation", "splits", "embedding", "drift"),
+)
+def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-drift check across the deterministic split: per
+    label, the cosine between the train-split centroid and the
+    test-split centroid of the embedding cloud — a value well below 1
+    means the eval split is NOT representative of training for that
+    class (bad split or genuine distribution shift), the failure mode
+    stratified splitting exists to prevent. Exact decimal-accumulated
+    means per (split, label, dim); the drift join runs on
+    |labels|×|dims| rows, never on vectors."""
+    prepare(spark)
+    from data_eng_project_spark.operators.curation import split_column
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "split", split_column("vec_id", _TRAIN_PCT, _VAL_PCT)
+    )
+    x = emb.filter(F.col("split") != "val").select(
+        "split", "label", F.posexplode("embedding").alias("dim", "_v")
+    ).select("split", "label", "dim", F.col("_v").cast("double").alias("val"))
+    m = x.groupBy("split", "label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tr = m.filter(F.col("split") == "train").select(
+        "label", "dim", F.col("mu").alias("ma"), F.col("n").alias("n_train")
+    )
+    te = m.filter(F.col("split") == "test").select(
+        F.col("label").alias("_lb"), F.col("dim").alias("_dim"),
+        F.col("mu").alias("mb"), F.col("n").alias("n_test"),
+    )
+    j = tr.join(
+        te, (tr["label"] == te["_lb"]) & (tr["dim"] == te["_dim"])
+    ).groupBy("label").agg(
+        F.sum((F.col("ma") * F.col("mb")).cast("decimal(38,18)")).alias("dot"),
+        F.sum((F.col("ma") * F.col("ma")).cast("decimal(38,18)")).alias("na"),
+        F.sum((F.col("mb") * F.col("mb")).cast("decimal(38,18)")).alias("nb"),
+        F.max("n_train").alias("n_train"),
+        F.max("n_test").alias("n_test"),
+    )
+    return j.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        (
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("centroid_cosine"),
+    )
