@@ -66,9 +66,15 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     embedding_health_report, hard_negative_mining,
 #     mixture_temperature_weights (rows-only additions:
 #     streaming_dedup_index_probe, audio_fingerprint_match,
-#     video_scene_cuts, hard_negative_mining_blocked), plus
-#     dataset_release_pipeline, ldiversity_check, acf_event_counts,
-#     hard_negative_mining, mixture_temperature_weights (oracle-backed)
+#     video_scene_cuts, hard_negative_mining_blocked,
+#     minhash_accuracy_report, compression_quality_signal), plus
+#     oracle-backed: dataset_release_pipeline, ldiversity_check,
+#     acf_event_counts, hard_negative_mining,
+#     mixture_temperature_weights, quality_retention_curve,
+#     dataset_datasheet, split_shingle_leakage_rate,
+#     temporal_split_user_overlap, source_token_gini, rfm_segments,
+#     window_funnel_levels, funnel_time_to_convert, asof_next_order,
+#     event_debounce_summary, split_embedding_drift
 #   r1-green but never re-certified: window_rank_events,
 #     moving_avg_user_value, set_ops_*, distinct_aggregates,
 #     scalar_kitchen_sink, array_functions, cube_order_summary,
