@@ -1392,3 +1392,94 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(mins, 0.75)"), 6).alias("q3_minutes"),
         F.round(F.max("mins"), 6).alias("max_minutes"),
     )
+
+
+@register(
+    "new_vs_returning_hourly",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        )
+        SELECT date_trunc('hour', e.ts) AS window_start,
+               CAST(sum(CASE WHEN e.ts = f.first_ts THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_users,
+               CAST(count(DISTINCT CASE WHEN e.ts > f.first_ts
+                                        THEN e.user_id END)
+                    AS BIGINT) AS n_returning_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1
+    """,
+    tags=("analytics", "growth", "events"),
+)
+def new_vs_returning_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth decomposition: per hour, users seen for the first time
+    ever vs returning users active in that hour — the acquisition /
+    retention split every growth dashboard leads with. First-seen
+    times are one user-keyed aggregate (broadcastable at dimension
+    scale); the hourly rollup is a single conditional aggregate over
+    the fact scan."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = events.join(f, on="user_id")
+    return joined.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(
+        F.sum(F.when(F.col("ts") == F.col("first_ts"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_users"),
+        F.countDistinct(
+            F.when(F.col("ts") > F.col("first_ts"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_returning_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "order_lead_time_quartiles",
+    oracle="""
+        WITH lt AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', o.o_orderdate, min(l.l_shipdate)) AS BIGINT)
+                       AS days
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(quantile_cont(days, 0.25), 6) AS q1_days,
+               round(quantile_cont(days, 0.5), 6) AS median_days,
+               round(quantile_cont(days, 0.75), 6) AS q3_days,
+               CAST(max(days) AS BIGINT) AS max_days
+        FROM lt GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "latency", "tpch-shape"),
+)
+def order_lead_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency: per order priority, exact quartiles of days
+    from order date to FIRST shipment — the ops-SLA readout. One
+    orders⋈lineitem equi-join rolled up per order (partial-aggregable
+    min), then a priority-keyed exact percentile over the order-sized
+    rollup."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lt = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "o_orderdate").cast("bigint").alias("days"),
+        )
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.expr("percentile(days, 0.25)"), 6).alias("q1_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(days, 0.75)"), 6).alias("q3_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
