@@ -1483,3 +1483,107 @@ def order_lead_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.75)"), 6).alias("q3_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+        WITH s AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), t AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   sum(rev) AS tot
+            FROM s GROUP BY l_partkey
+        )
+        SELECT s.l_partkey,
+               t.n_suppliers,
+               round(CAST(sum(CAST(
+                   (CAST(s.rev AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                   * (CAST(s.rev AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                   AS DECIMAL(38,18))) AS DOUBLE), 6) AS hhi
+        FROM s JOIN t ON s.l_partkey = t.l_partkey
+        GROUP BY s.l_partkey, t.n_suppliers
+        HAVING t.n_suppliers >= 2
+    """,
+    tags=("analytics", "supply-chain", "concentration"),
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: per part (with ≥2 suppliers), the
+    Herfindahl–Hirschman index of supplier revenue shares — HHI → 1
+    means one supplier dominates that part, the single-source-risk
+    flag a procurement review sorts by. Two partial-aggregable
+    rollups; decimal share-square sums so partition order cannot move
+    the 6-dp result."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("rev")
+    )
+    t = s.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+    )
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (
+        s.join(t, on="l_partkey")
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum((share * share).cast("decimal(38,18)")).cast("double"), 6
+            ).alias("hhi")
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+
+
+@register(
+    "weekly_growth_rates",
+    oracle="""
+        WITH w AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT wk AS week_start, event_type, n,
+               CAST(lag(n) OVER (
+                   PARTITION BY event_type ORDER BY wk
+               ) AS BIGINT) AS prev_n,
+               round(CASE
+                   WHEN lag(n) OVER (PARTITION BY event_type ORDER BY wk) > 0
+                   THEN CAST(n AS DOUBLE)
+                        / lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                        - 1.0
+               END, 6) + 0.0 AS wow_growth
+        FROM w
+    """,
+    tags=("analytics", "growth", "timeseries"),
+)
+def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly rollup + lag
+    window over the rollup-sized series — the dashboard growth-rate
+    table, NULL on the first week of each series. The window runs on
+    |weeks|×|types| rows, never the fact table."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = events.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    win = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n").over(win)
+    return w.select(
+        "week_start",
+        "event_type",
+        "n",
+        prev.cast("bigint").alias("prev_n"),
+        (
+            F.round(
+                F.when(prev > 0, F.col("n").cast("double") / prev - 1.0), 6
+            )
+            + 0.0
+        ).alias("wow_growth"),
+    )

@@ -40,9 +40,12 @@ def run_oracle(sf_dir: str, sql: str):
 
 
 def _norm(v):
-    """Normalize a scalar for exact cross-engine comparison."""
+    """Normalize a scalar for exact cross-engine comparison. Every
+    return value is a (tag, payload) tuple so mixed None/value columns
+    stay totally ordered under sort (None sorts first via the empty
+    tag)."""
     if v is None:
-        return None
+        return ("", "")
     if isinstance(v, _dec.Decimal):
         # Compare by exact numeric value, not scale representation.
         return ("dec", str(v.normalize()))
@@ -58,7 +61,11 @@ def _norm(v):
         return ("b", v)
     if isinstance(v, int):
         return ("i", v)
-    return v
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    return ("o", repr(v))
 
 
 def compare(spark_df, sf_dir: str, oracle: str) -> None:
