@@ -1587,3 +1587,123 @@ def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("wow_growth"),
     )
+
+
+@register(
+    "clv_cohort_curves",
+    oracle="""
+        WITH fo AS (
+            SELECT o_custkey,
+                   date_trunc('month', min(o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey
+        ), x AS (
+            SELECT fo.cohort,
+                   date_diff('month', fo.cohort,
+                             date_trunc('month', o.o_orderdate)) AS age_m,
+                   CAST(o.o_totalprice AS DECIMAL(28,6)) AS rev
+            FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+        ), sz AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+            FROM fo GROUP BY cohort
+        ), m AS (
+            SELECT cohort, age_m, sum(rev) AS rev_m
+            FROM x GROUP BY cohort, age_m
+        )
+        SELECT strftime(m.cohort, '%Y-%m') AS cohort_month,
+               CAST(m.age_m AS BIGINT) AS months_since_first,
+               sz.cohort_users,
+               round(CAST(sum(m.rev_m) OVER (
+                   PARTITION BY m.cohort ORDER BY m.age_m
+               ) AS DOUBLE) / sz.cohort_users, 6) AS cum_rev_per_user
+        FROM m JOIN sz ON sz.cohort = m.cohort
+    """,
+    tags=("analytics", "cohort", "clv"),
+)
+def clv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves: acquisition cohort (month of
+    first order) × months-since-first → cumulative revenue per
+    cohort member — the retention economics table. Fact work is two
+    partial-aggregable rollups; the cumulative window runs on the
+    cohorts×months grid. Decimal revenue accumulation end to end."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    x = orders.join(fo, on="o_custkey").select(
+        "cohort",
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+        ).alias("age_m"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("rev"),
+    )
+    sz = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    m = x.groupBy("cohort", "age_m").agg(F.sum("rev").alias("rev_m"))
+    w = Window.partitionBy("cohort").orderBy("age_m")
+    return (
+        m.join(sz, on="cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("age_m").cast("bigint").alias("months_since_first"),
+            "cohort_users",
+            F.round(
+                F.sum("rev_m").over(w).cast("double") / F.col("cohort_users"), 6
+            ).alias("cum_rev_per_user"),
+        )
+    )
+
+
+@register(
+    "discount_band_effects",
+    oracle="""
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_qty,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS net_revenue,
+               round(CAST(sum(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS discount_given
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("analytics", "pricing"),
+)
+def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-lever readout: per whole-percent discount band, line
+    volume, quantity moved, net revenue, and revenue given away — the
+    q19-flavored scan every pricing review starts from. One
+    partial-aggregable rollup with decimal money math."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("net_revenue"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("discount_given"),
+    )
