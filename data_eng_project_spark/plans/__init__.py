@@ -74,7 +74,10 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     dataset_datasheet, split_shingle_leakage_rate,
 #     temporal_split_user_overlap, source_token_gini, rfm_segments,
 #     window_funnel_levels, funnel_time_to_convert, asof_next_order,
-#     event_debounce_summary, split_embedding_drift
+#     event_debounce_summary, split_embedding_drift,
+#     new_vs_returning_hourly, order_lead_time_quartiles,
+#     part_supplier_hhi, weekly_growth_rates, clv_cohort_curves,
+#     discount_band_effects
 #   r1-green but never re-certified: window_rank_events,
 #     moving_avg_user_value, set_ops_*, distinct_aggregates,
 #     scalar_kitchen_sink, array_functions, cube_order_summary,
