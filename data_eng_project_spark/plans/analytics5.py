@@ -1707,3 +1707,99 @@ def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("discount_given"),
     )
+
+
+@register(
+    "supplier_ship_delay",
+    oracle="""
+        WITH x AS (
+            SELECT l.l_suppkey,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS delay
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(delay AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_delay_days,
+               CAST(sum(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_30d,
+               round(CAST(sum(CASE WHEN delay <= 30 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS within_30d_rate,
+               CAST(max(delay) AS BIGINT) AS worst_delay_days
+        FROM x GROUP BY l_suppkey HAVING count(*) >= 20
+    """,
+    tags=("analytics", "sla", "supply-chain"),
+)
+def supplier_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier ship-delay scorecard: per supplier (≥20 lines), mean
+    days from order to shipment, the ≤30-day rate, and the worst
+    delay — the vendor SLA row (this schema carries no commit date, so
+    order date is the clock). One equi-join + conditional rollup with
+    decimal-exact delay sums."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    x = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    within = F.when(F.col("delay") <= 30, 1).otherwise(0)
+    return (
+        x.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("delay").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_delay_days"),
+            F.sum(within).cast("bigint").alias("n_within_30d"),
+            F.round(F.sum(within) / F.count(F.lit(1)), 6).alias("within_30d_rate"),
+            F.max("delay").cast("bigint").alias("worst_delay_days"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+
+
+@register(
+    "order_status_mix_monthly",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS order_month,
+                   o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ), t AS (
+            SELECT order_month, CAST(sum(n) AS BIGINT) AS tot
+            FROM m GROUP BY order_month
+        )
+        SELECT m.order_month, m.o_orderstatus, m.n,
+               round(CAST(m.n AS DOUBLE) / t.tot, 6) AS share
+        FROM m JOIN t USING (order_month)
+    """,
+    tags=("analytics", "mix", "timeseries"),
+)
+def order_status_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status composition per month with within-month shares —
+    the fulfillment-mix trend (a growing 'F' share means the backlog
+    is clearing). Rollup + broadcast month totals."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        ),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = m.groupBy("order_month").agg(F.sum("n").cast("bigint").alias("tot"))
+    return m.join(F.broadcast(t), on="order_month").select(
+        "order_month",
+        "o_orderstatus",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
