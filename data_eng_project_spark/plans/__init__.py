@@ -77,7 +77,8 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     event_debounce_summary, split_embedding_drift,
 #     new_vs_returning_hourly, order_lead_time_quartiles,
 #     part_supplier_hhi, weekly_growth_rates, clv_cohort_curves,
-#     discount_band_effects
+#     discount_band_effects, supplier_ship_delay,
+#     order_status_mix_monthly
 #   r1-green but never re-certified: window_rank_events,
 #     moving_avg_user_value, set_ops_*, distinct_aggregates,
 #     scalar_kitchen_sink, array_functions, cube_order_summary,
