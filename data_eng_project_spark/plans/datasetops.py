@@ -603,3 +603,50 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual").cast("bigint").alias("actual"),
         (F.col("predicted") == F.col("actual")).alias("correct"),
     )
+
+
+_MANIFEST_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@register(
+    "catalog_manifest",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST((SELECT count(*) FROM {t}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM (DESCRIBE {t})) AS BIGINT)
+                   AS n_cols,
+               (SELECT md5(string_agg(lower(column_name), ','
+                                      ORDER BY column_name))
+                FROM (DESCRIBE {t}) d(column_name)) AS schema_md5
+        """
+        for t in _MANIFEST_TABLES
+    ),
+    tags=("datasetops", "catalog", "manifest"),
+)
+def catalog_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish manifest: one row per catalog table with row count,
+    column count, and an md5 fingerprint of the sorted column names —
+    what a dataset release pins so consumers can verify they read the
+    same catalog version. Each table contributes one count scan
+    (columnar count(*) reads footers, not data)."""
+    prepare(spark)
+    parts = []
+    for t in _MANIFEST_TABLES:
+        df = load_table(spark, sf_dir, t)
+        cols = sorted(c.lower() for c in df.columns)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(len(cols)).cast("bigint").alias("n_cols"),
+                F.md5(F.lit(",".join(cols))).alias("schema_md5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
