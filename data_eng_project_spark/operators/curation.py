@@ -835,16 +835,26 @@ def split_column(
     id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10
 ) -> "F.Column":
     """Deterministic train/val/test assignment as a pure column
-    expression: a multiplicative hash of the id (Knuth constant, id
-    reduced mod a large prime first so the product stays in 63-bit
-    range) lands each document in a percent bucket; buckets map to
-    splits. No RNG, no shuffle, identical on any engine and any
-    partitioning — the property a 100 TB pipeline needs so that split
-    membership never changes when the corpus is re-partitioned,
-    re-ordered, or incrementally extended (a new document's split is a
-    function of its id alone).
+    expression: the first 8 hex digits of md5(id) parsed as an integer
+    land each document in a percent bucket; buckets map to splits. No
+    RNG, no shuffle, identical on any engine and any partitioning — the
+    property a 100 TB pipeline needs so that split membership never
+    changes when the corpus is re-partitioned, re-ordered, or
+    incrementally extended (a new document's split is a function of its
+    id alone).
+
+    md5 (not a multiplicative-congruential map) matters for arbitrary
+    id spaces: a linear map of the id collapses when ids are allocated
+    with a stride sharing factors with 100 (sharded schemes emitting
+    multiples of 20/50/100 would land val/test empty), and Spark's %
+    keeps sign so negative ids would all fall in 'train'. The md5
+    bucket is uniform and sign-safe for any 64-bit id, and mirrors
+    byte-for-byte in the DuckDB oracle
+    (``plans/curation3._SPLIT_CASE``).
     """
-    bucket = (F.col(id_col) % 1000003) * F.lit(2654435761) % 100
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))

@@ -679,10 +679,20 @@ def knn_join_blocked(
         S = np.where(S >= 0, np.floor(S * 1e6 + 0.5), np.ceil(S * 1e6 - 0.5)) / 1e6
         if exclude_match_col is not None:
             # mask same-tag pairs (e.g. same label for hard-negative
-            # mining) below any real cosine so they never reach top-k
+            # mining) below any real cosine so they never reach top-k.
+            # NULL tags follow SQL semantics (tag_q <> tag_c is NULL →
+            # pair dropped), matching the exact hard_negative_topk twin:
+            # a null-tag row on either side contributes no pairs.
             qt = q["tag"].to_numpy()
             ct = c["tag"].to_numpy()
-            S = np.where(qt[:, None] == ct[None, :], -2.0, S)
+            q_null = pd.isna(qt)
+            c_null = pd.isna(ct)
+            masked = (
+                (qt[:, None] == ct[None, :])
+                | q_null[:, None]
+                | c_null[None, :]
+            )
+            S = np.where(masked, -2.0, S)
         top = min(kk, S.shape[1])
         # block-local top-k per query row (argpartition then exact sort)
         part = np.argpartition(-S, top - 1, axis=1)[:, :top]

@@ -65,19 +65,24 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(
         "_asof", F.last("_payload", ignorenulls=True).over(w)
     )
-    out = merged.filter(F.col("_tag") == 1).select(
+    # Inner mode tests the _asof STRUCT (null ⟺ no matching right row),
+    # not its first field — a matched right row whose first payload
+    # column is legitimately NULL is still a match. The _payload sort
+    # key makes ties on (key, ts) deterministic (largest payload wins
+    # for last()); pre-aggregated unique right sides are unaffected.
+    matched = merged.filter(F.col("_tag") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("_asof").isNotNull())
+    return matched.select(
         *left.columns,
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(f"asof_{payload_cols[0]}").isNotNull())
-    return out
 
 
 def range_pairs(
@@ -392,19 +397,24 @@ def asof_join_forward(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", "_payload")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = r.unionByName(l).withColumn(
         "_asof", F.first("_payload", ignorenulls=True).over(w)
     )
-    out = merged.filter(F.col("_tag") == 0).select(
+    # Inner mode tests the _asof STRUCT (null ⟺ no right row follows),
+    # not its first field — a matched right row whose first payload
+    # column is legitimately NULL is still a match. The _payload sort
+    # key makes right rows tied on (key, ts) pick a deterministic
+    # payload (smallest wins for first()).
+    matched = merged.filter(F.col("_tag") == 0)
+    if how == "inner":
+        matched = matched.filter(F.col("_asof").isNotNull())
+    return matched.select(
         *left.columns,
         *[F.col(f"_asof.{c}").alias(f"next_{c}") for c in payload_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(f"next_{payload_cols[0]}").isNotNull())
-    return out
 
 
 def debounce_events(

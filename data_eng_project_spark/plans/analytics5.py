@@ -1401,7 +1401,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
         )
         SELECT date_trunc('hour', e.ts) AS window_start,
-               CAST(sum(CASE WHEN e.ts = f.first_ts THEN 1 ELSE 0 END)
+               CAST(count(DISTINCT CASE WHEN e.ts = f.first_ts
+                                        THEN e.user_id END)
                     AS BIGINT) AS n_new_users,
                CAST(count(DISTINCT CASE WHEN e.ts > f.first_ts
                                         THEN e.user_id END)
@@ -1415,10 +1416,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def new_vs_returning_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth decomposition: per hour, users seen for the first time
     ever vs returning users active in that hour — the acquisition /
-    retention split every growth dashboard leads with. First-seen
-    times are one user-keyed aggregate (broadcastable at dimension
-    scale); the hourly rollup is a single conditional aggregate over
-    the fact scan."""
+    retention split every growth dashboard leads with. Both columns
+    count USERS (distinct), so a user with two events at an identical
+    first timestamp is one new user, keeping the two columns in the
+    same unit. First-seen times are one user-keyed aggregate
+    (broadcastable at dimension scale); the hourly rollup is a single
+    conditional aggregate over the fact scan."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
     f = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
@@ -1426,7 +1429,9 @@ def new_vs_returning_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.date_trunc("hour", "ts").alias("window_start")
     ).agg(
-        F.sum(F.when(F.col("ts") == F.col("first_ts"), 1).otherwise(0))
+        F.countDistinct(
+            F.when(F.col("ts") == F.col("first_ts"), F.col("user_id"))
+        )
         .cast("bigint")
         .alias("n_new_users"),
         F.countDistinct(

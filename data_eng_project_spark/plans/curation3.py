@@ -40,8 +40,10 @@ _TRAIN_PCT = 80
 _VAL_PCT = 10
 
 _SPLIT_CASE = """
-    CASE WHEN ({id} % 1000003) * 2654435761 % 100 < 80 THEN 'train'
-         WHEN ({id} % 1000003) * 2654435761 % 100 < 90 THEN 'val'
+    CASE WHEN CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 80 THEN 'train'
+         WHEN CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 90 THEN 'val'
          ELSE 'test' END
 """
 

@@ -176,18 +176,30 @@ def compact_index(
     (bucket, band): each output file covers a disjoint bucket range
     with parquet min/max stats, so a probe's band-bucket join reads
     only the files whose range intersects its buckets, and file count
-    drops to ``num_files``. Run it on a cadence (like OPTIMIZE);
-    maintenance then restarts appending batch partitions beside the
-    compacted base — read_index globs both.
+    drops to ``num_files``. Run it on a cadence (like OPTIMIZE).
+
+    The compacted base lands under the RESERVED partition
+    ``batch_id=-1`` (real batch ids are non-negative), so the output
+    directory keeps the same hive layout as a live index: maintenance
+    restarts appending ``batch_id=N`` partitions beside the compacted
+    base via write_index_delta, and read_index's partition discovery
+    sees one consistent partitioned table. A flat unpartitioned base
+    would make later batch_id=N subdirectories a conflicting-layout
+    error at read time.
 
     Returns (files_before, files_after).
     """
     import glob
 
-    from data_eng_project_spark.operators.sink import write_range_sorted
-
     before = len(glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))
     rows = spark.read.parquet(index_dir).select("id", "band", "bucket")
-    write_range_sorted(rows, out_dir, ["bucket", "band"], num_files=num_files)
-    after = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    (
+        rows.withColumn("batch_id", F.lit(-1))
+        .repartitionByRange(num_files, "bucket", "band")
+        .sortWithinPartitions("bucket", "band")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    after = len(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True))
     return before, after
