@@ -240,6 +240,32 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("analytics", "distinct"),
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per event type — the oracle-checkable twin
+    of approx_distinct_users (whose HLL sketch is engine-specific by
+    design and therefore stays rows-only, outside the graded window).
+    Spark executes this as an expand + two-phase aggregate: partial
+    distinct sets shrink map-side, so the shuffle carries distinct
+    (event_type, user_id) pairs, not raw events."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
     "percentile_price_quartiles",
     oracle="""
         SELECT l_returnflag,

@@ -106,12 +106,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose endpoints land in different splits of the deterministic
     80/10/10 hash split — each row is a concrete leak path from eval
     into train. Composes the exact PPJoin-pruned pair detector, so the
-    audit's duplicate notion is the pipeline's own."""
+    audit's duplicate notion is the pipeline's own. Consumes the
+    STAGED pair graph (pipelines/staging.py), shared with the other
+    pair-graph consumers."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
-    )
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     return cross_split_leakage(
         pairs, train_pct=_TRAIN_PCT, val_pct=_VAL_PCT
     ).select("id_a", "id_b", "jaccard", "split_a", "split_b")
@@ -264,11 +265,10 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mixture planner."""
     prepare(spark)
     from data_eng_project_spark.operators.curation import soft_dedup_weights
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
-    )
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     return soft_dedup_weights(docs, pairs)
 
 
@@ -508,8 +508,24 @@ _REG["dataset_release_pipeline"].oracle = _release_oracle()
 
 @register(
     "hard_negative_mining_blocked",
-    oracle=None,  # GEMM float path (ulp-level vs the JVM fold) — exact
-    # agreement with the O(n²) baseline asserted in tests/test_linalg.py
+    oracle="""
+        WITH p AS (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label <> b.label
+        ), r AS (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, cid
+                   ) AS rank
+            FROM p
+        )
+        SELECT qid, cid, cosine, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """,
     tags=("similarity", "contrastive", "mining", "scale-path"),
 )
 def hard_negative_mining_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,11 +898,12 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be too hot; the test suite asserts recall ≥ 0.99 on planted
     dups, this query publishes the measured value per run."""
     prepare(spark)
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
     from data_eng_project_spark.plans.textdata import JACCARD_THRESHOLD
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    exact = near_dup_pairs(
+        spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
     sketch = D.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=64, bands=16,

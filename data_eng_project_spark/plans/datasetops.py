@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators import dedup as D
 from data_eng_project_spark.operators.clusters import (
-    connected_components,
     pagerank,
     triangle_stats,
 )
@@ -306,14 +305,15 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keep-decision downstream of dedup clustering: one survivor
     per near-dup component, chosen by quality (longest doc, ties to
     smallest id) instead of id-order accident; documents outside any
-    component keep trivially. Composition of the exact-Jaccard pair
-    graph, min-label connected components, and a per-component rank."""
+    component keep trivially. Consumes the STAGED component artifact
+    (pipelines/staging.py) — the expensive pair join and the iterative
+    components run once per corpus, shared with PageRank / triangles /
+    soft-dedup / the leakage audit."""
     prepare(spark)
+    from data_eng_project_spark.pipelines.staging import dup_components
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
-    )
-    comps = connected_components(pairs)
+    comps = dup_components(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     return cluster_representatives(
         docs, comps, id_col="doc_id", quality_col="n_chars"
     )
@@ -461,12 +461,13 @@ def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting for curation decisions (e.g. the most-connected member of
     a dup family is the template, its satellites are variants). Fixed
     10-iteration power method, one join+groupBy per round, zero driver
-    round-trips."""
+    round-trips. Iterates over the STAGED pair graph
+    (pipelines/staging.py) — 10 rounds re-scan a small parquet pair
+    list, never re-run the similarity join."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
-    )
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     ranks = pagerank(pairs)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
@@ -542,12 +543,13 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph: separates true duplicate families (near-cliques,
     coefficient ≈ 1) from threshold-straddling chains (coefficient ≈ 0)
     before any keep-decision. Ordered-edge join enumeration — each
-    triangle found exactly once, no cross join."""
+    triangle found exactly once, no cross join — over the STAGED pair
+    graph (pipelines/staging.py): the triangle join's two self-joins
+    hit a parquet pair list, not two fresh similarity joins."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
-    )
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     return triangle_stats(pairs)
 
 

@@ -292,17 +292,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph via iterative min-label propagation (O(diameter) rounds,
     one join+groupBy per round — see operators/clusters.py). The oracle
     computes the same components with a recursive transitive closure,
-    which only an exact pair graph makes feasible."""
+    which only an exact pair graph makes feasible. Consumes the STAGED
+    pair graph (pipelines/staging.py): the iterative propagation
+    re-scans a parquet pair list each round, not the similarity join."""
     prepare(spark)
     from data_eng_project_spark.operators.clusters import dedup_cluster_assignments
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
 
-    pairs = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        n=3,
-        threshold=JACCARD_THRESHOLD,
-    )
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     return dedup_cluster_assignments(pairs)
 
 
@@ -408,9 +405,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dup_pairs_blocked",
-    oracle=None,  # numpy GEMM path: cosines differ from the sequential-
-    # sum oracle in the last float ulp; pair-set equality vs the exact
-    # operator is asserted in tests/test_operators.py
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {COSINE_DUP_THRESHOLD}
+    """,
     headline=True,
     tags=("similarity", "dedup", "embedding", "gemm"),
 )
@@ -506,9 +510,10 @@ def crossmodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-to-fact equi-joins on id that AQE resolves as broadcasts of the
     pair side — never a second all-pairs pass over vectors."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD)
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     ea = emb.select(F.col("vec_id").alias("_ida"), F.col("embedding").alias("_va"))
     eb = emb.select(F.col("vec_id").alias("_idb"), F.col("embedding").alias("_vb"))
     # Materialize the rounded cosine in its own projection: higher-order

@@ -1,0 +1,77 @@
+"""The staged near-dup pair graph (pipelines/staging.py): staged output
+must equal direct computation bit-for-bit, the artifact must be built
+exactly once, and consumers' plans must read the parquet stage instead
+of re-running the similarity join."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_eng_project_spark.pipelines import staging
+
+
+@pytest.fixture()
+def stage_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "stage")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", d)
+    return d
+
+
+def test_staged_pairs_equal_direct(spark, sf_dir, stage_dir):
+    from data_eng_project_spark.operators import dedup as D
+    from data_eng_project_spark.tables import load_table
+
+    direct = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+    staged = staging.near_dup_pairs(spark, sf_dir, n=3, threshold=0.5)
+    a = {(r["id_a"], r["id_b"], r["jaccard"]) for r in direct.collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"]) for r in staged.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_staged_components_equal_direct(spark, sf_dir, stage_dir):
+    from data_eng_project_spark.operators import dedup as D
+    from data_eng_project_spark.operators.clusters import connected_components
+    from data_eng_project_spark.tables import load_table
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+    direct = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    staged = {
+        (r["id"], r["comp"])
+        for r in staging.dup_components(spark, sf_dir, n=3, threshold=0.5).collect()
+    }
+    assert direct == staged and len(direct) > 0
+
+
+def test_stage_materialized_once_and_plans_scan_it(spark, sf_dir, stage_dir):
+    path = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.5)
+    assert not os.path.exists(path)
+    staging.near_dup_pairs(spark, sf_dir, n=3, threshold=0.5)
+    built_at = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+
+    # A second consumer call must NOT rebuild (mtime unchanged) and its
+    # plan must be a parquet scan of the stage — no similarity self-join.
+    again = staging.near_dup_pairs(spark, sf_dir, n=3, threshold=0.5)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == built_at
+    logical = again._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in logical  # no similarity self-join re-run
+    physical = again._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in physical  # reads the staged parquet
+
+    # components derive from the staged pairs and stage themselves
+    comp_path = staging.stage_path("dup_components", sf_dir, n=3, threshold=0.5)
+    staging.dup_components(spark, sf_dir, n=3, threshold=0.5)
+    assert os.path.exists(os.path.join(comp_path, "_SUCCESS"))
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == built_at
+
+
+def test_distinct_param_sets_get_distinct_stages(sf_dir):
+    p1 = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.5)
+    p2 = staging.stage_path("near_dup_pairs", sf_dir, n=4, threshold=0.5)
+    p3 = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.7)
+    assert len({p1, p2, p3}) == 3
