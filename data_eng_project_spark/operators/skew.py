@@ -36,3 +36,45 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_s.join(small_s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def apply_skew_profile(spark, target_partition_mb: int = 32) -> None:
+    """Tune AQE's skew-join splitting for MODERATE skew — the measured
+    lesson from tools/skew_probe.py (BASELINE.md, round-3 skew probe):
+    AQE only splits a join partition larger than
+    ``skewedPartitionThresholdInBytes`` (default 256 MB) AND larger
+    than ``skewedPartitionFactor`` × the median partition — so a
+    160 MB hot partition serializes on one task while officially "not
+    skewed". On the probe fixture, lowering the threshold recovered
+    −53% wall time; salting recovered −34% with no threshold at all.
+
+    This sets the threshold to ``2 × target_partition_mb`` and the
+    advisory split size to ``target_partition_mb`` (AQE requires
+    advisory < threshold for a split to trigger). Size
+    ``target_partition_mb`` to what one executor core should chew —
+    32 MB is right when partitions must fit comfortably in task memory
+    alongside the build side.
+
+    Selection guidance (which tool, when):
+
+    - **default AQE** — unknown or mild skew; zero cost, splits only
+      catastrophic (>256 MB) partitions.
+    - **apply_skew_profile** — moderate, *data-dependent* skew you've
+      observed (one partition ≫ median but under 256 MB). Runtime
+      re-planning, no query rewrite, works for every join in the
+      session.
+    - **salted_join** — a *known-hot* key (stopword tokens, a dense
+      city, a null-heavy FK) so extreme that even split partitions
+      bottleneck, or when AQE is unavailable (non-last-stage shuffles,
+      some streaming joins). Deterministic, threshold-free, but costs
+      a num_salts× replication of the small side — keep that side
+      genuinely small.
+    """
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        f"{2 * target_partition_mb}m",
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        f"{target_partition_mb}m",
+    )

@@ -79,12 +79,12 @@ def main() -> None:
     }
     # AQE only splits partitions above skewedPartitionThresholdInBytes
     # (default 256 MB) — a hot partition under that still serializes on
-    # one task while officially "not skewed". Lower the threshold to see
-    # AQE actually split.
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m"
-    )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    # one task while officially "not skewed". apply_skew_profile is the
+    # code knob encoding this lesson (threshold 2×target, advisory =
+    # target); see its docstring for when to pick it vs salted_join.
+    from data_eng_project_spark.operators.skew import apply_skew_profile
+
+    apply_skew_profile(spark, target_partition_mb=16)
     results["sort-merge, AQE skew ON, 32m threshold"] = run(
         "sort-merge, AQE skew ON, 32m thr", True, False
     )
