@@ -224,7 +224,8 @@ def flagship_density_power_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_users",
     oracle=None,  # HLL sketch differs between engines by design; the
-    # exact twin is verified in distinct_aggregates
+    # oracle-carrying exact twin is distinct_users (registered below,
+    # driver-graded) — this form stays rows-only OUTSIDE the window
     tags=("analytics", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
