@@ -121,3 +121,37 @@ def test_blocked_hard_negatives_match_exact_baseline(spark, sf_dir):
     )
     top1 = {r["qid"]: r["cid"] for r in plain.collect()}
     assert all(top1[q] == q for q in top1)  # self is its own nearest
+
+
+def test_blocked_hard_negatives_null_labels_match_exact(spark, sf_dir):
+    """ADVICE r3: with a NULLABLE label column the two paths used to
+    diverge (numpy None==None masked pairs; SQL <> dropped the rows).
+    Both now follow SQL semantics — a null-label row on either side
+    contributes no pairs — so they must stay pair-for-pair equal."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.similarity import (
+        hard_negative_topk,
+        knn_join_blocked,
+    )
+    from data_eng_project_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "label", F.when(F.col("vec_id") % 7 == 0, None).otherwise(F.col("label"))
+    )
+    exact = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in hard_negative_topk(emb, k=3).collect()
+    }
+    blocked_rows = knn_join_blocked(
+        emb.select("vec_id", "embedding", "label"),
+        emb.select("vec_id", "embedding", "label"),
+        k=3,
+        exclude_match_col="label",
+    ).collect()
+    blocked = {(r["qid"], r["rank"]): (r["cid"], r["cosine"]) for r in blocked_rows}
+    assert blocked == exact
+    null_ids = {r["vec_id"] for r in emb.filter(F.col("label").isNull()).collect()}
+    assert null_ids  # fixture actually has null labels
+    assert not ({r["qid"] for r in blocked_rows} & null_ids)
+    assert not ({r["cid"] for r in blocked_rows} & null_ids)

@@ -1112,3 +1112,64 @@ def test_forward_asof_matches_earliest_following(spark):
     ).collect()
     got = {(r["k"], r["t"].day): r["next_v"] for r in out}
     assert got == {(1, 5): 70, (1, 8): 90, (2, 1): None}
+
+
+def test_asof_inner_keeps_match_with_null_first_payload(spark):
+    """ADVICE r3: inner mode must test the match STRUCT, not its first
+    payload column — a matched right row whose first payload column is
+    legitimately NULL is still a match, in both directions."""
+    from data_eng_project_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 100)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 90, None, "x"), (10, 110, None, "y")],
+        "k long, rts long, v long, w string",
+    )
+    back = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["v", "w"], how="inner",
+    ).collect()
+    assert [(r["event_id"], r["asof_v"], r["asof_w"]) for r in back] == [
+        (1, None, "x")
+    ]
+    fwd = asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["v", "w"], how="inner",
+    ).collect()
+    assert [(r["event_id"], r["next_v"], r["next_w"]) for r in fwd] == [
+        (1, None, "y")
+    ]
+
+
+def test_asof_ties_pick_deterministic_payload(spark):
+    """Right rows tied on (key, ts): backward's last() takes the largest
+    payload struct, forward's first() the smallest — stable across
+    partitionings instead of partition-order accident."""
+    from data_eng_project_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 10, 100)], "event_id long, k long, ts long")
+    right_rows = [(10, 90, "a"), (10, 90, "b"), (10, 90, "c")]
+    fwd_rows = [(10, 110, "a"), (10, 110, "b"), (10, 110, "c")]
+    for parts in (1, 7):
+        right = spark.createDataFrame(
+            right_rows, "k long, rts long, p string"
+        ).repartition(parts)
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["p"]
+        ).collect()
+        assert [r["asof_p"] for r in got] == ["c"]
+        fwd = spark.createDataFrame(
+            fwd_rows, "k long, rts long, p string"
+        ).repartition(parts)
+        got_f = asof_join_forward(
+            left, fwd, on="k", left_ts="ts", right_ts="rts", payload_cols=["p"]
+        ).collect()
+        assert [r["next_p"] for r in got_f] == ["a"]

@@ -477,12 +477,17 @@ def test_dedup_index_compaction_preserves_rows_and_prunes(spark, tmp_path):
     comp = {(r["id"], r["band"], r["bucket"])
             for r in spark.read.parquet(compacted).collect()}
     assert comp == orig
-    # disjoint bucket ranges across files (probe-side file pruning)
+    # disjoint bucket ranges across files (probe-side file pruning);
+    # the compacted base lives under the reserved batch_id=-1 partition
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(compacted, "**", "*.parquet"), recursive=True)
+    )
+    assert files, "compacted base must contain parquet files"
     ranges = []
-    for f in sorted(os.listdir(compacted)):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.read_metadata(os.path.join(compacted, f))
+    for f in files:
+        md = pq.read_metadata(f)
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
             col = next(
@@ -512,3 +517,45 @@ def test_dedup_index_compaction_preserves_rows_and_prunes(spark, tmp_path):
     b = {(r["id_new"], r["id_indexed"], r["jaccard"])
          for r in probe_index(spark, compacted, new_batch, docs).collect()}
     assert a == b and a
+
+
+def test_dedup_index_resume_appends_beside_compacted_base(spark, tmp_path):
+    """ADVICE r3: the documented workflow — compact, then resume
+    appending batch partitions into the SAME directory — requires the
+    compacted base to live under a reserved hive partition
+    (batch_id=-1); a flat base would make partition discovery fail on
+    conflicting layouts. Pin the full cycle: build → compact → append a
+    delta → read_index sees base ∪ delta."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.streaming.dedup_index import (
+        compact_index,
+        read_index,
+        stream_build_index,
+        write_index_delta,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(40).localCheckpoint()
+    src = tmp_path / "docs_in2"
+    docs.repartition(4).write.parquet(str(src))
+    index_dir = str(tmp_path / "idx2")
+    stream_build_index(
+        spark, str(src), index_dir, str(tmp_path / "ckpt2"), maxFilesPerTrigger="2"
+    )
+    compacted = str(tmp_path / "idx2_compacted")
+    compact_index(spark, index_dir, compacted, num_files=2)
+    base = {(r["id"], r["band"], r["bucket"]) for r in read_index(spark, compacted).collect()}
+
+    delta_docs = docs.limit(5).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    write_index_delta(delta_docs, batch_id=0, index_dir=compacted)
+    merged = {(r["id"], r["band"], r["bucket"]) for r in read_index(spark, compacted).collect()}
+    delta_ids = {r["doc_id"] for r in delta_docs.collect()}
+    assert base < merged
+    assert {i for (i, _, _) in merged} - {i for (i, _, _) in base} == delta_ids
+
+    # replay idempotence survives compaction: rewriting batch 0 changes nothing
+    write_index_delta(delta_docs, batch_id=0, index_dir=compacted)
+    again = {(r["id"], r["band"], r["bucket"]) for r in read_index(spark, compacted).collect()}
+    assert again == merged
