@@ -107,15 +107,41 @@ def compose(docs: DataFrame, spec: list[dict]) -> DataFrame:
 
 
 @stage("near_dedup")
-def _near_dedup(df: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def _near_dedup(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    staged_corpus_dir: str | None = None,
+) -> DataFrame:
     """Drop non-canonical members of near-dup clusters: exact
     n-gram-Jaccard pairs (PPJoin-pruned) → connected components → keep
     each component's minimum id. Runs on whatever rows reach this
-    stage, so place it after the cheap filters."""
+    stage, so place it after the cheap filters.
+
+    ``staged_corpus_dir``: when the stage's input is a SUBSET of that
+    corpus's documents table, the pair list is taken from the staged
+    corpus pair graph (pipelines/staging.py) restricted to pairs whose
+    BOTH endpoints survive to this stage — exactly equal to recomputing
+    on the subset, because Jaccard is a pairwise property. Components
+    are still computed on the restricted pair list (subset components
+    can split relative to full-corpus components, so the restriction
+    must happen first). At 100 TB this removes the one corpus-scale
+    similarity join from every release pipeline run."""
     from data_eng_project_spark.operators.clusters import connected_components
     from data_eng_project_spark.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=n, threshold=threshold)
+    if staged_corpus_dir is not None:
+        from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
+        ids = df.select("doc_id")
+        staged = near_dup_pairs(
+            df.sparkSession, staged_corpus_dir, n=n, threshold=threshold
+        )
+        pairs = staged.join(
+            ids.withColumnRenamed("doc_id", "id_a"), on="id_a", how="left_semi"
+        ).join(ids.withColumnRenamed("doc_id", "id_b"), on="id_b", how="left_semi")
+    else:
+        pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=n, threshold=threshold)
     comps = connected_components(pairs)
     drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")

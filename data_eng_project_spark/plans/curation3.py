@@ -441,7 +441,12 @@ def dataset_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"stage": "lang_filter", "lang": "en"},
             {"stage": "min_words", "n": 20},
             {"stage": "dedup_exact"},
-            {"stage": "near_dedup", "n": 3, "threshold": 0.5},
+            # near-dup pairs come from the staged corpus pair graph,
+            # restricted to survivors of the upstream filters — equal to
+            # recomputing on the subset (Jaccard is pairwise) but without
+            # a second corpus-scale similarity join.
+            {"stage": "near_dedup", "n": 3, "threshold": 0.5,
+             "staged_corpus_dir": sf_dir},
             {"stage": "split_tag", "train_pct": _TRAIN_PCT, "val_pct": _VAL_PCT},
         ],
     )

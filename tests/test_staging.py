@@ -75,3 +75,27 @@ def test_distinct_param_sets_get_distinct_stages(sf_dir):
     p2 = staging.stage_path("near_dup_pairs", sf_dir, n=4, threshold=0.5)
     p3 = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.7)
     assert len({p1, p2, p3}) == 3
+
+
+def test_near_dedup_stage_staged_equals_recompute(spark, sf_dir, stage_dir):
+    """Composer near_dedup with staged_corpus_dir must equal the
+    recompute-on-subset form: subset pairs are the corpus pair graph
+    restricted to both-endpoints-in-subset (Jaccard is pairwise)."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.pipelines.composer import compose
+    from data_eng_project_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec_base = [{"stage": "min_words", "n": 5}]
+    direct = compose(docs, spec_base + [{"stage": "near_dedup", "n": 3, "threshold": 0.5}])
+    staged = compose(
+        docs,
+        spec_base
+        + [{"stage": "near_dedup", "n": 3, "threshold": 0.5, "staged_corpus_dir": sf_dir}],
+    )
+    a = sorted(r["doc_id"] for r in direct.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in staged.select("doc_id").collect())
+    assert a == b and len(a) > 0
+    # and the subset genuinely dropped near-dup members
+    assert len(a) < docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 5).count()
