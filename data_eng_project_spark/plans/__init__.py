@@ -66,7 +66,11 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     pps_sample_by_source, quality_quantile_normalize, catalog_manifest,
 #     bloom_join_prune_stats, kanonymize_customer_release,
 #     ldiversity_check, embedding_covariance, bpe_pair_counts,
-#     bpe_word_frequencies
+#     bpe_word_frequencies, plus the two upgraded from rows-only in r4:
+#     knn_label_propagation (bipartite k-NN vote oracle) and
+#     pagerank_dup_docs (10-iteration unrolled power-method oracle;
+#     NOTE its DuckDB side replays the pair CTE + 10 matvecs, ~30 s at
+#     sf0.01 — budget one slow slot)
 #   then the r1-green-never-recertified TPC-H tranche (q2/q4/q12/q13/
 #     q14/q16/q17/q20/q21) and window/scalar suites.
 _GRADED_WINDOW = [

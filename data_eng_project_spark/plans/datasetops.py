@@ -448,12 +448,52 @@ def incremental_join_view_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Recursive SQL rejects aggregation inside the recursive term, but
+    a FIXED-iteration power method unrolls into ``n_iter`` chained CTEs
+    — one join+groupBy matvec each, exactly mirroring the DataFrame
+    loop in operators/clusters.pagerank. Rounding to 6 dp happens once
+    at the end on both engines; the ~1e-15-relative float-order noise
+    of ten compounded sums sits far below that (same accepted risk
+    class as every rounded-cosine oracle)."""
+    teleport = f"{1.0 - damping!r}"
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+        r{i} AS (
+            SELECT nodes.id,
+                   {teleport} / (SELECT n FROM nn)
+                   + {damping!r} * coalesce(m.in_mass, 0.0) AS rank
+            FROM nodes LEFT JOIN (
+                SELECT ne.dst AS id, sum(r.rank * ne.w) AS in_mass
+                FROM ne JOIN r{i - 1} r ON r.id = ne.src
+                GROUP BY ne.dst
+            ) m ON m.id = nodes.id
+        )""")
+    return f"""
+        WITH {_NGRAM_CTES},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+        ne AS (
+            SELECT s.src, s.dst, 1.0 / deg.d AS w
+            FROM sym s JOIN deg ON deg.src = s.src
+        ),
+        nodes AS (SELECT src AS id FROM deg),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+            SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),{",".join(steps)}
+        SELECT id AS doc_id, round(rank, 6) AS rank FROM r{n_iter}
+    """
+
+
 @register(
     "pagerank_dup_docs",
-    oracle=None,  # 10-iteration power method isn't single-pass-SQL
-    # expressible (aggregation inside recursion is rejected by standard
-    # SQL); certified instead by the numpy power-iteration twin test in
-    # tests/test_datasetops.py.
+    oracle=_pagerank_oracle(),
     tags=("datasetops", "graph", "centrality"),
 )
 def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,12 +595,47 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_label_propagation",
-    oracle=None,  # exact k-NN needs the full bipartite product, which
-    # only the GEMM-blocked path evaluates scale-safely; its 6-dp
-    # rounding can disagree with a sequential-SQL fold by one ulp at a
-    # rounding boundary, so this is certified by the exact numpy twin
-    # test (tests/test_datasetops.py) instead of a DuckDB oracle — the
-    # same posture as embedding_dup_pairs_blocked.
+    # The oracle replays the exact bipartite k-NN in SQL (rounded-cosine
+    # ranking, cid tie-break — identical to knn_join_blocked's contract)
+    # and votes over the top-5. Label outputs (not raw cosines) make the
+    # GEMM-vs-sequential-fold ulp concern immaterial unless a rounding
+    # boundary flips BOTH a top-5 membership AND the majority — the
+    # exact numpy twin test (tests/test_datasetops.py) still guards the
+    # k-NN layer pair-for-pair.
+    oracle="""
+        WITH hidden AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+        ), labeled AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0
+        ), scored AS (
+            SELECT h.vec_id AS qid, l.vec_id AS cid, l.label,
+                   round(list_cosine_similarity(
+                       CAST(h.embedding AS DOUBLE[]),
+                       CAST(l.embedding AS DOUBLE[])), 6) AS cosine
+            FROM hidden h CROSS JOIN labeled l
+        ), top AS (
+            SELECT qid, cid, label,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, cid
+                   ) AS rnk
+            FROM scored
+        ), votes AS (
+            SELECT qid, label, count(*) AS n
+            FROM top WHERE rnk <= 5 GROUP BY qid, label
+        ), pred AS (
+            SELECT qid, label AS predicted,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY n DESC, label
+                   ) AS r
+            FROM votes
+        )
+        SELECT p.qid AS vec_id,
+               CAST(p.predicted AS BIGINT) AS predicted,
+               CAST(h.label AS BIGINT) AS actual,
+               p.predicted = h.label AS correct
+        FROM pred p JOIN hidden h ON h.vec_id = p.qid
+        WHERE p.r = 1
+    """,
     tags=("datasetops", "similarity", "semi-supervised"),
 )
 def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
