@@ -98,8 +98,30 @@ def events_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_user_values",
-    oracle=None,  # sequential recurrence; exact pandas twin asserted in
-    # tests/test_operators.py::test_ewma_matches_sequential_recurrence
+    # The recurrence y_t = α·x_t + (1−α)·y_{t−1} is not window-frame
+    # expressible, but a recursive CTE walks it per user by sequence
+    # number — recursion depth = max events per user, each step one
+    # equi-join. Both engines evaluate the identical double recurrence
+    # in the identical order (pandas ewm(adjust=False) divides by
+    # old_wt+new_wt, which is exactly 1.0 for α=0.3), then round once.
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT event_id, user_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS seq
+            FROM events
+        ), ew AS (
+            SELECT event_id, user_id, value, seq, value AS y
+            FROM e WHERE seq = 1
+            UNION ALL
+            SELECT e.event_id, e.user_id, e.value, e.seq,
+                   CAST(0.3 AS DOUBLE) * e.value
+                   + CAST(0.7 AS DOUBLE) * ew.y
+            FROM e JOIN ew ON e.user_id = ew.user_id AND e.seq = ew.seq + 1
+        )
+        SELECT event_id, user_id, value, round(y, 6) AS ewma FROM ew
+    """,
     tags=("temporal", "stateful", "pandas-udf"),
 )
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
