@@ -66,8 +66,9 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #     pps_sample_by_source, quality_quantile_normalize, catalog_manifest,
 #     bloom_join_prune_stats, kanonymize_customer_release,
 #     ldiversity_check, embedding_covariance, bpe_pair_counts,
-#     bpe_word_frequencies, plus the two upgraded from rows-only in r4:
-#     knn_label_propagation (bipartite k-NN vote oracle) and
+#     bpe_word_frequencies, plus the three upgraded from rows-only in
+#     r4: knn_label_propagation (bipartite k-NN vote oracle),
+#     ewma_user_values (recursive-CTE recurrence oracle), and
 #     pagerank_dup_docs (10-iteration unrolled power-method oracle;
 #     NOTE its DuckDB side replays the pair CTE + 10 matvecs, ~30 s at
 #     sf0.01 — budget one slow slot)
