@@ -31,3 +31,32 @@ def canonical_row_id(*cols: Column | str, sep: str = "\x1f") -> Column:
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.sha1(F.concat_ws(sep, *[c.cast("string") for c in cs]))
+
+
+def md5_bucket(col: Column | str, modulus: int) -> Column:
+    """Uniform deterministic percent/bucket assignment: the first 8 hex
+    digits of md5(string(col)) parsed as an integer, mod ``modulus``.
+
+    This is the engine's ONE hash for id→bucket decisions (splits,
+    mixture sampling, shuffle buckets). A multiplicative-congruential
+    map ((id % p) · knuth % m) is NOT used anywhere for bucketing: it
+    collapses on id spaces allocated with a stride sharing factors with
+    m (sharded id schemes emitting multiples of 20/50/100) and Spark's
+    % keeps sign, sending every negative id to bucket ≤ 0. md5 is
+    uniform and sign-safe for arbitrary 64-bit ids, and mirrors
+    byte-for-byte in DuckDB via ``md5_bucket_sql`` — the property every
+    oracle-checked consumer needs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % modulus
+    )
+
+
+def md5_bucket_sql(expr: str, modulus: int) -> str:
+    """The DuckDB mirror of ``md5_bucket`` for oracle SQL."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {modulus}"
+    )

@@ -275,11 +275,13 @@ def mixture_sample(
     (percent). Reproducible across engines, runs, and cluster sizes —
     unlike seeded `sample`, whose output depends on partitioning — and a
     pure filter, so at 100 TB it pushes down next to the scan with zero
-    shuffle. The id is reduced mod a large prime first so the Knuth
-    multiplicative step (x * 2654435761) stays in 63-bit range on
-    arbitrarily large ids.
+    shuffle. The bucket is the engine's md5 id-hash
+    (functions/hashing.md5_bucket): uniform for strided or negative id
+    spaces where a multiplicative-congruential map collapses.
     """
-    bucket = (F.col(id_col) % 1000003) * F.lit(2654435761) % 100
+    from data_eng_project_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket(id_col, 100)
     return (
         docs.filter(bucket < rate_pct)
         .groupBy(source_col)
@@ -852,9 +854,9 @@ def split_column(
     byte-for-byte in the DuckDB oracle
     (``plans/curation3._SPLIT_CASE``).
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    from data_eng_project_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket(id_col, 100)
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))

@@ -597,7 +597,7 @@ def shuffle_order(
 
     Scale design: a single global row_number() would funnel the corpus
     through ONE partition (the classic zipWithIndex trap). Instead the
-    shuffle is hierarchical: a multiplicative hash assigns each row to
+    shuffle is hierarchical: the md5 id-hash assigns each row to
     one of ``n_buckets`` buckets, rows are ranked *within* their bucket
     (distributed window, one shuffle on the bucket key), and bucket
     base offsets come from a prefix sum over the n_buckets-row size
@@ -606,7 +606,9 @@ def shuffle_order(
     pseudo-random permutation reproducible on any engine, any cluster
     size, any input partitioning.
     """
-    bucket = ((F.col(id_col) % 1000003) * F.lit(2654435761)) % n_buckets
+    from data_eng_project_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket(id_col, n_buckets)
     a = df.select(
         F.col(id_col),
         bucket.cast("bigint").alias("bucket"),

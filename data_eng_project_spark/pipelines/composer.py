@@ -88,10 +88,11 @@ def _pii_redact(df: DataFrame) -> DataFrame:
 @stage("mixture_sample")
 def _mixture_sample(df: DataFrame, modulus: int = 100, keep_lt: int = 50) -> DataFrame:
     """Deterministic hash-mod downsampling (see operators/curation.
-    mixture_sample): keep doc when (doc_id % 1000003)·2654435761 %
-    modulus < keep_lt — reproducible on any cluster, pushdown-able."""
-    h = (F.col("doc_id") % 1000003) * F.lit(2654435761) % modulus
-    return df.filter(h < keep_lt)
+    mixture_sample): keep doc when md5_bucket(doc_id, modulus) <
+    keep_lt — reproducible on any cluster, pushdown-able."""
+    from data_eng_project_spark.functions.hashing import md5_bucket
+
+    return df.filter(md5_bucket("doc_id", modulus) < keep_lt)
 
 
 def compose(docs: DataFrame, spec: list[dict]) -> DataFrame:

@@ -288,7 +288,8 @@ def repetition_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
                    AS sampled_tokens
         FROM documents
-        WHERE (doc_id % 1000003) * 2654435761 % 100 <
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 <
               (CASE CAST(substr(source, 4) AS INT) % 4
                WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 20 ELSE 10 END)
         GROUP BY source

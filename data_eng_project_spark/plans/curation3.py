@@ -277,7 +277,9 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH a AS (
             SELECT doc_id,
-                   (doc_id % 1000003) * 2654435761 % 1024 AS bucket,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 1024
+                       AS bucket,
                    md5(CAST(doc_id AS VARCHAR)) AS k
             FROM documents
         ), r AS (
