@@ -42,6 +42,14 @@ def pps_systematic_sample(
     A stratum's rows shuffle once on the stratum key; skewed strata are
     AQE's problem, not a correctness issue.
 
+    Certainty units: a row whose weight exceeds total/k crosses more
+    than one pick boundary but is emitted ONCE (a document cannot be
+    sampled twice), so such a stratum returns FEWER than k rows — the
+    standard PPS treatment of certainty units, not a bug. Consumers
+    sizing fixed budgets should treat k as the number of PICKS, not a
+    guaranteed row count; `pick_index` gaps reveal the multiplicity
+    (a row absorbing m boundaries is followed by an index jump of m).
+
     Returns (stratum, id, weight, pick_index) for picked rows only.
     """
     k = int(k_per_stratum)
@@ -98,17 +106,29 @@ def groupwise_ols(
     per_row = df.select(
         F.col(key_col).alias("key"), x.alias("x"), ydec.alias("y")
     )
+    # Integer moments go through DECIMAL so they stay EXACT at any key
+    # size, mirroring DuckDB's HUGEINT aggregate arithmetic. Under the
+    # session's non-ANSI mode a bare int x*x silently WRAPS at
+    # x ≥ 46341 rows per key (and long sx*sx at ~77k rows), which would
+    # diverge from the oracle without any error (round-4 self-review).
+    xd = F.col("x").cast("decimal(10,0)")
     sums = per_row.groupBy("key").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),  # decimal(21,0) terms — exact
         F.sum("y").cast("double").alias("sy"),
         # x as DECIMAL(9,0) keeps x*y inside DECIMAL(38,6) on BOTH
         # engines (a bare int would overflow DuckDB's 38-digit cap).
         F.sum(F.col("x").cast("decimal(9,0)") * F.col("y")).cast("double").alias("sxy"),
     )
     n = F.col("n").cast("double")
-    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # sx*sx exact in decimal THEN converted to double — the same value
+    # DuckDB's HUGEINT square produces; double*double squaring would
+    # drift an ulp past 2^53.
+    sx2 = (
+        F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    ).cast("double")
+    denom = n * F.col("sxx").cast("double") - sx2
     slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     return (
@@ -180,10 +200,12 @@ def snapshot_diff(
         c: (~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))).cast("int")
         for c in compare_cols
     }
-    any_changed = None
+    # empty compare_cols = key-presence-only diff: nothing can be
+    # "changed", and the fold must start from a Column (a bare Python
+    # False would crash F.when)
+    any_changed = F.lit(0)
     for c in compare_cols:
-        flag = col_changed[c]
-        any_changed = flag if any_changed is None else F.greatest(any_changed, flag)
+        any_changed = F.greatest(any_changed, col_changed[c])
     change_type = (
         F.when(ka.isNull(), F.lit("added"))
         .when(kb.isNull(), F.lit("removed"))

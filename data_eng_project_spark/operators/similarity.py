@@ -694,13 +694,23 @@ def knn_join_blocked(
             )
             S = np.where(masked, -2.0, S)
         top = min(kk, S.shape[1])
-        # block-local top-k per query row (argpartition then exact sort)
+        # Block-local top-k per query row under the SAME total order the
+        # global window uses: (cosine DESC, cid ASC). argpartition alone
+        # breaks k-th-place ties by array position — if two candidates
+        # tie on the rounded cosine at the block-local boundary, it may
+        # keep the larger cid and silently drop the candidate the global
+        # contract selects. So: argpartition for the O(m) cut, then
+        # widen to EVERY candidate tied with the k-th value, then a
+        # deterministic lexsort of that small set.
         part = np.argpartition(-S, top - 1, axis=1)[:, :top]
         qids, cids, coss = [], [], []
         c_ids = c["id"].to_numpy()
         q_ids = q["id"].to_numpy()
         for r in range(S.shape[0]):
-            cols = part[r]
+            kth = S[r, part[r]].min()
+            tied = np.flatnonzero(S[r] >= kth)
+            order = np.lexsort((c_ids[tied], -S[r, tied]))[:top]
+            cols = tied[order]
             qids.extend([q_ids[r]] * len(cols))
             cids.extend(c_ids[cols])
             coss.extend(S[r, cols])

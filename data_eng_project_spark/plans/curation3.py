@@ -11,8 +11,9 @@ kind. The reference ETL (dags/global_dag.py) has no corpus surface at
 all; these are brief-mandated LLM-pipeline extensions (SURVEY.md §2
 extension inventory).
 
-Oracle notes: splits are pure 63-bit integer arithmetic (bit-identical
-everywhere); segment/chunk fingerprints are md5 of the joined words
+Oracle notes: splits hash through the engine's md5 id-bucket
+(functions/hashing.md5_bucket — bit-identical on both engines);
+segment/chunk fingerprints are md5 of the joined words
 (same bytes on both engines); every count is CAST to BIGINT so DuckDB's
 HUGEINT sum never reaches the driver's hash.
 """
@@ -27,6 +28,7 @@ from data_eng_project_spark.operators.curation import (
     cross_split_leakage,
     split_profile,
 )
+from data_eng_project_spark.functions.hashing import md5_bucket_sql
 from data_eng_project_spark.operators.datasetops import (
     boilerplate_segment_stats,
     cdc_chunk_stats,
@@ -39,13 +41,23 @@ from data_eng_project_spark.tables import load_table
 _TRAIN_PCT = 80
 _VAL_PCT = 10
 
-_SPLIT_CASE = """
-    CASE WHEN CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8))
-               AS BIGINT) % 100 < 80 THEN 'train'
-         WHEN CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8))
-               AS BIGINT) % 100 < 90 THEN 'val'
+
+def _split_case_sql() -> str:
+    """The DuckDB mirror of operators/curation.split_column, DERIVED
+    from the same constants and the shared md5-bucket SQL so the five
+    oracles interpolating it can never desync from the Spark side when
+    _TRAIN_PCT/_VAL_PCT or the bucket hash change."""
+    from data_eng_project_spark.functions.hashing import md5_bucket_sql
+
+    b = md5_bucket_sql("{id}", 100)
+    return f"""
+    CASE WHEN {b} < {_TRAIN_PCT} THEN 'train'
+         WHEN {b} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
          ELSE 'test' END
 """
+
+
+_SPLIT_CASE = _split_case_sql()
 
 _SEG_K = 8
 _SEG_MIN_DF = 3
@@ -78,9 +90,8 @@ _SEG_MIN_DF = 3
 def dataset_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 hash split + per-(split, source)
     composition report. Split membership is a function of doc_id alone
-    (multiplicative hash), so it survives re-partitioning and
-    incremental corpus growth — the invariant a 100 TB dataset release
-    needs."""
+    (md5 bucket), so it survives re-partitioning and incremental
+    corpus growth — the invariant a 100 TB dataset release needs."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return split_profile(
@@ -274,12 +285,10 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_shuffle_order",
-    oracle="""
+    oracle=f"""
         WITH a AS (
             SELECT doc_id,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                                            1, 8)) AS BIGINT) % 1024
-                       AS bucket,
+                   {md5_bucket_sql('doc_id', 1024)} AS bucket,
                    md5(CAST(doc_id AS VARCHAR)) AS k
             FROM documents
         ), r AS (
@@ -916,16 +925,40 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_hashes=64, bands=16,
         threshold=JACCARD_THRESHOLD,
     ).select("id_a", "id_b")
-    both = exact.intersect(sketch)
-    tp = both.count()
-    fn = exact.exceptAll(both).count()
-    fp = sketch.exceptAll(both).count()
-    rec = tp / (tp + fn) if tp + fn else 1.0
-    prec = tp / (tp + fp) if tp + fp else 1.0
-    return spark.createDataFrame(
-        [(tp, fn, fp, round(rec, 6), round(prec, 6))],
-        "true_pairs bigint, missed_pairs bigint, spurious_pairs bigint, "
-        "recall double, precision double",
+    # ONE pass: outer-join the two distinct pair sets and classify each
+    # pair as TP/FN/FP in a single aggregate. The naive three-action
+    # form (intersect().count(), two exceptAll().count()s) re-executed
+    # the banded LSH self-join three times over unpersisted lineage —
+    # the most expensive subplan in the query (round-4 self-review).
+    e = exact.distinct().withColumn("_e", F.lit(1))
+    s = sketch.distinct().withColumn("_s", F.lit(1))
+    j = e.join(s, on=["id_a", "id_b"], how="full_outer")
+    tp = F.col("true_pairs")
+    fn = F.col("missed_pairs")
+    fp = F.col("spurious_pairs")
+    return (
+        j.agg(
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_pairs"),
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_s").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("missed_pairs"),
+            F.sum(F.when(F.col("_e").isNull() & F.col("_s").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("spurious_pairs"),
+        )
+        .select(
+            "true_pairs",
+            "missed_pairs",
+            "spurious_pairs",
+            F.round(
+                F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(1.0), 6
+            ).alias("recall"),
+            F.round(
+                F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).otherwise(1.0), 6
+            ).alias("precision"),
+        )
     )
 
 

@@ -64,11 +64,14 @@ _PPS_K = 10
     tags=("datasetops", "sampling"),
 )
 def pps_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic systematic PPS sample, 10 docs per source weighted
-    by length — the standard design for building a fixed-budget
-    inspection/eval subset whose inclusion probability tracks how much
-    of the token budget each document represents. Pure BIGINT
-    arithmetic: no RNG, identical on any engine."""
+    """Deterministic systematic PPS sample, 10 PICKS per source
+    weighted by length (a certainty unit absorbing multiple pick
+    boundaries is emitted once, so a skewed source can return fewer
+    than 10 rows — see operators/datasetops.pps_systematic_sample) —
+    the standard design for building a fixed-budget inspection/eval
+    subset whose inclusion probability tracks how much of the token
+    budget each document represents. Pure BIGINT arithmetic: no RNG,
+    identical on any engine."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return pps_systematic_sample(
@@ -697,7 +700,7 @@ _MANIFEST_TABLES = (
                CAST((SELECT count(*) FROM (DESCRIBE {t})) AS BIGINT)
                    AS n_cols,
                (SELECT md5(string_agg(lower(column_name), ','
-                                      ORDER BY column_name))
+                                      ORDER BY lower(column_name)))
                 FROM (DESCRIBE {t}) d(column_name)) AS schema_md5
         """
         for t in _MANIFEST_TABLES

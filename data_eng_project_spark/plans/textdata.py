@@ -243,7 +243,11 @@ _NGRAM_CTES = f"""
             FROM inter
             JOIN sz na ON na.doc_id = id_a
             JOIN sz nb ON nb.doc_id = id_b
-            WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+            -- threshold the ROUNDED ratio, mirroring _verified_jaccard's
+            -- filter(round(jaccard,6) >= t): a true ratio in
+            -- [t - 5e-7, t) rounds up to t and must be kept by BOTH
+            -- engines (boundary found by round-4 self-review)
+            WHERE round(i / (na.n + nb.n - i), 6) >= {JACCARD_THRESHOLD}
         )"""
 
 
@@ -876,7 +880,7 @@ _INCR_BATCH_SOURCE = "src1"
         FROM inter
         JOIN sz na ON na.doc_id = id_a
         JOIN sz nb ON nb.doc_id = id_b
-        WHERE i / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+        WHERE round(i / (na.n + nb.n - i), 6) >= {JACCARD_THRESHOLD}
     """,
     tags=("dedup", "jaccard", "incremental"),
 )
