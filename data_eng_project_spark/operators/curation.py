@@ -50,14 +50,24 @@ def decontaminate_overlap(
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    sizes = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ratio = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles")
+    counts = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # One output row per INPUT document, including docs too short to
+    # produce a single n-gram (they'd otherwise vanish, leaving their
+    # contamination status undefined — a keep-list join would silently
+    # drop them). Shingle-less docs report 0 shingles / 0 hits / ratio
+    # 0.0 / contaminated = (0.0 >= threshold).
+    ids = corpus.select(F.col(id_col).alias("_id"))
+    sizes = ids.join(counts, on="_id", how="left")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    ratio = F.when(
+        n_sh > 0, F.coalesce(F.col("n_hit"), F.lit(0)) / n_sh
+    ).otherwise(F.lit(0.0))
     return (
         sizes.join(hits, on="_id", how="left")
         .select(
             F.col("_id").alias(id_col),
-            "n_shingles",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            n_sh.cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
             F.round(ratio, 6).alias("overlap_ratio"),
             (ratio >= threshold).alias("contaminated"),
         )
@@ -88,7 +98,10 @@ def pack_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tok = F.size(tokens(text_col))
+    # Empty-token filter matters for LAYOUT: split('') yields [''], so an
+    # empty/whitespace-only document would otherwise occupy one phantom
+    # token slot and shift every later document's offset in the shard.
+    n_tok = F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
     with_counts = docs.select(
         F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
     )
@@ -282,12 +295,13 @@ def mixture_sample(
     from data_eng_project_spark.functions.hashing import md5_bucket
 
     bucket = md5_bucket(id_col, 100)
+    nt = F.size(F.filter(tokens("text"), lambda x: x != F.lit("")))
     return (
         docs.filter(bucket < rate_pct)
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.size(tokens("text"))).alias("sampled_tokens"),
+            F.sum(nt).alias("sampled_tokens"),
         )
     )
 
@@ -411,7 +425,7 @@ def unigram_lm_scores(
 # PII patterns restricted to the regex subset Java and RE2 interpret
 # identically (char classes, bounded repeats, \b): detection and redaction
 # must agree bit-for-bit with the ANSI oracle.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
@@ -628,7 +642,14 @@ def domain_mixture_weights(
     """
     per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        )
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -668,7 +689,11 @@ def token_fertility_profile(
     Corpus-level exact-integer sums (not averages of per-doc ratios, which
     would weight short documents up); single partial-aggregable shuffle.
     """
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+        )
+    )
     bpe = F.size(
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0

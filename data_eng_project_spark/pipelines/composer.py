@@ -73,7 +73,7 @@ def _pii_redact(df: DataFrame) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.col("text"),
-                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
                 "[EMAIL]",
             ),
             r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",

@@ -53,13 +53,21 @@ _CHUNK_TOKENS = 512
             SELECT c.doc_id, count(*) AS n_hit
             FROM corpus c JOIN bench b ON c.shingle = b.shingle
             GROUP BY c.doc_id
+        ), alldocs AS (
+            SELECT doc_id FROM documents WHERE source <> '{_BENCH_SOURCE}'
         )
-        SELECT s.doc_id, s.n_shingles,
-               coalesce(h.n_hit, 0) AS n_hit,
-               round(coalesce(h.n_hit, 0) / s.n_shingles, 6) AS overlap_ratio,
-               coalesce(h.n_hit, 0) / s.n_shingles >= {_OVERLAP_THRESHOLD}
-                   AS contaminated
-        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(CASE WHEN coalesce(s.n_shingles, 0) > 0
+                          THEN coalesce(h.n_hit, 0) / s.n_shingles
+                          ELSE 0.0 END, 6) AS overlap_ratio,
+               CASE WHEN coalesce(s.n_shingles, 0) > 0
+                    THEN coalesce(h.n_hit, 0) / s.n_shingles
+                    ELSE 0.0 END >= {_OVERLAP_THRESHOLD} AS contaminated
+        FROM alldocs d
+        LEFT JOIN sizes s ON d.doc_id = s.doc_id
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
     """,
     tags=("curation", "decontamination", "ngram"),
 )
@@ -83,7 +91,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT source AS shard, doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens
             FROM documents
         ), c AS (
             SELECT shard, doc_id, n_tokens,
@@ -285,7 +294,8 @@ def repetition_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_sample_by_source",
     oracle=r"""
         SELECT source, count(*) AS n_sampled,
-               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''))) AS BIGINT)
                    AS sampled_tokens
         FROM documents
         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -344,7 +354,8 @@ def length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT source AS shard, doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens
             FROM documents
         ), c AS (
             SELECT shard, doc_id, n_tokens,
@@ -384,7 +395,8 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT source AS shard, doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens
             FROM documents
         ), c AS (
             SELECT shard, doc_id, n_tokens,

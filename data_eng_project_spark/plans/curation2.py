@@ -128,7 +128,7 @@ def _aug_spark() -> F.Column:
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT)
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
                    AS n_emails,
                CAST(len(regexp_extract_all(text,
                    '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
@@ -137,7 +137,7 @@ def _aug_spark() -> F.Column:
                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT)
                    AS n_ips,
                md5(regexp_replace(regexp_replace(regexp_replace(text,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[EMAIL]', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
                    '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
                    '[IP]', 'g')) AS redacted_md5
@@ -294,7 +294,8 @@ def cross_source_dup_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         WITH ps AS (
             SELECT source, count(*) AS n_docs,
-                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                   CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')))
                         AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         ), tot AS (
@@ -325,12 +326,14 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         SELECT lang, count(*) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS n_chars,
-               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')))
                     AS BIGINT) AS n_ws_tokens,
                CAST(sum(len(regexp_extract_all(lower(text),
                     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
                round(CAST(sum(length(text)) AS BIGINT)
-                     / CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                     / CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')))
                             AS BIGINT), 6) AS chars_per_ws_token,
                round(CAST(sum(length(text)) AS BIGINT)
                      / CAST(sum(len(regexp_extract_all(lower(text),
@@ -338,7 +341,8 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS chars_per_bpe_token,
                round(CAST(sum(len(regexp_extract_all(lower(text),
                             '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
-                     / CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                     / CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')))
                             AS BIGINT), 6) AS bpe_blowup
         FROM documents GROUP BY lang
     """,

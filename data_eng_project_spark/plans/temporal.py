@@ -262,10 +262,13 @@ def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree without touching locale-dependent date parts."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
     return (
         events.select(
-            (F.floor(us / F.lit(86_400_000_000)) + 4).cast("bigint").alias("_d"),
+            # exact integer `div` (not double-division + floor, whose
+            # exactness silently depends on the timestamp range)
+            (F.expr("unix_micros(ts) div 86400000000") + 4)
+            .cast("bigint")
+            .alias("_d"),
             F.hour("ts").cast("bigint").alias("hod"),
             F.col("value").alias("v"),
         )
@@ -320,12 +323,13 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums keep μ/σ² order-free; top-100 with a total tie-break."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
     e = events.select(
         "event_id",
         "user_id",
         F.col("value").alias("v"),
-        ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("bigint").alias("dow"),
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
         F.hour("ts").cast("bigint").alias("hod"),
     )
     dec = F.col("v").cast("decimal(28,6)")
@@ -414,7 +418,11 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint()  # reused on both sides of the lag self-join
+        # Lazy (eager=False): reused on both sides of the lag self-join
+        # WITHOUT running a job at plan-construction time — merely
+        # building the registered query must stay side-effect-free (the
+        # catalog/dossier tools iterate REGISTRY without collecting).
+        .localCheckpoint(eager=False)
     )
     a = hc.select(
         "event_type",
@@ -619,14 +627,14 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("bts")
-    ).groupBy("user_id", "bts").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    ).distinct()
     ab = asof_join_forward(
         a, b, on="user_id", left_ts="t1", right_ts="bts",
         payload_cols=["bts"],
     ).select("user_id", "t1", F.col("next_bts").alias("t2"), "event_id")
     c = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("cts")
-    ).groupBy("user_id", "cts").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    ).distinct()
     # rows with no click never reach stage 3; keep them aside so NULL
     # t2 can't misorder the forward-merge window
     ab_hit = ab.filter(F.col("t2").isNotNull())

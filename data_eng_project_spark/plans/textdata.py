@@ -341,9 +341,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- similarity
 
-@register(
-    "embedding_dup_pairs",
-    oracle=f"""
+# ONE oracle for both the exact and the GEMM-blocked cosine-pair query:
+# the two registrations are documented to produce the same pairs, so a
+# shared constant makes drift impossible.
+_COSINE_PAIRS_ORACLE = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -352,7 +353,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6)
               >= {COSINE_DUP_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "embedding_dup_pairs",
+    oracle=_COSINE_PAIRS_ORACLE,
     tags=("similarity", "dedup", "embedding"),
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,8 +391,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    query = F.array(*[F.lit(float(x)) for x in qvec])
+    query = _query_vec_column(emb)
     return S.brute_force_topk(emb, query, k=10)
 
 
@@ -409,16 +414,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dup_pairs_blocked",
-    oracle=f"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6)
-              >= {COSINE_DUP_THRESHOLD}
-    """,
+    oracle=_COSINE_PAIRS_ORACLE,
     headline=True,
     tags=("similarity", "dedup", "embedding", "gemm"),
 )
@@ -445,7 +441,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (scan ~n_probe/n_clusters of the corpus)."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = _query_vec_list(emb)
     return S.ivf_topk(emb, qvec, k=10, n_clusters=16, n_probe=4)
 
 
@@ -589,37 +585,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     terms = ["spark", "merge", "window"]
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
-    ).filter(F.col("term") != "")
-    per_doc = tok.groupBy("doc_id").agg(
-        *[
-            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i+1}")
-            for i, t in enumerate(terms)
-        ],
-        F.count(F.lit(1)).alias("dl"),
-    )
-    g = per_doc.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.count(F.when(F.col(f"tf{i+1}") > 0, 1)).alias(f"df{i+1}")
-            for i in range(len(terms))
-        ],
-    )
-    dl_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-    score = None
-    for i in range(len(terms)):
-        tf, df = F.col(f"tf{i+1}"), F.col(f"df{i+1}")
-        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
-        term_score = idf * (tf * F.lit(2.2)) / (tf + dl_norm)
-        score = term_score if score is None else score + term_score
+    scored = _bm25_scored_frame(docs, terms)
     return (
-        per_doc.join(F.broadcast(g))
-        .select("doc_id", score.alias("_s"))
-        .orderBy(F.col("_s").desc(), "doc_id")
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
-        .select("doc_id", F.round("_s", 6).alias("bm25"))
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
     )
 
 
@@ -739,34 +709,8 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "merge", "window"]
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
-    ).filter(F.col("term") != "")
-    per_doc = tok.groupBy("doc_id").agg(
-        *[
-            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i+1}")
-            for i, t in enumerate(terms)
-        ],
-        F.count(F.lit(1)).alias("dl"),
-    )
-    g = per_doc.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.count(F.when(F.col(f"tf{i+1}") > 0, 1)).alias(f"df{i+1}")
-            for i in range(len(terms))
-        ],
-    )
-    dl_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-    bm25 = None
-    for i in range(len(terms)):
-        tf, df = F.col(f"tf{i+1}"), F.col(f"df{i+1}")
-        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
-        term_score = idf * (tf * F.lit(2.2)) / (tf + dl_norm)
-        bm25 = term_score if bm25 is None else bm25 + term_score
-    scored = per_doc.join(F.broadcast(g)).select("doc_id", bm25.alias("bm25"))
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    query = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = _bm25_scored_frame(docs, terms)
+    query = _query_vec_column(emb)
     withcos = scored.join(
         emb.select(F.col("vec_id").alias("_vid"), "embedding"),
         F.col("doc_id") == F.col("_vid"),
@@ -985,7 +929,6 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over an already-aggregated tiny frame, so the only real shuffle
     is the count aggregate."""
     prepare(spark)
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     preds = T.language_id(docs).select("doc_id", "lang_pred")
@@ -1157,7 +1100,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (billion-vector indexes live in RAM as codes)."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = _query_vec_list(emb)
     return S.pq_topk(emb, qvec, k=10, m=4, nbits=4)
 
 
@@ -1216,7 +1159,7 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (see operators/similarity.ivf_pq_topk)."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = _query_vec_list(emb)
     return S.ivf_pq_topk(emb, qvec, k=10, n_clusters=16, n_probe=4, m=4, nbits=4)
 
 
@@ -1481,10 +1424,27 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.phrase_occurrences(docs, ("order", "fast"))
 
 
+def _query_vec_list(emb: DataFrame, query_id: int = 0) -> list[float]:
+    """Driver-side fetch of the benchmark query vector (vec_id 0) as
+    Python floats — ONE place for the eager .head() job, the missing-row
+    error, and the float conversion (previously copy-pasted across five
+    query functions)."""
+    row = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"query vector vec_id={query_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def _query_vec_column(emb: DataFrame, query_id: int = 0) -> "F.Column":
+    """The same query vector as a literal array<double> column."""
+    return F.array(*[F.lit(x) for x in _query_vec_list(emb, query_id)])
+
+
 def _bm25_scored_frame(docs: DataFrame, terms: list[str]) -> DataFrame:
     """(doc_id, bm25) for a fixed term query — the BM25 core shared by
-    hybrid_search (min-max fusion) and rrf_hybrid_search (rank fusion);
-    expression-identical to the SQL oracles of both."""
+    bm25_search (pure ranking), hybrid_search (min-max fusion) and
+    rrf_hybrid_search (rank fusion); expression-identical to the SQL
+    oracles of all three."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).filter(F.col("term") != "")
@@ -1582,8 +1542,7 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     scored = _bm25_scored_frame(docs, ["spark", "merge", "window"])
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    query = F.array(*[F.lit(float(x)) for x in qvec])
+    query = _query_vec_column(emb)
     withcos = scored.join(
         emb.select(F.col("vec_id").alias("_vid"), "embedding"),
         F.col("doc_id") == F.col("_vid"),

@@ -681,3 +681,65 @@ def test_compression_signal_matches_python_twin_and_flags(spark):
     assert out[1]["too_repetitive"] and not out[1]["too_random"]
     assert not out[2]["too_repetitive"] and not out[2]["too_random"]
     assert out[3]["too_random"] and not out[3]["too_repetitive"]
+
+
+def test_pii_scan_catches_mixed_case_email(spark):
+    """Round-4 self-review: PII regexes must not be lowercase-only —
+    'John.Doe@Example.COM' is PII exactly like its lowercase twin."""
+    from data_eng_project_spark.operators.curation import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Contact John.Doe@Example.COM or +1-555-1234 today"),
+            (2, "plain text, no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_emails"], r["n_phones"]) for r in pii_scan(docs).collect()}
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+    # and the composer redact stage removes it too
+    from data_eng_project_spark.pipelines.composer import STAGES
+
+    red = STAGES["pii_redact"](docs).collect()
+    t1 = next(r["text"] for r in red if r["doc_id"] == 1)
+    assert "[EMAIL]" in t1 and "Example.COM" not in t1
+
+
+def test_decontaminate_reports_every_document(spark):
+    """Round-4 self-review: documents too short to produce one n-gram
+    must still get a row (0 shingles, not contaminated) — a keep-list
+    join would otherwise silently drop them."""
+    from data_eng_project_spark.operators.curation import decontaminate_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "ok"),  # < n tokens: zero shingles
+            (3, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate_overlap(corpus, bench).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_shingles"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_ratio"] == 0.0
+    assert out[1]["n_hit"] > 0
+
+
+def test_pack_sequences_empty_doc_occupies_no_tokens(spark):
+    """Round-4 self-review: split('') yields [''] — an empty document
+    must pack as 0 tokens, not shift every later offset by a phantom."""
+    from data_eng_project_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", ""), (3, "s", "d e")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, chunk_tokens=4).collect()}
+    assert out[2]["n_tokens"] == 0
+    assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2
+    assert out[3]["start_offset"] == 3  # not 4
