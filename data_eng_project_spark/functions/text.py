@@ -30,7 +30,12 @@ def _c(col: Column | str) -> Column:
 
 
 def substr_count(col: Column | str, needle: str) -> Column:
-    """Occurrences of a literal substring (ANSI-replace identity)."""
+    """Occurrences of a literal substring (ANSI-replace identity).
+
+    NB: ``replace`` counts NON-OVERLAPPING occurrences — callers counting
+    space-delimited words must go through ``padded_for_counting`` /
+    ``PADDED_SQL`` (doubled spaces) or immediately repeated words
+    undercount (' the the the ' holds two non-overlapping ' the ')."""
     c = _c(col)
     return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
 
@@ -38,6 +43,21 @@ def substr_count(col: Column | str, needle: str) -> Column:
 def substr_count_sql(expr: str, needle: str) -> str:
     esc = needle.replace("'", "''")
     return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
+
+
+# Doubling every space gives each space-delimited word its own pair of
+# delimiters, so ' w ' matches are disjoint and the non-overlapping
+# replace identity counts every occurrence — including immediate repeats
+# ('the the the' counts 3, not 2). Spark expression and DuckDB SQL are
+# the same computation; keep them adjacent so they cannot drift.
+PADDED_SQL = "replace((' ' || lower(text) || ' '), ' ', '  ')"
+
+
+def padded_for_counting(col: Column | str) -> Column:
+    """Lowercased text padded with spaces and every space doubled — the
+    canonical haystack for whole-word ``substr_count`` (see PADDED_SQL)."""
+    p = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    return F.replace(p, F.lit(" "), F.lit("  "))
 
 
 def tokens(col: Column | str) -> Column:
@@ -79,8 +99,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language stopword-marker hit counts over ' '-padded text."""
-    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    """Per-language stopword-marker hit counts over space-doubled padded
+    text (immediately repeated markers each count)."""
+    padded = padded_for_counting(col)
     return {
         lang: sum(substr_count(padded, m) for m in markers).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()

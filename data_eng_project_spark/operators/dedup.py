@@ -93,18 +93,27 @@ def _shingle_sets_direct(df: DataFrame, text_col: str, id_col: str, n: int) -> D
 
 
 def _verified_jaccard(
-    cand: DataFrame, sets: DataFrame, threshold: float
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
     Joins each side's shingle set (one row per doc, not one per shingle)
     and computes |A∩B| with ``array_intersect`` — hash-set intersection in
     the JVM. This replaces the explode→join→re-aggregate formulation whose
-    intermediate was |candidates| × |shingles per doc| rows."""
+    intermediate was |candidates| × |shingles per doc| rows.
+
+    ``sets_b`` serves the bipartite callers (id_a resolved against
+    ``sets``, id_b against ``sets_b``); defaulting it to ``sets`` is the
+    unipartite self-join form."""
+    if sets_b is None:
+        sets_b = sets
     inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
         cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")), on="id_a")
-        .join(sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")), on="id_b")
+        .join(sets_b.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")), on="id_b")
         .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
@@ -133,15 +142,25 @@ def ngram_jaccard_pairs(
       first ``|d| - ceil(t·|d|) + 1`` shingles — so only those prefixes
       are indexed for candidate generation;
     - **length filter**: Jaccard ≥ t requires ``t·|A| ≤ |B| ≤ |A|/t``;
-    - **count filter**: a pair sharing ``c`` prefix shingles can reach an
-      intersection of at most ``c + min(|A| − pfx(A), |B| − pfx(B))``
-      (everything outside the prefixes), which must reach the required
-      overlap ``α = ceil(t/(1+t)·(|A|+|B|))`` — candidates failing this
-      bound are dropped *before* the verification join. On low-entropy
-      corpora (many moderately-shared shingles) this is the filter that
-      matters: on a 10×-replica stress corpus (tools/scale_probe.py) it
-      cut 32.35M prefix-join candidates to 250,600 — exactly the true
-      pair count — taking the end-to-end join from 78s to 20s.
+    - **positional (count) filter**: for a pair sharing ``c`` prefix
+      shingles whose *last* (largest in the global order) shared prefix
+      shingle sits at rank ``rA`` in A and ``rB`` in B, every shared
+      shingle NOT counted in ``c`` is missing from at least one prefix,
+      hence strictly greater than that last shared shingle in the global
+      order — so there are at most ``min(|A| − rA, |B| − rB)`` of them,
+      and the intersection is bounded by ``c + min(|A| − rA, |B| − rB)``,
+      which must reach the required overlap
+      ``α = ceil(t/(1+t)·(|A|+|B|))`` — candidates failing this bound
+      are dropped *before* the verification join. (The naive
+      suffix-size bound ``c + min(|A|−pfx(A), |B|−pfx(B))`` is NOT
+      sound: the uncounted shared shingles can all sit in one side's
+      suffix while the other side holds them in its prefix — e.g. a
+      short doc fully contained in a longer one — and that bound
+      silently dropped true pairs.) On low-entropy corpora (many
+      moderately-shared shingles) this is the filter that matters: on a
+      10×-replica stress corpus (tools/scale_probe.py) it cut 32.35M
+      prefix-join candidates to ~250k true pairs, taking the
+      end-to-end join from 78s to 20s.
 
     Survivors then get an exact intersection (array_intersect on the
     cached per-doc sets) — the prunings admit no false negatives, so the
@@ -163,12 +182,15 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "shingle", "_n")
-    pa = prefix.select(F.col("_id").alias("id_a"), "shingle", F.col("_n").alias("_na"))
-    pb = prefix.select(F.col("_id").alias("id_b"), "shingle", F.col("_n").alias("_nb"))
-
-    def _pfx(nc: str) -> F.Column:  # prefix length of a set of size n
-        return F.col(nc) - F.ceil(F.lit(threshold) * F.col(nc)) + 1
+    ).select("_id", "shingle", "_n", "_rank")
+    pa = prefix.select(
+        F.col("_id").alias("id_a"), "shingle",
+        F.col("_n").alias("_na"), F.col("_rank").alias("_ra"),
+    )
+    pb = prefix.select(
+        F.col("_id").alias("id_b"), "shingle",
+        F.col("_n").alias("_nb"), F.col("_rank").alias("_rb"),
+    )
 
     # α: minimum intersection for Jaccard ≥ t given the two set sizes.
     alpha = F.ceil(
@@ -182,10 +204,17 @@ def ngram_jaccard_pairs(
             & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
         )
         .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_c"))  # shared-prefix count (also dedups)
+        .agg(
+            F.count(F.lit(1)).alias("_c"),  # shared-prefix count (also dedups)
+            F.max("_ra").alias("_mra"),  # rank of last shared prefix shingle
+            F.max("_rb").alias("_mrb"),
+        )
+        # positional filter: uncounted shared shingles all rank after the
+        # last counted one on BOTH sides (global ordering), so at most
+        # min(|A|−rA, |B|−rB) of them exist.
         .filter(
             F.col("_c")
-            + F.least(F.col("_na") - _pfx("_na"), F.col("_nb") - _pfx("_nb"))
+            + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
             >= alpha
         )
         .select("id_a", "id_b")
@@ -226,9 +255,19 @@ def lsh_band_rows(
     bucket key. Deterministic: fixed seeds, so band rows computed in
     different jobs / sessions / machines agree (what makes the
     persisted index mergeable across ingest batches).
+
+    Shingle-less documents (shorter than the shingle width) are dropped:
+    an empty set has no MinHash (array_min over nothing is NULL for
+    every seed), so every such doc would share one identical
+    null-derived bucket per band and the downstream band equi-join
+    would go quadratic in their count — millions of <n-token docs in a
+    dirty corpus → ~E²/2 candidates, all discarded by verification
+    anyway. They can never match anything (Jaccard with ∅ is 0), so
+    dropping them changes no verified output.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    sets = sets.filter(F.size("_set") > 0)
 
     def _minhash(seed: int) -> F.Column:
         # NB: the lambda must take exactly one arg — a two-arg lambda
@@ -333,43 +372,16 @@ def simhash_pairs(
     Candidate generation: split the 64-bit fingerprint into 4 16-bit
     quarters; any pair within Hamming distance 3 agrees exactly on ≥1
     quarter (pigeonhole), so an equi-join per quarter finds all of them.
-    Verification: exact popcount via bit_count.
+    Verification: exact popcount via bit_count. Delegates to
+    fingerprint_hamming_pairs — the parameterized band join this
+    quarter split is the n_bands=4 instance of.
     """
-    fp = simhash(df, text_col, id_col)
-    quarters = fp.select(
-        "id",
+    return fingerprint_hamming_pairs(
+        simhash(df, text_col, id_col),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "simhash", "s.q", "s.qv")
-    cand = (
-        quarters.alias("x")
-        .join(quarters.alias("y"), on=["q", "qv"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("y.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        id_col="id",
+        n_bands=4,
+        max_hamming=max_hamming,
     )
 
 
@@ -428,7 +440,7 @@ def ngram_jaccard_pairs_bipartite(
     per batch.
 
     Same exact PPJoin prunings as ngram_jaccard_pairs (prefix / length /
-    count filters admit no false negatives), with the one bipartite
+    positional filters admit no false negatives), with the one bipartite
     subtlety: the prefix filter is only valid under a shingle ordering
     shared by BOTH sides, so frequencies are counted over the union
     before ranking. Cost is O(corpus + batch) index rows; candidate
@@ -461,14 +473,13 @@ def ngram_jaccard_pairs_bipartite(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     )
     pa = prefix.filter(F.col("_side") == 0).select(
-        F.col("_id").alias("id_a"), "shingle", F.col("_n").alias("_na")
+        F.col("_id").alias("id_a"), "shingle",
+        F.col("_n").alias("_na"), F.col("_rank").alias("_ra"),
     )
     pb = prefix.filter(F.col("_side") == 1).select(
-        F.col("_id").alias("id_b"), "shingle", F.col("_n").alias("_nb")
+        F.col("_id").alias("id_b"), "shingle",
+        F.col("_n").alias("_nb"), F.col("_rank").alias("_rb"),
     )
-
-    def _pfx(nc: str) -> F.Column:
-        return F.col(nc) - F.ceil(F.lit(threshold) * F.col(nc)) + 1
 
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
@@ -480,35 +491,21 @@ def ngram_jaccard_pairs_bipartite(
             & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
         )
         .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("_ra").alias("_mra"),
+            F.max("_rb").alias("_mrb"),
+        )
+        # positional filter (see ngram_jaccard_pairs): sound bound on the
+        # uncounted shared shingles via the last shared prefix ranks.
         .filter(
             F.col("_c")
-            + F.least(F.col("_na") - _pfx("_na"), F.col("_nb") - _pfx("_nb"))
+            + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
             >= alpha
         )
         .select("id_a", "id_b")
     )
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
-        cand.join(
-            sets_a.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")),
-            on="id_a",
-        )
-        .join(
-            sets_b.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")),
-            on="id_b",
-        )
-        .withColumn("_inter", inter)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard(cand, sets_a, threshold, sets_b=sets_b)
 
 
 def doc_novelty_scores(

@@ -157,7 +157,14 @@ def ewma_per_key(
         )
         return out
 
-    schema = f"{id_col} long, {key_col} long, {value_col} double, ewma double"
+    # Derive the output schema from the input — a string key or a float
+    # value column must round-trip with its real type, not a hardcoded
+    # long/double guess.
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        f"{id_col} {in_fields[id_col]}, {key_col} {in_fields[key_col]}, "
+        f"{value_col} {in_fields[value_col]}, ewma double"
+    )
     return df.select(id_col, key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
         ewma, schema=schema
     )
@@ -219,9 +226,12 @@ def cusum_hourly_changepoints(
     exceeds ``h_sigmas``·σ·(series length scaling).
 
     The max(0, ·) recursion looks sequential, but the classic identity
-    S_i = R_i − min_{j≤i} R_j (R = prefix sum of deviations) turns it
-    into two window functions — a running sum and a running min — so the
-    whole detector is shuffle-once-per-type, no UDF, no iteration.
+    S_i = R_i − min_{0≤j≤i} R_j (R = prefix sum of deviations, with the
+    empty prefix R_0 = 0 included — without it a series whose early
+    hours run ABOVE the mean has its CUSUM clamped to 0 and start-of-
+    series changepoints are missed) turns it into two window functions —
+    a running sum and a zero-clamped running min — so the whole detector
+    is shuffle-once-per-type, no UDF, no iteration.
 
     Exactness discipline: deviations are scaled by the series length n
     (D_i = n·x_i − total, an exact BIGINT), so prefix sums, running
@@ -246,7 +256,8 @@ def cusum_hourly_changepoints(
     )
     r = F.sum(d).over(w)
     with_r = j.withColumn("_r", r)
-    s = F.col("_r") - F.min("_r").over(w)
+    # least(min, 0) supplies the R_0 = 0 term of the empty prefix.
+    s = F.col("_r") - F.least(F.min("_r").over(w), F.lit(0))
     # n·σ·n = sqrt(n·sumsq − total²)·... : threshold for S (≡ n·CUSUM)
     # is h·n·σ = h·sqrt(n·sumsq − total²), from exact decimal products.
     nsig = F.sqrt(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from data_eng_project_spark.functions.text import (
     EN_STOPWORDS,
     lang_scores,
+    padded_for_counting,
     substr_count,
     token_count,
 )
@@ -19,15 +20,22 @@ from data_eng_project_spark.functions.text import (
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language ID: per-language marker-hit counts, argmax
-    with deterministic (alphabetical) tie-break via greatest-struct trick."""
+    with deterministic alphabetical tie-break (equal scores → 'de' before
+    'en' before … 'zh') via the greatest-struct trick: structs compare
+    field by field, so (score, priority) ranks by score first and breaks
+    ties on an explicit priority that DESCENDS alphabetically — greatest()
+    then lands on the alphabetically-first language, matching the oracle's
+    CASE scan in ascending language order."""
     scores = lang_scores(text_col)
+    langs = sorted(scores)
     structs = [
-        F.struct(score.alias("score"), F.lit(lang).alias("lang"))
-        for lang, score in sorted(scores.items(), reverse=True)
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(len(langs) - i).alias("pri"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
     ]
-    # greatest() compares structs field-by-field: highest score wins; on
-    # ties the later-compared (alphabetically first, due to reverse sort
-    # above... struct comparison picks max lang) — keep ordering explicit:
     best = F.greatest(*structs) if len(structs) > 1 else structs[0]
     return df.select(
         F.col(id_col),
@@ -41,7 +49,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     stopword ratio. Mirrors the quality-filter stage of a pretraining
     pipeline; thresholds are the caller's policy."""
     t = F.col(text_col)
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    padded = padded_for_counting(t)
     n_words = token_count(text_col)
     stop_hits = None
     for w in EN_STOPWORDS:
@@ -85,8 +93,8 @@ def winnowing_fingerprints(
     DuckDB oracle reproduces it exactly); a rolling Rabin-Karp hash is
     the row-at-a-time formulation of the same k-gram hashing — in a
     columnar engine the grams are hashed directly, one codegen'd
-    expression, no UDF. Output: (id, fps sorted array, n_fingerprints,
-    min_fp, max_fp)."""
+    expression, no UDF. Output: (id, fps) — the sorted, deduplicated
+    fingerprint array."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     grams = F.expr(
         f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), "

@@ -27,9 +27,11 @@ Words with Subword Units" — the classic BPE algorithm):
 
 The one distributed step *inside* training — counting adjacent-pair
 frequencies over the weighted vocabulary — is also exposed as a
-DataFrame program (``adjacent_pair_counts``) with an exact SQL twin, so
-the driver's DuckDB oracle certifies the statistic the Python loop
-consumes (plans/tokenize.py::bpe_pair_counts).
+DataFrame program (``adjacent_pair_counts``, including the EOW symbol
+when ``eow=True`` so it is the very statistic ``bpe_fit``'s first merge
+round maximizes over) with an exact SQL twin, so the driver's DuckDB
+oracle certifies the statistic the Python loop consumes
+(plans/tokenize.py::bpe_pair_counts).
 """
 
 from __future__ import annotations
@@ -61,30 +63,44 @@ def word_frequencies(
 
 
 def adjacent_pair_counts(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    eow: bool = True,
 ) -> DataFrame:
-    """Corpus-wide adjacent character-pair counts weighted by word
+    """Corpus-wide adjacent symbol-pair counts weighted by word
     frequency — one full iteration of the BPE training statistic, as a
     DataFrame program (explode positions, no Python).
 
-    Count semantics follow the classic algorithm: a word contributes one
-    count per *position* (``freq × (len-1)`` pairs per word), so e.g.
-    'aaa' contributes ('a','a') twice per occurrence.
+    ``eow`` must match the ``bpe_fit`` call this statistic certifies
+    (both default True): with EOW each word's symbols are its chars plus
+    '</w>', so a word of length L contributes L pairs per occurrence —
+    including (last_char, '</w>') and the single (char, '</w>') pair of
+    a 1-letter word — exactly the first-iteration counts the greedy fit
+    maximizes over. (With eow=False, L−1 raw character pairs and
+    1-letter words contribute nothing.) A word like 'aaa' contributes
+    ('a','a') twice per occurrence either way.
     """
     wf = word_frequencies(docs, text_col, id_col)
-    return (
+    if eow:
+        pos = wf.select(
+            "word", "freq",
+            F.explode(F.expr("sequence(1, length(word))")).alias("i"),
+        )
+        rhs = F.when(
+            F.col("i") < F.length("word"), F.expr("substring(word, i + 1, 1)")
+        ).otherwise(F.lit(EOW))
+    else:
         # length-1 words carry no pairs; filter BEFORE the position
         # explode (Spark's sequence(1, 0) would yield a DESCENDING
         # [1, 0], not an empty array)
-        wf.filter(F.length("word") >= 2)
-        .select(
-            "word",
-            "freq",
+        pos = wf.filter(F.length("word") >= 2).select(
+            "word", "freq",
             F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
         )
-        .select(
+        rhs = F.expr("substring(word, i + 1, 1)")
+    return (
+        pos.select(
             F.expr("substring(word, i, 1)").alias("lhs"),
-            F.expr("substring(word, i + 1, 1)").alias("rhs"),
+            rhs.alias("rhs"),
             "freq",
         )
         .groupBy("lhs", "rhs")

@@ -671,8 +671,8 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROWS UNBOUNDED PRECEDING)
         )
         SELECT event_type, window_start, CAST(x AS BIGINT) AS x,
-               CAST(r - min(r) OVER w2 AS BIGINT) AS cusum_scaled,
-               CAST(r - min(r) OVER w2 AS DOUBLE) >
+               CAST(r - least(min(r) OVER w2, 0) AS BIGINT) AS cusum_scaled,
+               CAST(r - least(min(r) OVER w2, 0) AS DOUBLE) >
                    4.0 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sumsq
                                    - CAST(total AS DECIMAL(38,0)) * total
                                    AS DOUBLE)) AS alarm

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_eng_project_spark.functions.text import LANG_MARKERS, substr_count_sql
+from data_eng_project_spark.functions.text import (
+    LANG_MARKERS,
+    PADDED_SQL,
+    substr_count_sql,
+)
 from data_eng_project_spark.operators import dedup as D
 from data_eng_project_spark.operators import similarity as S
 from data_eng_project_spark.operators import textops as T
@@ -32,17 +36,19 @@ COSINE_DUP_THRESHOLD = 0.45
 
 # ---------------------------------------------------------------- text ops
 
-_PADDED = "(' ' || lower(text) || ' ')"
+_PADDED = PADDED_SQL  # space-doubled padded text (see functions/text.py)
 _SCORE_SQL = {
     lang: "(" + " + ".join(substr_count_sql(_PADDED, m) for m in markers) + ")"
     for lang, markers in LANG_MARKERS.items()
 }
 _MAX_SCORE = "greatest(" + ", ".join(_SCORE_SQL.values()) + ")"
-# Tie-break mirrors Spark's greatest(struct(score, lang)): max score, then
-# lexicographically greatest language code.
+# Tie-break mirrors Spark's greatest(struct(score, priority, lang)) in
+# operators/textops.language_id: max score, then the alphabetically FIRST
+# language — the CASE scans languages in ascending order, so the first
+# max-score branch taken is the alphabetically smallest.
 _PRED_CASE = "CASE " + " ".join(
     f"WHEN {_SCORE_SQL[lang]} = {_MAX_SCORE} THEN '{lang}'"
-    for lang in sorted(_SCORE_SQL, reverse=True)
+    for lang in sorted(_SCORE_SQL)
 ) + " END"
 
 

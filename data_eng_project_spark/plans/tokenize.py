@@ -38,11 +38,12 @@ from data_eng_project_spark.tables import load_table
         ), wf AS (
             SELECT word, count(*) AS freq FROM words GROUP BY word
         ), pos AS (
-            SELECT word, freq, unnest(range(1, length(word))) AS i
-            FROM wf WHERE length(word) >= 2
+            SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+            FROM wf
         ), pairs AS (
             SELECT substr(word, i, 1) AS lhs,
-                   substr(word, i + 1, 1) AS rhs,
+                   CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                        ELSE '</w>' END AS rhs,
                    CAST(sum(freq) AS BIGINT) AS pair_count
             FROM pos GROUP BY 1, 2
         )
@@ -54,11 +55,12 @@ from data_eng_project_spark.tables import load_table
     tags=("tokenizer", "textdata", "statistics"),
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 adjacent character pairs weighted by word frequency — one
-    full iteration of the BPE training statistic, computed corpus-wide
-    in DataFrame algebra and certified against the SQL twin. The greedy
-    fit (operators/tokenizer.bpe_fit) consumes exactly this table shape
-    per merge round."""
+    """Top-50 adjacent symbol pairs (chars + the '</w>' end-of-word
+    marker, matching bpe_fit's default eow=True) weighted by word
+    frequency — one full iteration of the BPE training statistic,
+    computed corpus-wide in DataFrame algebra and certified against the
+    SQL twin. The greedy fit (operators/tokenizer.bpe_fit) consumes
+    exactly this statistic in its first merge round."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return (

@@ -154,6 +154,84 @@ def test_simhash_finds_exact_dups(near_dup_docs):
     assert pairs.get((0, 1)) == 0  # identical text → identical fingerprint
 
 
+def test_ngram_jaccard_finds_contained_doc(spark):
+    """Regression: a short doc wholly contained in a longer one at
+    exactly threshold Jaccard. The unsound suffix-size count bound
+    (c + min of suffix sizes) pruned this pair — the shared shingles
+    all sit in the long doc's rarest-first SUFFIX (shared ⇒ freq 2,
+    unique ⇒ freq 1 ⇒ ranked first) while the short doc holds them in
+    its prefix; the sound positional bound keeps it."""
+    from data_eng_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_bipartite,
+    )
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    short_doc = "alpha beta gamma delta"  # ⊂ long, |A∩B|=4, J = 4/8 = 0.5
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 1): 0.5}
+    # bipartite twin: corpus holds the long doc, the batch the short one
+    bi = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_bipartite(
+            docs.filter("doc_id = 0"), docs.filter("doc_id = 1"),
+            "text", "doc_id", n=1, threshold=0.5,
+        ).collect()
+    }
+    assert bi == {(0, 1): 0.5}
+
+
+def test_language_id_ties_break_alphabetically(spark):
+    """All-zero marker scores (no stopwords of any language) must land
+    on the alphabetically first language, identically in Spark and the
+    oracle's ascending CASE scan — not on the struct-max 'zh'."""
+    from data_eng_project_spark.operators.textops import language_id
+
+    docs = spark.createDataFrame(
+        [(0, "zzz qqq xxx"), (1, "le el the und shi")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in language_id(docs).collect()}
+    assert rows[0].lang_score == 0.0 and rows[0].lang_pred == "de"
+    # one marker hit for de/en/es/fr/zh each → still a tie → 'de'
+    assert rows[1].lang_score == 1.0 and rows[1].lang_pred == "de"
+
+
+def test_quality_score_counts_adjacent_repeated_stopwords(spark):
+    """'the the the' is three stopword hits, not two — the space-doubled
+    haystack makes non-overlapping replace count immediate repeats."""
+    from data_eng_project_spark.operators.textops import quality_score
+
+    docs = spark.createDataFrame(
+        [(0, "the the the cat")], "doc_id long, text string"
+    )
+    row = quality_score(docs).collect()[0]
+    assert row.n_words == 4
+    assert row.stopword_ratio == 0.75
+
+
+def test_lsh_band_rows_drop_shingleless_docs(spark):
+    """Docs shorter than the shingle width have no MinHash — they must
+    not emit band rows (all of them would share one null-derived bucket
+    per band, making the band self-join quadratic in their count)."""
+    from data_eng_project_spark.operators.dedup import (
+        _shingle_sets_direct,
+        lsh_band_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "x"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    sets = _shingle_sets_direct(docs, "text", "doc_id", 3)
+    ids = {r.id for r in lsh_band_rows(sets).select("id").distinct().collect()}
+    assert ids == {2}
+
+
 # ------------------------------------------------------------- similarity
 
 @pytest.fixture(scope="module")
@@ -988,6 +1066,26 @@ def test_cusum_matches_direct_recursion(spark):
     # the level shift must raise at least one alarm after hour 6
     assert any(r.alarm for r in out[6:])
     assert not any(r.alarm for r in out[:6])
+
+    # Regression: a series starting ABOVE the mean — the prefix sums R
+    # start positive, so the R_0 = 0 term of the running min is
+    # load-bearing (without it the early CUSUM clamps to 0).
+    rev = list(reversed(counts))
+    rows, eid = [], 0
+    for h, c in enumerate(rev):
+        for _ in range(c):
+            rows.append((eid, "t", dt.datetime(2024, 3, 2, h, eid % 60)))
+            eid += 1
+    events2 = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out2 = sorted(
+        cusum_hourly_changepoints(events2).collect(), key=lambda r: r.window_start
+    )
+    s, expect2 = 0, []
+    for x in rev:
+        s = max(0, s + (n * x - total))
+        expect2.append(s)
+    assert [r.cusum_scaled for r in out2] == expect2
+    assert expect2[0] > 0  # the case the old identity got wrong
 
 
 def test_audio_spectrum_finds_planted_tone(spark):

@@ -41,21 +41,43 @@ def test_encode_word_applies_merges_in_rank_order():
 
 
 def test_first_merge_matches_distributed_pair_counts(spark, sf_dir):
-    """The fit's first merge (eow=False) must be the argmax of the
-    distributed pair-count statistic — ties broken identically."""
+    """The fit's first merge must be the argmax of the distributed
+    pair-count statistic — for BOTH eow variants, ties broken
+    identically. (eow=True is the default pair the real fit consumes:
+    it includes (char, '</w>') pairs and 1-letter words.)"""
     docs = load_table(spark, sf_dir, "documents")
-    top = (
-        adjacent_pair_counts(docs)
-        .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc())
-        .limit(1)
-        .collect()[0]
-    )
     wf = [
         (r["word"], r["freq"])
         for r in word_frequencies(docs).collect()
     ]
-    merges = bpe_fit(wf, n_merges=1, eow=False)
-    assert merges[0] == (top["lhs"], top["rhs"])
+    for eow in (True, False):
+        top = (
+            adjacent_pair_counts(docs, eow=eow)
+            .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges = bpe_fit(wf, n_merges=1, eow=eow)
+        assert merges[0] == (top["lhs"], top["rhs"]), f"eow={eow}"
+
+
+def test_pair_counts_eow_includes_end_of_word_pairs(spark):
+    """A 1-letter word contributes its (char, EOW) pair; raw-char pairs
+    are unchanged between the two variants."""
+    docs = spark.createDataFrame(
+        [(1, "a ab"), (2, "ab")], ["doc_id", "text"]
+    )
+    with_eow = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in adjacent_pair_counts(docs, eow=True).collect()
+    }
+    # words: 'a'×1, 'ab'×2 → pairs: ('a','b')×2, ('b',EOW)×2, ('a',EOW)×1
+    assert with_eow == {("a", "b"): 2, ("b", EOW): 2, ("a", EOW): 1}
+    without = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in adjacent_pair_counts(docs, eow=False).collect()
+    }
+    assert without == {("a", "b"): 2}
 
 
 def test_distributed_encode_matches_pure_python_twin(spark, sf_dir):
