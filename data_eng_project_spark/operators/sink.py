@@ -73,8 +73,18 @@ def write_jdbc_idempotent(
     try:
         existing = df.sparkSession.read.jdbc(url, table, properties=props).select(key)
         new = new.join(existing, on=key, how="left_anti")
-    except Exception:
-        pass  # table absent on first write
+    except Exception as e:  # noqa: BLE001 — filtered below
+        # Only "table does not exist" legitimately skips the anti-join
+        # (first write). Anything else — network drop, auth failure,
+        # permission error — MUST propagate: silently skipping the
+        # anti-join would append duplicates into the one sink whose
+        # contract is idempotency.
+        msg = str(e).lower()
+        if not any(
+            marker in msg
+            for marker in ("does not exist", "not found", "no such table", "undefined table")
+        ):
+            raise
     new.write.jdbc(url, table, mode="append", properties=props)
 
 
@@ -102,6 +112,58 @@ def write_bucketed_table(
     )
 
 
+def _parquet_files_recursive(path: str) -> list[str]:
+    """All data files under ``path``, including Hive-partitioned
+    ``key=value`` subdirectories — sizing from the top level only would
+    read a partitioned table as 0 bytes."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return out
+
+
+def _partition_columns(path: str) -> list[str]:
+    """Hive partition columns of a directory layout (outermost first),
+    discovered from the first ``key=value`` directory chain."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
+def _swap_directories(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp``, never deleting data before its
+    replacement is fully in place: the original is renamed aside, the
+    rewrite renamed in, and only then is the original removed. A crash
+    between the two renames leaves the full original intact under
+    ``<path>__pre_rewrite`` (recovery = rename it back); the old
+    rmtree-then-rename order had a window with NO copy on disk."""
+    import shutil
+
+    bak = path.rstrip("/") + "__pre_rewrite"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(bak, path)  # roll back; the rewrite dir is left for inspection
+        raise
+    shutil.rmtree(bak)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> tuple[int, int]:
@@ -112,27 +174,32 @@ def compact_parquet(
     small-file problem IS the read-performance problem. Returns
     (files_before, files_after).
 
-    The rewrite goes through a temp dir + atomic-ish rename so a crash
-    mid-compaction never leaves the table truncated.
+    Hive-partitioned layouts are preserved: partition columns are
+    rediscovered from the directory chain and the rewrite repartitions
+    on them (one task — hence ~one file — per partition value) instead
+    of flattening the table into unpartitioned files and destroying
+    pruning. Crash posture: see _swap_directories — no point in the
+    rewrite deletes data before its replacement is complete.
     """
     import math
-    import os
-    import shutil
 
-    files_before = [
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
-    ]
-    total_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in files_before)
+    files_before = _parquet_files_recursive(path)
+    total_bytes = sum(os.path.getsize(f) for f in files_before)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    part_cols = _partition_columns(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    files_after = [
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
-    ]
-    return len(files_before), len(files_after)
+    if part_cols:
+        (
+            df.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    _swap_directories(path, tmp)
+    return len(files_before), len(_parquet_files_recursive(path))
 
 
 def write_range_sorted(
@@ -236,27 +303,30 @@ def optimize_table(
     accreted small files back to ~target size and, when two cluster
     columns are given, lay the rewrite out Z-ordered so footer min/max
     prune on either column. One read + one write; returns
-    (files_before, files_after). Same crash posture as compact_parquet:
-    rewrite lands in a temp dir and renames over the original."""
+    (files_before, files_after). Same crash posture as compact_parquet
+    (_swap_directories: original preserved until the rewrite is fully
+    in place). Hive-partitioned layouts preserve their partitioning
+    (and ignore zorder_cols — Z-ordering within partitions is a
+    per-partition job, not a flatten)."""
     import math
-    import os
-    import shutil
 
-    files_before = [
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
-    ]
+    files_before = _parquet_files_recursive(path)
     if num_files is None:
-        total = sum(os.path.getsize(os.path.join(path, f)) for f in files_before)
+        total = sum(os.path.getsize(f) for f in files_before)
         num_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    part_cols = _partition_columns(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__optimizing"
-    if zorder_cols is not None:
+    if part_cols:
+        (
+            df.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    elif zorder_cols is not None:
         write_zorder(df, tmp, zorder_cols[0], zorder_cols[1], num_files=num_files)
     else:
         df.coalesce(num_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    files_after = [
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
-    ]
-    return len(files_before), len(files_after)
+    _swap_directories(path, tmp)
+    return len(files_before), len(_parquet_files_recursive(path))

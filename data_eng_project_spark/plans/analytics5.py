@@ -278,7 +278,6 @@ def locf_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value — the standard LOCF gap-fill, one window shuffle on the
     series key. Leading gaps (no prior observation) stay NULL on both
     engines."""
-    from pyspark.sql import Window
 
     prepare(spark)
     g = load_table(spark, sf_dir, "events").select(
@@ -460,7 +459,6 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's RANGE INTERVAL frame covers, including tie/peer-row
     semantics. One window shuffle on the series key; decimal sums keep
     the frame aggregate exact."""
-    from pyspark.sql import Window
 
     prepare(spark)
     w = (
@@ -511,7 +509,6 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation is what keeps a global-ordered window viable at
     scale. Cumulative and total sums stay decimal (exact) until the
     final share division."""
-    from pyspark.sql import Window
 
     prepare(spark)
     per_cust = (
@@ -1301,7 +1298,6 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized, not fact-sized — at 100 TB the orders scan is the
     cost and it is one partial-aggregable groupBy."""
     prepare(spark)
-    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     cu = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -1572,7 +1568,6 @@ def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, NULL on the first week of each series. The window runs on
     |weeks|×|types| rows, never the fact table."""
     prepare(spark)
-    from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
     w = events.groupBy(
@@ -1631,7 +1626,6 @@ def clv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable rollups; the cumulative window runs on the
     cohorts×months grid. Decimal revenue accumulation end to end."""
     prepare(spark)
-    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     fo = orders.groupBy("o_custkey").agg(

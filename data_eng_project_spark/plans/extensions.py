@@ -102,7 +102,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.streaming.windows import dedup_events_stream
 
     src = table_path(sf_dir, "events")
-    dup_dir = tempfile.mkdtemp(prefix="spark_graft_dup_events_")
+    # Deterministic per-sf staging dir, recreated on each run — mkdtemp
+    # minted a fresh two-copies-of-events dir per invocation and never
+    # removed it, accreting gigabytes across bench/test repetitions.
+    dup_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dup_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if os.path.exists(dup_dir):
+        shutil.rmtree(dup_dir)
+    os.makedirs(dup_dir)
     # The table may be a single parquet file (driver testdata) or a
     # Spark-written directory of part-files — duplicate either layout
     # into a flat dir of files.
@@ -446,14 +455,10 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch counts and ranked — the streaming half finds the candidates
     with bounded memory, the batch half certifies them. Top-20,
     deterministic tie-break."""
-    import uuid
-
-    from data_eng_project_spark.streaming.incremental import read_events_stream
     from data_eng_project_spark.streaming.stateful import (
         final_heavy_hitter_summaries,
         heavy_hitters_stream,
     )
-    from data_eng_project_spark.streaming.windows import run_available_now
     from data_eng_project_spark.tables import table_path
 
     prepare(spark)
@@ -501,7 +506,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT p.h AS window_start,
                CAST(sum(p.n_sm - 1) AS BIGINT) AS n_events,
-               round(CAST(sum(CAST((p.pr - bp.bpr) * ln(p.pr / bp.bpr)
+               round(CAST(sum(CAST(round((p.pr - bp.bpr) * ln(p.pr / bp.bpr), 12)
                                    AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
         FROM p JOIN bp USING (event_type)
         GROUP BY p.h
@@ -563,6 +568,13 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = base.crossJoin(F.broadcast(tb)).select(
         "event_type", (F.col("bn").cast("double") / F.col("tb")).alias("bpr")
     )
+    # PSI needs a transcendental (ln) — the one place the exactness
+    # discipline cannot be met literally: JVM Math.log and DuckDB's libm
+    # log are not guaranteed identically rounded. Mitigation: both
+    # engines round each TERM to 12 dp before the decimal sum, so a
+    # 1-ulp ln() divergence (~1e-16 relative) collapses unless the true
+    # term sits within an ulp of a 12-dp boundary — the residual risk is
+    # ~1e-6 per term instead of certain propagation into the sum.
     term = (F.col("pr") - F.col("bpr")) * F.log(F.col("pr") / F.col("bpr"))
     return (
         p.join(F.broadcast(bp), on="event_type")
@@ -570,7 +582,7 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("n_sm") - 1).cast("bigint").alias("n_events"),
             F.round(
-                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+                F.sum(F.round(term, 12).cast("decimal(38,18)")).cast("double"), 6
             ).alias("psi"),
         )
     )
@@ -600,7 +612,19 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="dedup_index_")
+    # Deterministic per-sf dir, recreated each run (same rationale as
+    # streaming_dedup_events: mkdtemp leaked an index + checkpoint per
+    # invocation).
+    import os
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dedup_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
     index_dir = f"{base}/index"
     stream_build_index(
         spark, table_path(sf_dir, "documents"), index_dir, f"{base}/ckpt"
@@ -635,13 +659,6 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_match_votes,
     )
 
-    # Payload-bearing Arrow stages: 10k-row default batches hold
-    # ~160 MB of PCM per task (16 KB/payload) — at 10× corpus that
-    # exhausts an 8 GB local heap before the fingerprints shrink it.
-    # 512-row batches cap in-flight buffers at ~8 MB/task; at cluster
-    # scale this is the executor-memory sizing knob for media columns.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     catalog = attach_melody_audio(docs)
     index_fps = audio_fingerprints(catalog)
@@ -651,7 +668,32 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _crop_audio_batches, schema="doc_id long, payload binary"
     )
     probe_fps = audio_fingerprints(probes)
-    return audio_match_votes(probe_fps, index_fps)
+    # Payload-bearing Arrow stages: 10k-row default batches hold
+    # ~160 MB of PCM per task (16 KB/payload) — at 10× corpus that
+    # exhausts an 8 GB local heap before the fingerprints shrink it.
+    # 512-row batches cap in-flight buffers at ~8 MB/task; at cluster
+    # scale this is the executor-memory sizing knob for media columns.
+    return _run_with_arrow_batch_cap(
+        spark, 512, audio_match_votes(probe_fps, index_fps)
+    )
+
+
+def _run_with_arrow_batch_cap(spark: SparkSession, cap: int, df: DataFrame) -> DataFrame:
+    """Execute ``df`` with a temporary Arrow max-batch-rows cap, then
+    RESTORE the session conf. The cap is read at execution time, so a
+    plain try/finally around a lazily-returned plan would restore it
+    before the query ever ran — instead the plan is materialized here
+    (eager localCheckpoint; these media queries produce small outputs)
+    while the cap holds, and later consumers read the checkpointed
+    blocks. Leaving the cap set would silently throttle every later
+    Arrow stage in the session to media-sized batches."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(cap))
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, old)
 
 
 def _crop_audio_batches(it):
@@ -693,6 +735,7 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Raw clips are ~70 KB each — cap Arrow batch rows so in-flight
     # payload buffers stay bounded (see audio_fingerprint_match note).
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return detect_scene_cuts(attach_scene_video(docs))
+    return _run_with_arrow_batch_cap(
+        spark, 256, detect_scene_cuts(attach_scene_video(docs))
+    )

@@ -53,12 +53,15 @@ _STATE_SCHEMA = StructType(
 def _update_profile(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    # last_us starts as None, not 0: a 0 sentinel would clamp pre-1970
+    # (negative epoch-µs) timestamps to 1970-01-01 and diverge from the
+    # batch twin's plain max(ts).
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
-        ts_us = (pdf["ts"].astype("int64") // 1000).max()  # ns → µs
-        last_us = max(last_us, int(ts_us))
+        ts_us = int((pdf["ts"].astype("int64") // 1000).max())  # ns → µs
+        last_us = ts_us if last_us is None else max(last_us, ts_us)
     state.update((n, total, last_us))
     yield pd.DataFrame(
         {
@@ -178,7 +181,6 @@ def final_heavy_hitter_summaries(emitted: DataFrame) -> DataFrame:
     converged Misra–Gries summary after the stream drains."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy(F.col("n_processed").desc())
     return (
         emitted.withColumn("_mx", F.max("n_processed").over(Window.partitionBy("shard")))
         .filter(F.col("n_processed") == F.col("_mx"))

@@ -130,7 +130,13 @@ def run_available_now(df: DataFrame, table_name: str, output_mode: str = "comple
     """Execute a streaming aggregation to completion (AvailableNow) into
     an in-memory sink and return the final result as a batch DataFrame.
     Stateful operators declared with update-mode semantics (e.g.
-    applyInPandasWithState) must pass ``output_mode='update'``."""
+    applyInPandasWithState) must pass ``output_mode='update'``.
+
+    The memory-sink temp view is dropped before returning (the result
+    rides on checkpointed blocks instead): callers mint unique table
+    names per run, so leaving the views registered would pin one full
+    result set in driver memory per invocation for the session's
+    lifetime."""
     query = (
         df.writeStream.format("memory")
         .queryName(table_name)
@@ -140,7 +146,9 @@ def run_available_now(df: DataFrame, table_name: str, output_mode: str = "comple
     )
     query.awaitTermination()
     spark = df.sparkSession
-    return spark.table(table_name)
+    out = spark.table(table_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(table_name)
+    return out
 
 
 def dedup_events_stream(

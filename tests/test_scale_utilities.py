@@ -75,6 +75,39 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     ).collect()[0][0] == before_sum
 
 
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    """Regression: compacting a Hive-partitioned table must keep the
+    key=value directory layout (partition pruning) instead of flattening
+    it to unpartitioned files — and must not size the table as 0 bytes
+    from a top-level-only listing."""
+    import os
+
+    from data_eng_project_spark.operators.sink import compact_parquet, write_partitioned
+    from data_eng_project_spark.tables import load_table
+
+    path = str(tmp_path / "part_table")
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "y", F.year("o_orderdate")
+    )
+    write_partitioned(src, path, ["y"])
+    # accrete small files inside each partition
+    for i in range(3):
+        src.filter(F.col("o_orderkey") % 17 == i).write.mode("append").partitionBy(
+            "y"
+        ).parquet(path)
+    years_before = {d for d in os.listdir(path) if d.startswith("y=")}
+    rows_before = spark.read.parquet(path).count()
+    compact_parquet(spark, path, target_file_mb=128)
+    years_after = {d for d in os.listdir(path) if d.startswith("y=")}
+    assert years_after == years_before  # layout preserved, not flattened
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before
+    assert "y" in after.columns
+    # no leftover rewrite/backup dirs
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__pre_rewrite")
+
+
 def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
     """The data-skipping layout: after write_range_sorted on o_orderdate,
     parquet footer min/max statistics of distinct files must not overlap
