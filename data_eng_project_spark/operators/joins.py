@@ -51,12 +51,50 @@ def union_with_discriminator(
 
 
 def upsert_anti_join(
-    new: DataFrame, existing: DataFrame, keys: str | list[str]
+    new: DataFrame,
+    existing: DataFrame,
+    keys: str | list[str],
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """INSERT ... ON CONFLICT DO NOTHING as a dataflow (reference J4/S14):
-    dedup new rows on the key, then keep only keys absent from existing."""
+    dedup new rows on the key, then keep only keys absent from existing.
+
+    The within-key dedup is DETERMINISTIC (same discipline as
+    plans/parity.dedup_first_wins): ``dropDuplicates`` keeps a
+    partition-order-dependent survivor, so two runs over identically
+    keyed rows with different payloads could upsert different payloads.
+    Survivor = first row by ``order_by`` (ascending, nulls first), or by
+    all non-key columns when omitted — exact duplicates then tie
+    harmlessly. Non-orderable payload types (maps) need an explicit
+    ``order_by``."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    return new.dropDuplicates(key_list).join(existing, on=key_list, how="left_anti")
+    return deterministic_dedup(new, key_list, order_by).join(
+        existing, on=key_list, how="left_anti"
+    )
+
+
+def deterministic_dedup(
+    df: DataFrame, keys: list[str], order_by: str | list[str] | None = None
+) -> DataFrame:
+    """One survivor per key with a DETERMINISTIC choice (first by
+    ``order_by`` asc-nulls-first, default all non-key columns) — the
+    replacement for ``dropDuplicates`` wherever the surviving payload is
+    observable output (upserts, idempotent sinks): dropDuplicates keeps
+    whichever row a partition happens to deliver first."""
+    from pyspark.sql import Window
+
+    if order_by is None:
+        order_cols = [c for c in df.columns if c not in keys]
+    else:
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(
+        *([F.col(c).asc_nulls_first() for c in order_cols] or [F.lit(1)])
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

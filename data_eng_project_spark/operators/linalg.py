@@ -71,18 +71,7 @@ def fit_pca(
     """Fit PCA from the one-pass moment statistic: returns
     (mean[d], components[k,d], eigenvalues[k]) — eigenvalues sorted
     descending, eigenvector signs canonicalized."""
-    rows = moment_partials(df, vec_col).collect()
-    if not rows:
-        raise ValueError("fit_pca: empty input")
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["s"])
-    s = np.zeros(d)
-    m = np.zeros((d, d))
-    for r in rows:  # summed driver-side in deterministic row order
-        s += np.asarray(r["s"])
-        m += np.asarray(r["m"]).reshape(d, d)
-    mean = s / n
-    cov = m / n - np.outer(mean, mean)
+    _, mean, cov = _summed_moments(df, vec_col)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # (k, d)
@@ -124,17 +113,22 @@ def project(
             p = x @ w
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
 
+    # id schema derived from the input — a string/int32 id must
+    # round-trip with its real type, not a hardcoded long.
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        batches, schema=f"{id_col} long, {out_col} array<double>"
+        batches, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
 
 
-def pca_variance_report(
-    df: DataFrame, vec_col: str = "embedding", k: int = 8
-) -> DataFrame:
-    """(component, eigenvalue, explained_pct, cumulative_pct) — the scree
-    table. Distributed moment pass + driver eigh; result is k rows."""
+def _summed_moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """Collect + sum the partition moment partials (deterministic row
+    order) into (n, mean[d], cov[d,d]). Shared by fit_pca and
+    pca_variance_report; raises on empty input — a covariance of
+    nothing has no defensible value."""
     rows = moment_partials(df, vec_col).collect()
+    if not rows:
+        raise ValueError("empty input: no vectors to aggregate moments over")
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.zeros(d)
@@ -144,23 +138,40 @@ def pca_variance_report(
         m += np.asarray(r["m"]).reshape(d, d)
     mean = s / n
     cov = m / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_variance_report(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> DataFrame:
+    """(component, eigenvalue, explained_pct, cumulative_pct) — the scree
+    table. Distributed moment pass + driver eigh; result is k rows.
+    Zero total variance (all vectors identical) reports 0.0 explained
+    percentages rather than dividing by zero."""
+    _, _, cov = _summed_moments(df, vec_col)
+    d = cov.shape[0]
     evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
-    total = float(evals.sum())
+    total = float(np.maximum(evals, 0.0).sum())
     out = []
     cum = 0.0
     for i in range(min(k, d)):
         ev = float(max(evals[i], 0.0))
         cum += ev
-        out.append((i + 1, round(ev, 6), round(ev / total, 6), round(cum / total, 6)))
+        out.append(
+            (
+                i + 1,
+                round(ev, 6),
+                round(ev / total, 6) if total > 0 else 0.0,
+                round(cum / total, 6) if total > 0 else 0.0,
+            )
+        )
     spark = df.sparkSession
     return spark.createDataFrame(
         out, schema="component int, eigenvalue double, explained_pct double, cumulative_pct double"
     )
 
 
-def embedding_health_report(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
+def embedding_health_report(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension embedding QA: count, mean, std, min/max, exact-zero
     fraction, and a near-constant flag per coordinate — the screen a
     pipeline runs before trusting a new embedding model's output

@@ -29,7 +29,13 @@ def dq_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     Returns (rule, n_rows, n_violations, violation_rate) — a rule's
     violations are rows where its predicate is FALSE or NULL (an
     expectation that cannot be evaluated is a violation, not a pass).
+    An empty rules dict returns an EMPTY report (not None — callers
+    union/show the result); an empty table reports violation_rate 0.0
+    (no rows, no violations) rather than a NULL 0/0.
     """
+    schema = "rule string, n_rows bigint, n_violations bigint, violation_rate double"
+    if not rules:
+        return df.sparkSession.createDataFrame([], schema)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in rules.items():
         aggs.append(
@@ -41,8 +47,10 @@ def dq_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         one = wide.select(
             F.lit(name).alias("rule"),
             F.col("_n").cast("bigint").alias("n_rows"),
-            F.col(f"_v_{name}").alias("n_violations"),
-            F.round(F.col(f"_v_{name}") / F.col("_n"), 6).alias("violation_rate"),
+            F.coalesce(F.col(f"_v_{name}"), F.lit(0)).alias("n_violations"),
+            F.coalesce(
+                F.round(F.col(f"_v_{name}") / F.col("_n"), 6), F.lit(0.0)
+            ).alias("violation_rate"),
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows

@@ -32,8 +32,10 @@ def write_idempotent(
     Append-only fact semantics ("You can only die once",
     reference docs/Report.md:77).
     """
+    from data_eng_project_spark.operators.joins import deterministic_dedup
+
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    fresh = df.dropDuplicates(key_list)
+    fresh = deterministic_dedup(df, key_list)
     if _exists(path):
         existing = spark.read.parquet(path).select(*key_list)
         fresh = fresh.join(existing, on=key_list, how="left_anti")
@@ -68,8 +70,10 @@ def write_jdbc_idempotent(
     Untestable in this container (no database); exercised structurally
     via the parquet twin, which shares the dedup/anti-join path.
     """
+    from data_eng_project_spark.operators.joins import deterministic_dedup
+
     props = properties or {}
-    new = df.dropDuplicates([key])
+    new = deterministic_dedup(df, [key])
     try:
         existing = df.sparkSession.read.jdbc(url, table, properties=props).select(key)
         new = new.join(existing, on=key, how="left_anti")

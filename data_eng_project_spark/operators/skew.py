@@ -29,7 +29,21 @@ def salted_join(
     row modulo N — no rand(), so retries/speculative tasks agree);
     small is exploded across all N salts. The join key becomes
     (key, salt), distributing a hot key over N partitions.
+
+    Only ``inner`` and ``left`` preserve the unsalted join's semantics:
+    the big side keeps one salt per row (so its unmatched rows emit
+    exactly once under 'left'), but each SMALL row exists in N salted
+    copies — a 'right'/'full' join would null-extend every unmatched
+    copy and multiply the small side's unmatched output N×. Those modes
+    are rejected rather than silently wrong; put the preserved side on
+    the big (salted-once) side instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"small side is replicated {num_salts}x, so right/full would "
+            "emit each unmatched small row once per salt copy"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

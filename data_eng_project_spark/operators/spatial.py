@@ -15,7 +15,9 @@ unusable at scale. Scale form (this module): grid-cell bucketing.
    at the highest latitude in the data (points are constrained to
    |lat| ≤ 60° by functions.geo.derive_lat; pass ``max_abs_lat_deg`` for
    other data).
-2. Explode each *site* into its 3×3 neighborhood of cells.
+2. Explode each *site* into its 3×3 neighborhood of cells; longitude
+   cells live on a ring (uniform width ≥ the required cell size) so
+   neighborhoods wrap correctly across the ±180° antimeridian.
 3. Equi-join points to exploded sites on the cell key — a plain shuffle
    (or broadcast, when the site side is small — Catalyst/AQE decides)
    hash join that scales linearly instead of quadratically.
@@ -66,18 +68,46 @@ def near_join(
     slat, slon = site_coords
     lat_cell, lon_cell = cell_sizes_deg(radius_km, max_abs_lat_deg)
 
+    # Longitude wraps at ±180°, so lon cells are laid out on a RING:
+    # N uniform cells of width 360/N ≥ lon_cell (N = floor(360/cell) —
+    # rounding the count DOWN keeps every cell at least lon_cell wide,
+    # preserving the one-cell-apart guarantee across the seam; a
+    # non-uniform last cell would let within-radius pairs near the seam
+    # land two cells apart). Unwrapped floor() indexing put
+    # lon=179.9 and lon=−179.9 ~67 cells apart and silently dropped
+    # antimeridian-straddling pairs that the exact haversine (and the
+    # brute-force oracle) include. Latitude does not wrap.
+    n_lon = max(1, int(360.0 // lon_cell))
+    lon_width = 360.0 / n_lon
+
+    def _lon_cell(c: str) -> F.Column:
+        # +180 shifts the domain to [0, 360]; pmod folds the lon=180
+        # edge (cell N) back onto cell 0 ≡ −180.
+        return F.pmod(F.floor((F.col(c) + 180.0) / lon_width), F.lit(n_lon))
+
     p = points.withColumn("_cell_lat", F.floor(F.col(plat) / lat_cell)).withColumn(
-        "_cell_lon", F.floor(F.col(plon) / lon_cell)
+        "_cell_lon", _lon_cell(plon)
     )
     offsets = F.array([F.lit(d) for d in (-1, 0, 1)])
     s = (
         sites.withColumn("_s_cell_lat", F.floor(F.col(slat) / lat_cell))
-        .withColumn("_s_cell_lon", F.floor(F.col(slon) / lon_cell))
+        .withColumn("_s_cell_lon", _lon_cell(slon))
         .withColumn("_dlat", F.explode(offsets))
-        .withColumn("_dlon", F.explode(offsets))
+        # distinct: on a ring with ≤3 cells the ±1 neighbors coincide,
+        # and duplicate candidate cells would duplicate output rows.
+        .withColumn(
+            "_cell_lon",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        offsets,
+                        lambda d: F.pmod(F.col("_s_cell_lon") + d, F.lit(n_lon)),
+                    )
+                )
+            ),
+        )
         .withColumn("_cell_lat", F.col("_s_cell_lat") + F.col("_dlat"))
-        .withColumn("_cell_lon", F.col("_s_cell_lon") + F.col("_dlon"))
-        .drop("_s_cell_lat", "_s_cell_lon", "_dlat", "_dlon")
+        .drop("_s_cell_lat", "_s_cell_lon", "_dlat")
     )
     joined = p.join(s, on=["_cell_lat", "_cell_lon"], how="inner")
     dist = haversine_km(plat, plon, slat, slon)

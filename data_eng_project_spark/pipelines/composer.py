@@ -68,18 +68,18 @@ def _dedup_exact(df: DataFrame) -> DataFrame:
 @stage("pii_redact")
 def _pii_redact(df: DataFrame) -> DataFrame:
     """Rewrite text with emails/phones/IPv4s replaced by category tags
-    (transform stage — same regexes as operators/curation.pii_scan)."""
+    (transform stage — imports the SAME regex constants as
+    operators/curation.pii_scan so the scan's hit counts and this
+    redaction can never drift apart)."""
+    from data_eng_project_spark.operators.curation import PII_EMAIL, PII_IPV4, PII_PHONE
+
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(
-                F.col("text"),
-                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-                "[EMAIL]",
-            ),
-            r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
             "[PHONE]",
         ),
-        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        PII_IPV4,
         "[IP]",
     )
     return df.withColumn("text", redacted)

@@ -283,7 +283,7 @@ def validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_field_extract",
     oracle="""
         SELECT event_id,
-               CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k_value
+               TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k_value
         FROM events
     """,
     tags=("parity", "F7"),

@@ -53,16 +53,24 @@ def fetch_url(
     offline-fixture path the tests use.
     """
     last_err: Exception | None = None
+    # Land atomically: stream to a .part sibling and os.replace() on
+    # success, so a mid-stream failure never leaves a truncated file at
+    # the final destination for directory-scanning consumers (ledger
+    # discovery, spark.read globs) to ingest as if complete.
+    part = dest_path + ".part"
     for attempt in range(retries + 1):
         try:
             with urllib.request.urlopen(url, timeout=timeout_s) as resp:
                 os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
-                with open(dest_path, "wb") as out:
+                with open(part, "wb") as out:
                     while chunk := resp.read(1 << 20):
                         out.write(chunk)
+            os.replace(part, dest_path)
             return dest_path
         except (urllib.error.URLError, OSError) as e:  # noqa: PERF203
             last_err = e
+            if os.path.exists(part):
+                os.remove(part)
             if attempt < retries:
                 time.sleep(retry_delay_s)
     raise OSError(f"fetch failed after {retries + 1} attempts: {url}") from last_err
@@ -119,8 +127,18 @@ def download_resources(
     rows = df.select("latest", "title").collect()
     os.makedirs(dest_dir, exist_ok=True)
     out: list[str] = []
-    for r in rows:
-        name = os.path.basename(urlparse(r["latest"]).path) or r["title"]
+    seen: set[str] = set()
+    for i, r in enumerate(rows):
+        # Unique, sandboxed filenames: URL basenames collide for
+        # '.../res/<id>/download'-shaped APIs (every resource ends in
+        # 'download' and the later fetch would silently overwrite the
+        # earlier), and a '/' in a title fallback would escape dest_dir
+        # — so sanitize, and prefix the ordinal on any repeat.
+        raw = os.path.basename(urlparse(r["latest"]).path) or r["title"] or "resource"
+        name = "".join(c if c.isalnum() or c in "._-" else "_" for c in raw)
+        if name in seen:
+            name = f"{i:04d}_{name}"
+        seen.add(name)
         dest = os.path.join(dest_dir, name)
         fetch_url(r["latest"], dest, retries=retries, retry_delay_s=retry_delay_s)
         out.append(dest)

@@ -155,3 +155,39 @@ def test_blocked_hard_negatives_null_labels_match_exact(spark, sf_dir):
     assert null_ids  # fixture actually has null labels
     assert not ({r["qid"] for r in blocked_rows} & null_ids)
     assert not ({r["cid"] for r in blocked_rows} & null_ids)
+
+
+def test_pca_report_guards_empty_and_zero_variance(spark):
+    """Regression: empty input raises a clear ValueError (not
+    IndexError); identical vectors (zero total variance) report 0.0
+    explained pct instead of dividing by zero."""
+    import pytest
+
+    from data_eng_project_spark.operators.linalg import pca_variance_report
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        pca_variance_report(empty).collect()
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    rows = pca_variance_report(same, k=2).collect()
+    assert all(r.explained_pct == 0.0 and r.cumulative_pct == 0.0 for r in rows)
+
+
+def test_project_preserves_string_id_type(spark):
+    """Regression: project() declared '{id_col} long' regardless of the
+    real id type — a string doc id must round-trip."""
+    import numpy as np
+
+    from data_eng_project_spark.operators.linalg import fit_pca, project
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", [float(i), float(i % 3), 1.0]) for i in range(10)],
+        "doc_id string, embedding array<double>",
+    )
+    mean, comps, _ = fit_pca(df, k=2)
+    out = project(df, mean, comps, id_col="doc_id").collect()
+    assert {r.doc_id for r in out} == {f"doc{i}" for i in range(10)}
+    assert all(len(r.pc) == 2 for r in out)

@@ -108,6 +108,19 @@ def test_near_join_equals_brute_force(spark):
     assert fast == brute and len(brute) > 0
 
 
+def test_near_join_wraps_antimeridian(spark):
+    """Regression: a within-radius pair straddling ±180° — unwrapped
+    floor() cells put the two sides ~67 cells apart and dropped the
+    pair; the ring-wrapped cells must keep it."""
+    points = spark.createDataFrame([(1, 0.0, 179.9)], "pid long, lat double, lon double")
+    sites = spark.createDataFrame(
+        [(10, 0.0, -179.9)], "sid long, site_lat double, site_lon double"
+    )
+    out = near_join(points, sites, radius_km=50.0).collect()
+    assert [(r.pid, r.sid) for r in out] == [(1, 10)]
+    assert out[0].dist_km < 30.0  # ~22 km wrapped, not ~39,978 km unwrapped
+
+
 # ------------------------------------------------------------------ dedup
 
 @pytest.fixture(scope="module")
@@ -1271,3 +1284,33 @@ def test_asof_ties_pick_deterministic_payload(spark):
             left, fwd, on="k", left_ts="ts", right_ts="rts", payload_cols=["p"]
         ).collect()
         assert [r["next_p"] for r in got_f] == ["a"]
+
+
+def test_upsert_anti_join_deterministic_survivor(spark):
+    """Regression: dropDuplicates kept a partition-order-dependent row;
+    the upsert must pick the same survivor on every run (first by the
+    non-key payload ordering)."""
+    from data_eng_project_spark.operators.joins import upsert_anti_join
+
+    new = spark.createDataFrame(
+        [(1, 20.0), (1, 10.0), (2, 5.0)], "k long, price double"
+    ).repartition(8)
+    existing = spark.createDataFrame([(2, 1.0)], "k long, price double")
+    for _ in range(3):
+        rows = {r.k: r.price for r in upsert_anti_join(new, existing, "k").collect()}
+        assert rows == {1: 10.0}  # smallest payload, deterministically
+
+
+def test_dq_report_empty_rules_and_empty_table(spark):
+    """Regression: zero rules returns an empty report (not None); an
+    empty table reports rate 0.0, not NULL."""
+    from data_eng_project_spark.operators.quality import dq_report
+
+    df = spark.createDataFrame([(1,)], "v long")
+    empty_report = dq_report(df, {})
+    assert empty_report.count() == 0
+    assert empty_report.columns == ["rule", "n_rows", "n_violations", "violation_rate"]
+
+    empty_df = spark.createDataFrame([], "v long")
+    row = dq_report(empty_df, {"v_pos": F.col("v") > 0}).collect()[0]
+    assert (row.n_rows, row.n_violations, row.violation_rate) == (0, 0, 0.0)

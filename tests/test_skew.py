@@ -155,3 +155,21 @@ def test_salted_join_beats_naive_smj_critical_path(spark, skew_tables, no_broadc
     assert salted_rows.keys() == naive_rows.keys()
     for g in naive_rows:
         assert abs(salted_rows[g] - naive_rows[g]) < 1e-6 * max(1.0, abs(naive_rows[g]))
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Regression: the small side exists in num_salts copies, so
+    right/full joins would emit each unmatched small row once per copy
+    — the operator must refuse rather than silently multiply output."""
+    import pytest
+
+    from data_eng_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", how=how)
+    # supported modes still work
+    assert salted_join(big, small, on="k", how="inner").count() == 1
+    assert salted_join(big, small, on="k", how="left").count() == 1
