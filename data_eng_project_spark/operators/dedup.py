@@ -157,10 +157,12 @@ def ngram_jaccard_pairs(
       suffix while the other side holds them in its prefix — e.g. a
       short doc fully contained in a longer one — and that bound
       silently dropped true pairs.) On low-entropy corpora (many
-      moderately-shared shingles) this is the filter that matters: on a
-      10×-replica stress corpus (tools/scale_probe.py) it cut 32.35M
-      prefix-join candidates to ~250k true pairs, taking the
-      end-to-end join from 78s to 20s.
+      moderately-shared shingles) this is the filter that matters:
+      on a 10×-replica stress corpus (tools/scale_probe.py; 50k docs =
+      1.25B naive pairs) prefix+length pruning admits 32.35M candidate
+      pairs and the positional filter cuts them to 12.46M (~1% of
+      naive) ahead of exact verification (250,600 true pairs; 17 s
+      end-to-end, vs 78 s with no count-stage pruning).
 
     Survivors then get an exact intersection (array_intersect on the
     cached per-doc sets) — the prunings admit no false negatives, so the
