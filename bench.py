@@ -50,7 +50,6 @@ def main() -> None:
     #    stage of a session forks one worker per core, ~5-10 s of one-time
     #    process startup that would otherwise be billed to whichever
     #    query happens to run first.
-    import pandas as _pd
 
     def _ident(it):
         for pdf in it:

@@ -58,7 +58,9 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sites(spark: SparkSession, sf_dir: str) -> DataFrame:
-    site_key = F.col("s_suppkey") * 13 + 5
+    # One source of truth with the oracle: the decorrelation constants
+    # live only in _SITE_KEY.
+    site_key = F.expr(_SITE_KEY)
     return load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",

@@ -52,7 +52,7 @@ K_ANON = 10
         ), pass2 AS (
             SELECT '*' AS nation_q, '*' AS segment_q, '*' AS band_q,
                    n, 2 AS anon_level
-            FROM rest1 WHERE n > 0
+            FROM rest1 WHERE n >= {K_ANON}
         )
         SELECT nation_q, segment_q, band_q, n, CAST(anon_level AS BIGINT) AS anon_level
         FROM (
@@ -68,8 +68,10 @@ def kanonymize_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, market segment, account-balance band): groups ≥ k publish
     as-is (level 0); failing groups generalize the finest attribute away
     (level 1); still-failing mass collapses to one fully-suppressed row
-    (level 2). Three grouped counts, no Python; the k-invariant is in
-    the oracle, so the driver certifies the release property itself."""
+    (level 2) — which itself publishes only when it reaches k (a sub-k
+    residual is dropped, never released). Three grouped counts, no
+    Python; the k-invariant is in the oracle, so the driver certifies
+    the release property itself."""
     prepare(spark)
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
@@ -95,8 +97,13 @@ def kanonymize_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint").alias("anon_level"),
         )
     )
+    # The fully-suppressed residual publishes ONLY if it itself reaches
+    # k — a residual mass of 1..k-1 is dropped outright, otherwise the
+    # release would contain a row with n < k and the documented
+    # invariant (every published row has n ≥ k) would be violated by
+    # the very row meant to enforce it.
     rest1 = g1.filter(F.col("n") < K_ANON).agg(F.sum("n").alias("n")).filter(
-        F.col("n") > 0
+        F.col("n") >= K_ANON
     )
     pass2 = rest1.select(
         F.lit("*").alias("nation_q"),

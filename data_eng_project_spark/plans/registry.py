@@ -26,6 +26,10 @@ def register(
     name: str, oracle: str | None, headline: bool = False, tags: tuple[str, ...] = ()
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            # A silent overwrite would drop the earlier query from the
+            # graded/audited surface invisibly — collisions must be loud.
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, tags=tags)
         return fn
 

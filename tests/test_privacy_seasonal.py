@@ -12,14 +12,18 @@ def test_kanon_every_published_group_meets_k(spark, sf_dir):
     rel = REGISTRY["kanonymize_customer_release"].fn(spark, sf_dir)
     rows = rel.collect()
     assert rows
+    # The invariant holds for EVERY published row, including the
+    # level-2 fully-suppressed residual (a sub-k residual is dropped,
+    # never published with n < k).
     for r in rows:
-        if r["anon_level"] < 2:
-            assert r["n"] >= K_ANON, r
-    # total preserved: sum over release == customer count
+        assert r["n"] >= K_ANON, r
+    # Mass accounting: everything is published except at most one
+    # dropped sub-k residual (0..k-1 individuals).
     total = sum(r["n"] for r in rows)
     from data_eng_project_spark.tables import load_table
 
-    assert total == load_table(spark, sf_dir, "customer").count()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert 0 <= n_customers - total < K_ANON
     # generalized rows use the suppression marker consistently
     for r in rows:
         if r["anon_level"] == 1:

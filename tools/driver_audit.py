@@ -12,7 +12,10 @@ and fetched DuckDB timestamps pre-truncated, so it could not see any of it.
 
 This tool is the strict local mirror:
 
-1. **Schema risk scan** (fast, no jobs): flags any registry query whose
+1. **Schema risk scan** (no per-row comparison; NB not free — building
+   some DataFrames executes driver-side fits, e.g. the BPE and PCA
+   entries run their distributed fit just to expose a schema): flags
+   any registry query whose
    final Spark schema contains a type class the round-1 driver did not
    certify green — DecimalType anywhere, TimestampType/TimestampNTZType
    (unless every collected value is hour-aligned, which r1 certified via
@@ -39,6 +42,15 @@ import math
 import os
 import sys
 import time
+
+# PySpark's collect() materializes TimestampType via the PROCESS-local
+# timezone (datetime.fromtimestamp), not spark.sql.session.timeZone —
+# on a non-UTC host every collected timestamp would shift against
+# DuckDB's stored-UTC values and all timestamp queries would FAIL
+# spuriously. Pin the process to UTC before anything collects.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -78,9 +90,14 @@ def risky_fields(schema: T.StructType) -> list[tuple[str, str, str]]:
 
 
 def _canon(v):
-    """Canonical scalar — deliberately scale/representation-sensitive."""
+    """Canonical scalar — deliberately scale/representation-sensitive.
+
+    None maps to a tagged tuple (not bare None) so mixed NULL/non-NULL
+    columns stay sortable when earlier sort-key columns tie — sorted()
+    over rows would otherwise raise TypeError comparing None to a
+    tuple, reporting a correct query as EXCEPTION."""
     if v is None:
-        return None
+        return ("\x00none", "")
     if isinstance(v, _dec.Decimal):
         return ("dec", str(v))  # '4050706.285400' != '4050706.2854'
     if isinstance(v, float):

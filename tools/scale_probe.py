@@ -59,7 +59,26 @@ def build(spark, src_dir: str, out_dir: str, n: int) -> None:
         else:
             out = df  # dimensions stay fixed — realistic star-schema growth
         out.write.mode("overwrite").parquet(table_path(out_dir, name))
-        print(f"built {name}: {out.count()} rows")
+        # count from the WRITTEN parquet (footer metadata) — counting
+        # `out` would re-evaluate the whole N-way union a second time.
+        n_rows = spark.read.parquet(table_path(out_dir, name)).count()
+        print(f"built {name}: {n_rows} rows")
+    # Completion marker, recording N: a build interrupted mid-way (or an
+    # out_dir built for a different N) must trigger a rebuild, not be
+    # silently reused — testing one table's existence could pass while
+    # later tables are missing or every table holds the wrong replica
+    # count.
+    with open(os.path.join(out_dir, "_BUILD_COMPLETE"), "w") as f:
+        f.write(str(n))
+
+
+def _build_is_complete(out_dir: str, n: int) -> bool:
+    marker = os.path.join(out_dir, "_BUILD_COMPLETE")
+    try:
+        with open(marker) as f:
+            return int(f.read().strip()) == n
+    except (OSError, ValueError):
+        return False
 
 
 def main() -> None:
@@ -68,7 +87,7 @@ def main() -> None:
     src_dir = "/root/testdata/sf0.1"
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(table_path(out_dir, "lineitem")):
+    if not _build_is_complete(out_dir, n):
         build(spark, src_dir, out_dir, n)
 
     headline = [s for s in REGISTRY.values() if s.headline]
