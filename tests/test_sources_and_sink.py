@@ -209,3 +209,60 @@ def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
     rows = {r.id: r.b_added for r in df.collect()}
     assert all(rows[i] is None for i in range(5))
     assert all(rows[i] == str(i) for i in range(5, 10))
+
+
+def test_download_resources_uniquifies_colliding_basenames(spark, tmp_path):
+    """Regression: two resources whose URLs share a basename (the
+    '.../res/<id>/download' API shape) must land as distinct files,
+    not silently overwrite each other."""
+    from data_eng_project_spark.sources.http_ingest import download_resources
+
+    payloads = tmp_path / "remote"
+    payloads.mkdir()
+    (payloads / "a").mkdir()
+    (payloads / "b").mkdir()
+    (payloads / "a" / "download").write_text("k;v\n1;one\n")
+    (payloads / "b" / "download").write_text("k;v\n2;two\n")
+    res = spark.createDataFrame(
+        [
+            ("csv", (payloads / "a" / "download").as_uri(), "res a"),
+            ("csv", (payloads / "b" / "download").as_uri(), "res b"),
+        ],
+        "format string, latest string, title string",
+    )
+    landed = download_resources(res, str(tmp_path / "ingest"), fmt="csv", retries=0)
+    assert len(landed) == 2
+    assert len(set(landed)) == 2  # distinct paths
+    contents = sorted(open(p).read() for p in landed)
+    assert contents == ["k;v\n1;one\n", "k;v\n2;two\n"]  # both payloads intact
+    # no stray .part files left behind
+    assert not [f for f in os.listdir(tmp_path / "ingest") if f.endswith(".part")]
+
+
+def test_register_rejects_duplicate_names():
+    """Regression: a name collision must be loud, not a silent drop of
+    the earlier query from the graded surface."""
+    from data_eng_project_spark.plans.registry import REGISTRY, register
+
+    name = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register(name, oracle=None)(lambda spark, sf_dir: None)
+
+
+def test_run_available_now_leaves_no_temp_view(spark, tmp_path):
+    """Regression: the memory-sink temp views (one unique name per run)
+    must not accumulate in the catalog for the session lifetime."""
+    import uuid
+
+    from data_eng_project_spark.streaming.incremental import read_events_stream
+    from data_eng_project_spark.streaming.windows import (
+        hourly_counts_stream,
+        run_available_now,
+    )
+    from data_eng_project_spark.tables import table_path
+
+    name = f"mem_probe_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, table_path("/root/testdata/sf0.001", "events"))
+    out = run_available_now(hourly_counts_stream(stream), name)
+    assert out.count() > 0  # result survives the view drop (checkpointed)
+    assert not any(t.name == name for t in spark.catalog.listTables())
