@@ -74,21 +74,29 @@ def write_jdbc_idempotent(
 
     props = properties or {}
     new = deterministic_dedup(df, [key])
+    # Two explicit probes instead of exception-message classification
+    # (ADVICE r4: "not found" substrings also match ClassNotFoundException
+    # for a missing JDBC driver or a key-column mismatch, while localized
+    # messages match nothing):
+    #   1. connectivity probe — SELECT 1, no table referenced. A failure
+    #      here is a driver/network/auth problem and MUST propagate:
+    #      silently skipping the anti-join would append duplicates into
+    #      the one sink whose contract is idempotency.
+    #   2. table probe — LIMIT-0 scan of the target. Failing only this,
+    #      with connectivity proven, is the legitimate first-write case.
+    reader = df.sparkSession.read.format("jdbc").option("url", url)
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    reader.option("query", "SELECT 1 AS probe").load().collect()
     try:
+        reader.option("query", f"SELECT * FROM {table} WHERE 1=0").load()
+    except Exception:  # noqa: BLE001 — connectivity already proven above
+        table_exists = False
+    else:
+        table_exists = True
+    if table_exists:
         existing = df.sparkSession.read.jdbc(url, table, properties=props).select(key)
         new = new.join(existing, on=key, how="left_anti")
-    except Exception as e:  # noqa: BLE001 — filtered below
-        # Only "table does not exist" legitimately skips the anti-join
-        # (first write). Anything else — network drop, auth failure,
-        # permission error — MUST propagate: silently skipping the
-        # anti-join would append duplicates into the one sink whose
-        # contract is idempotency.
-        msg = str(e).lower()
-        if not any(
-            marker in msg
-            for marker in ("does not exist", "not found", "no such table", "undefined table")
-        ):
-            raise
     new.write.jdbc(url, table, mode="append", properties=props)
 
 
@@ -178,32 +186,85 @@ def compact_parquet(
     small-file problem IS the read-performance problem. Returns
     (files_before, files_after).
 
-    Hive-partitioned layouts are preserved: partition columns are
-    rediscovered from the directory chain and the rewrite repartitions
-    on them (one task — hence ~one file — per partition value) instead
-    of flattening the table into unpartitioned files and destroying
-    pruning. Crash posture: see _swap_directories — no point in the
-    rewrite deletes data before its replacement is complete.
+    Hive-partitioned layouts are preserved AND size-bounded: partition
+    columns are rediscovered from the directory chain, per-partition-value
+    byte sizes are measured from the files on disk, and the rewrite
+    repartitions on (partition cols, salt) where each value's salt
+    cardinality is ceil(partition_bytes / target_file_mb) — so a skewed
+    partition value splits into ~target-sized files instead of
+    re-accreting into a single multi-GB file that defeats the
+    compaction's read-size goal (ADVICE r4), while pruning is untouched.
+    Crash posture: see _swap_directories — no point in the rewrite
+    deletes data before its replacement is complete.
     """
     import math
 
+    from pyspark.sql import functions as F
+
     files_before = _parquet_files_recursive(path)
     total_bytes = sum(os.path.getsize(f) for f in files_before)
-    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
     part_cols = _partition_columns(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     if part_cols:
-        (
-            df.repartition(*part_cols)
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(tmp)
-        )
+        _rewrite_partitioned_sized(df, path, tmp, part_cols, files_before, target_bytes)
     else:
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     _swap_directories(path, tmp)
     return len(files_before), len(_parquet_files_recursive(path))
+
+
+def _rewrite_partitioned_sized(
+    df: DataFrame,
+    path: str,
+    tmp: str,
+    part_cols: list[str],
+    files_before: list[str],
+    target_bytes: int,
+) -> None:
+    """Partition-layout-preserving rewrite with per-value size control:
+    each partition value gets ceil(its bytes on disk / target_bytes) salt
+    buckets, so compaction caps file sizes inside skewed values instead
+    of re-accreting one file per value (ADVICE r4). Deterministic salt
+    (xxhash64 of the data columns), partition pruning untouched."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    sizes: dict[tuple, int] = {}
+    root = path.rstrip("/")
+    for f in files_before:
+        rel = os.path.relpath(f, root)
+        vals = tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep) if "=" in seg)
+        sizes[vals] = sizes.get(vals, 0) + os.path.getsize(f)
+    buckets = [
+        vals + (max(1, math.ceil(b / target_bytes)),) for vals, b in sizes.items()
+    ]
+    # Partition-directory values are strings; join on string casts.
+    nb = df.sparkSession.createDataFrame(
+        buckets, [f"_pv{i}" for i in range(len(part_cols))] + ["_nb"]
+    )
+    cond = None
+    for i, c in enumerate(part_cols):
+        eq = F.col(c).cast("string") == F.col(f"_pv{i}")
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(F.broadcast(nb), on=cond, how="left").drop(
+        *[f"_pv{i}" for i in range(len(part_cols))]
+    )
+    data_cols = [c for c in df.columns if c not in part_cols]
+    salted = joined.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*data_cols), F.coalesce(F.col("_nb"), F.lit(1))).cast("int"),
+    ).drop("_nb")
+    (
+        salted.repartition(*part_cols, "_salt")
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
 
 
 def write_range_sorted(
@@ -322,11 +383,8 @@ def optimize_table(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__optimizing"
     if part_cols:
-        (
-            df.repartition(*part_cols)
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(tmp)
+        _rewrite_partitioned_sized(
+            df, path, tmp, part_cols, files_before, target_file_mb * 1024 * 1024
         )
     elif zorder_cols is not None:
         write_zorder(df, tmp, zorder_cols[0], zorder_cols[1], num_files=num_files)

@@ -24,6 +24,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: "T.DataType") -> bool:
+    """Whether a type can appear in a window ORDER BY (maps cannot;
+    arrays/structs are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _tie_break_cols(
+    right: DataFrame, payload_cols: list[str], tie_break: list[str] | None
+):
+    """Sort keys appended after (_ts, _tag) for deterministic as-of
+    tie-breaks. Explicit ``tie_break`` columns win; otherwise the whole
+    _payload struct is used when orderable, else nothing (documented:
+    ties on (key, ts) with a non-orderable payload — e.g. a map column —
+    are nondeterministic unless the right side is pre-aggregated unique
+    or tie_break is passed). This keeps map-typed payloads executable
+    (ADVICE r4) instead of failing analysis on the struct ORDER BY."""
+    if tie_break is not None:
+        missing = [c for c in tie_break if c not in payload_cols]
+        if missing:
+            raise ValueError(f"tie_break columns not in payload_cols: {missing}")
+        return [F.col(f"_payload.{c}") for c in tie_break]
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
+    return [F.col("_payload")] if _orderable(payload_type) else []
 
 
 def asof_join(
@@ -34,6 +68,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     how: str = "left",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     ``right_ts <= left_ts`` for the same key (inclusive, backward as-of).
@@ -65,7 +100,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag", "_payload")
+        .orderBy("_ts", "_tag", *_tie_break_cols(right, payload_cols, tie_break))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(
@@ -73,9 +108,10 @@ def asof_join(
     )
     # Inner mode tests the _asof STRUCT (null ⟺ no matching right row),
     # not its first field — a matched right row whose first payload
-    # column is legitimately NULL is still a match. The _payload sort
-    # key makes ties on (key, ts) deterministic (largest payload wins
-    # for last()); pre-aggregated unique right sides are unaffected.
+    # column is legitimately NULL is still a match. Ties on (key, ts)
+    # break deterministically via _tie_break_cols (explicit tie_break
+    # list, else the whole payload struct when orderable; map payloads
+    # run without a payload sort key — see _tie_break_cols).
     matched = merged.filter(F.col("_tag") == 1)
     if how == "inner":
         matched = matched.filter(F.col("_asof").isNotNull())
@@ -382,6 +418,7 @@ def asof_join_forward(
     right_ts: str,
     payload_cols: list[str],
     how: str = "left",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Forward as-of: for each left row, the EARLIEST right row with
     ``right_ts >= left_ts`` for the same key — "what happened next"
@@ -408,7 +445,7 @@ def asof_join_forward(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag", "_payload")
+        .orderBy("_ts", "_tag", *_tie_break_cols(right, payload_cols, tie_break))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = r.unionByName(l).withColumn(

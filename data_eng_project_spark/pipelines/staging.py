@@ -14,9 +14,12 @@ pair list that is orders of magnitude smaller than the corpus.
 
 Mechanics
 - Stage files are keyed by (artifact kind, absolute source dir,
-  parameters, stage version): a different corpus or threshold is a
-  different artifact; bumping _STAGE_VERSION invalidates everything
-  after a semantic change to the underlying operator.
+  parameters, stage version, producing-operator source fingerprint):
+  a different corpus or threshold is a different artifact, and ANY
+  edit to the producing operator's code rotates the key — a semantic
+  change can never leave a stale artifact valid in a persistent
+  $SPARK_GRAFT_STAGE_DIR (ADVICE r4; the round-4 positional-filter
+  fix changed pair output under an unchanged key).
 - Writes are atomic: the job lands in a pid-suffixed temp dir which is
   then rename(2)d into place — a concurrent builder loses the race
   harmlessly and reads the winner's output.
@@ -31,13 +34,34 @@ Mechanics
 from __future__ import annotations
 
 import hashlib
+import inspect
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-_STAGE_VERSION = 1
+# Manual epoch for key-schema changes to *this* module. Semantic changes
+# to the staged OPERATORS invalidate keys automatically via
+# _op_fingerprint below — no human has to remember a bump.
+# (v2: retro-invalidates any artifact materialized before the round-4
+# PPJoin positional-filter soundness fix, which changed
+# ngram_jaccard_pairs output; pre-fix parquet under a persistent
+# $SPARK_GRAFT_STAGE_DIR must never be served as current.)
+_STAGE_VERSION = 2
+
+
+def _op_fingerprint(*ops) -> str:
+    """Digest of the staged operators' source code: any edit to the code
+    that produces a staged artifact yields a new stage key, so a semantic
+    change can never leave stale artifacts valid (the failure mode a
+    memory-dependent manual version constant allows). Comment-only edits
+    also rotate the key — a few seconds of rebuild, bought for the
+    guarantee."""
+    h = hashlib.md5()
+    for op in ops:
+        h.update(inspect.getsource(op).encode())
+    return h.hexdigest()[:12]
 
 
 def stage_root() -> str:
@@ -47,10 +71,16 @@ def stage_root() -> str:
     )
 
 
-def stage_path(kind: str, source_dir: str, **params) -> str:
+def stage_path(kind: str, source_dir: str, _ops: tuple = (), **params) -> str:
     key = hashlib.md5(
         repr(
-            (kind, os.path.abspath(source_dir), _STAGE_VERSION, sorted(params.items()))
+            (
+                kind,
+                os.path.abspath(source_dir),
+                _STAGE_VERSION,
+                _op_fingerprint(*_ops),
+                sorted(params.items()),
+            )
         ).encode()
     ).hexdigest()[:16]
     return os.path.join(stage_root(), f"{kind}-{key}.parquet")
@@ -75,6 +105,34 @@ def materialize_once(df: DataFrame, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def near_dup_pairs_path(sf_dir: str, n: int = 3, threshold: float = 0.5) -> str:
+    """Canonical stage location of the pair graph — keyed by the
+    producing operator's source fingerprint, so callers (and tests)
+    always agree with the builder on what 'current' means."""
+    from data_eng_project_spark.operators import dedup as D
+
+    return stage_path(
+        "near_dup_pairs",
+        sf_dir,
+        _ops=(D.ngram_jaccard_pairs,),
+        n=n,
+        threshold=threshold,
+    )
+
+
+def dup_components_path(sf_dir: str, n: int = 3, threshold: float = 0.5) -> str:
+    from data_eng_project_spark.operators import dedup as D
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    return stage_path(
+        "dup_components",
+        sf_dir,
+        _ops=(D.ngram_jaccard_pairs, connected_components),
+        n=n,
+        threshold=threshold,
+    )
+
+
 def near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -86,10 +144,10 @@ def near_dup_pairs(
     self-join. First caller materializes; everyone else scans parquet
     (doubles round-trip bit-exactly, so staged and direct results are
     identical to the oracle hash)."""
-    from data_eng_project_spark.operators import dedup as D
     from data_eng_project_spark.tables import load_table
+    from data_eng_project_spark.operators import dedup as D
 
-    path = stage_path("near_dup_pairs", sf_dir, n=n, threshold=threshold)
+    path = near_dup_pairs_path(sf_dir, n=n, threshold=threshold)
     if not _is_staged(path):
         docs = load_table(spark, sf_dir, "documents")
         pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=n, threshold=threshold)
@@ -108,7 +166,7 @@ def dup_components(
     min-label propagation also runs at most once per corpus."""
     from data_eng_project_spark.operators.clusters import connected_components
 
-    path = stage_path("dup_components", sf_dir, n=n, threshold=threshold)
+    path = dup_components_path(sf_dir, n=n, threshold=threshold)
     if not _is_staged(path):
         pairs = near_dup_pairs(spark, sf_dir, n=n, threshold=threshold)
         materialize_once(connected_components(pairs), path)

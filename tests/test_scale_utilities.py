@@ -108,6 +108,48 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
     assert not os.path.exists(path + "__pre_rewrite")
 
 
+def test_compact_parquet_splits_skewed_partition_value(spark, tmp_path):
+    """ADVICE r4: within-partition size control. A partition value whose
+    bytes exceed target_file_mb must come out of compaction as several
+    ~target-sized files, not re-accrete into one; tiny values still
+    collapse to a single file, and results are row-identical."""
+    import os
+
+    from data_eng_project_spark.operators.sink import compact_parquet
+
+    path = str(tmp_path / "skewed")
+    # hot partition p=hot carries ~200k rows of strings; p=cold has 10
+    hot = spark.range(200_000).select(
+        F.lit("hot").alias("p"),
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    cold = spark.range(10).select(
+        F.lit("cold").alias("p"), F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    for i in range(4):  # accrete small files in both values
+        hot.filter(F.col("k") % 4 == i).write.mode("append").partitionBy("p").parquet(path)
+    cold.write.mode("append").partitionBy("p").parquet(path)
+    hot_bytes = sum(
+        os.path.getsize(os.path.join(path, "p=hot", f))
+        for f in os.listdir(os.path.join(path, "p=hot"))
+        if f.endswith(".parquet")
+    )
+    target_mb = 1
+    assert hot_bytes > target_mb * 1024 * 1024  # premise: hot value is skewed
+    rows_before = spark.read.parquet(path).count()
+    compact_parquet(spark, path, target_file_mb=target_mb)
+    hot_files = [
+        f for f in os.listdir(os.path.join(path, "p=hot")) if f.endswith(".parquet")
+    ]
+    cold_files = [
+        f for f in os.listdir(os.path.join(path, "p=cold")) if f.endswith(".parquet")
+    ]
+    assert len(hot_files) > 1  # skewed value split toward target size
+    assert len(cold_files) == 1  # tiny value fully compacted
+    assert spark.read.parquet(path).count() == rows_before
+
+
 def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
     """The data-skipping layout: after write_range_sorted on o_orderdate,
     parquet footer min/max statistics of distinct files must not overlap

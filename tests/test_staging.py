@@ -49,7 +49,7 @@ def test_staged_components_equal_direct(spark, sf_dir, stage_dir):
 
 
 def test_stage_materialized_once_and_plans_scan_it(spark, sf_dir, stage_dir):
-    path = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.5)
+    path = staging.near_dup_pairs_path(sf_dir, n=3, threshold=0.5)
     assert not os.path.exists(path)
     staging.near_dup_pairs(spark, sf_dir, n=3, threshold=0.5)
     built_at = os.path.getmtime(os.path.join(path, "_SUCCESS"))
@@ -64,17 +64,38 @@ def test_stage_materialized_once_and_plans_scan_it(spark, sf_dir, stage_dir):
     assert "FileScan parquet" in physical  # reads the staged parquet
 
     # components derive from the staged pairs and stage themselves
-    comp_path = staging.stage_path("dup_components", sf_dir, n=3, threshold=0.5)
+    comp_path = staging.dup_components_path(sf_dir, n=3, threshold=0.5)
     staging.dup_components(spark, sf_dir, n=3, threshold=0.5)
     assert os.path.exists(os.path.join(comp_path, "_SUCCESS"))
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == built_at
 
 
 def test_distinct_param_sets_get_distinct_stages(sf_dir):
-    p1 = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.5)
-    p2 = staging.stage_path("near_dup_pairs", sf_dir, n=4, threshold=0.5)
-    p3 = staging.stage_path("near_dup_pairs", sf_dir, n=3, threshold=0.7)
+    p1 = staging.near_dup_pairs_path(sf_dir, n=3, threshold=0.5)
+    p2 = staging.near_dup_pairs_path(sf_dir, n=4, threshold=0.5)
+    p3 = staging.near_dup_pairs_path(sf_dir, n=3, threshold=0.7)
     assert len({p1, p2, p3}) == 3
+
+
+def test_stage_key_tracks_operator_source(sf_dir):
+    """ADVICE r4 (medium): a semantic change to the producing operator
+    must rotate the stage key without anyone remembering a version bump.
+    The key embeds a fingerprint of the operator's source, so two
+    different operator bodies can never share an artifact."""
+
+    def op_v1(df):
+        return df  # stand-in operator body
+
+    def op_v2(df):
+        return df.distinct()  # semantically different body
+
+    p1 = staging.stage_path("k", sf_dir, _ops=(op_v1,), n=3)
+    p2 = staging.stage_path("k", sf_dir, _ops=(op_v2,), n=3)
+    assert p1 != p2
+    # and the real pair-graph key is operator-bound (not params-only)
+    assert staging.near_dup_pairs_path(sf_dir) != staging.stage_path(
+        "near_dup_pairs", sf_dir, n=3, threshold=0.5
+    )
 
 
 def test_near_dedup_stage_staged_equals_recompute(spark, sf_dir, stage_dir):

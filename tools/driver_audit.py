@@ -112,7 +112,11 @@ def _canon(v):
         return ("i", v)
     if isinstance(v, (list, tuple)):
         return ("arr", tuple(_canon(x) for x in v))
-    return v
+    # Strings (and anything else) get a tag too: an untagged str at a sort
+    # tie point is not comparable with the tagged tuples above, so a
+    # nullable string column would raise TypeError and report a correct
+    # query as EXCEPTION (ADVICE r4).
+    return ("s", v if isinstance(v, str) else repr(v))
 
 
 def strict_compare(spark_df, oracle: str, sf_dir: str = SF_DIR) -> list[str]:
