@@ -49,9 +49,11 @@ def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
 
     REAL IMPLEMENTATION GOES HERE (PIL.Image.open / soundfile / pyav);
     this container ships no codecs, so dimensions are minted from the
-    payload digest — stable across runs and engines.
+    payload digest — stable across runs and engines. sha256 (not sha1)
+    so the DuckDB oracle can recompute the exact same dimensions from
+    the same bytes.
     """
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     duration = (digest[2] << 8 | digest[3]) if media_type.startswith(("audio", "video")) else 0
@@ -77,7 +79,7 @@ def extract_media_meta(media_df: DataFrame) -> DataFrame:
                     "height": [m[1] for m in metas],
                     "duration_ms": [m[2] for m in metas],
                     "checksum": [
-                        hashlib.sha1(bytes(p)).hexdigest() for p in pdf["payload"]
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
                     ],
                 }
             )
@@ -563,7 +565,7 @@ def sample_raw_frames(media_df: DataFrame, every_n: int = 6) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in (
-                "doc_id", "frame_idx", "ts_ms", "mean_luma", "frame_sha1",
+                "doc_id", "frame_idx", "ts_ms", "mean_luma", "peak_col", "frame_sha256",
             )}
             for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
                 frames, fps = decode_raw_video(bytes(pl))
@@ -573,19 +575,26 @@ def sample_raw_frames(media_df: DataFrame, every_n: int = 6) -> DataFrame:
                         0.299 * frame[..., 0]
                         + 0.587 * frame[..., 1]
                         + 0.114 * frame[..., 2]
-                    ).mean()
+                    )
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
                     rows["ts_ms"].append(int(round(idx * 1000.0 / fps)))
-                    rows["mean_luma"].append(float(luma))
-                    rows["frame_sha1"].append(hashlib.sha1(frame.tobytes()).hexdigest())
+                    rows["mean_luma"].append(float(luma.mean()))
+                    # brightest column — the saliency locator a sampling
+                    # pipeline keys shot features on; for the synthetic
+                    # sweep clip this recovers the planted bar position,
+                    # which is what the DuckDB oracle checks closed-form
+                    rows["peak_col"].append(int(np.argmax(luma.sum(axis=0))))
+                    rows["frame_sha256"].append(
+                        hashlib.sha256(frame.tobytes()).hexdigest()
+                    )
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(
         batches,
         schema=(
             "doc_id long, frame_idx int, ts_ms int, "
-            "mean_luma double, frame_sha1 string"
+            "mean_luma double, peak_col int, frame_sha256 string"
         ),
     )
 

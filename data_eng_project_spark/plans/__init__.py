@@ -41,103 +41,84 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-4 rotation (VERDICT r3 task 1 — certification round): keep only
-# 5 sentinels (flagship trio + the LLM-core pair-graph query + one
-# timestamp-emitting streaming query) and fill all 45 remaining slots
-# with queries that have NEVER received a CORRECTNESS row, prioritizing
-# the governance family, sketches, dataset ops, the newly-oracled
-# blocked scale paths (r3 task 3), the distinct_users twin (r3 task 5)
-# and the streaming drift monitor (r3 task 6). Every r1-r3 green query
-# stays covered by tests/test_oracle_parity.py + tools/driver_audit.py.
+# Round-5 rotation (VERDICT r4 task 1 — second certification round):
+# every slot goes to a query with NO green driver CORRECTNESS row. That
+# is the 42 remaining never-graded oracle-backed queries, plus 7
+# upgraded from rows-only to oracle-backed this round (contract-style
+# oracles: approx_price_quartiles GK rank guarantee,
+# minhash_accuracy_report exact-count+recall contract, and five
+# multimodal queries whose deterministic generators are replayed
+# closed-form in SQL — incl. the VERDICT-r4 item-7 video variant), plus
+# approx_distinct_users (the repo's only non-green latest-status row,
+# r1 err:no_oracle — now carrying an HLL tolerance-contract oracle).
+# Cumulative driver-certified coverage after this window: 207/225.
+# Round-4's 50 green queries (flagship trio etc.) stay covered by
+# tests/test_oracle_parity.py + tools/driver_audit.py every session.
 #
-# Round-5 rotation queue (never driver-graded, oracle-backed):
-#   analytics5/behavioral: cusum_changepoints, attribution_last_touch,
-#     attribution_first_touch, attribution_time_decay,
-#     mad_outlier_summary, log_histogram_quantiles, benford_price_digits,
-#     chisq_source_lang_independence, grouped_value_quartiles,
-#     rfm_segments, funnel_time_to_convert, new_vs_returning_hourly,
-#     order_lead_time_quartiles, part_supplier_hhi, weekly_growth_rates,
-#     clv_cohort_curves, discount_band_effects, supplier_ship_delay,
-#     order_status_mix_monthly, per_user_value_trend,
-#     event_transition_matrix, hour_of_week_profile,
-#     seasonal_anomaly_events, acf_event_counts, time_weighted_avg_user,
-#     events_hourly_ohlc, event_debounce_summary
-#   datasetops/curation: export_shard_manifest, chunk_assembly_plan,
-#     pps_sample_by_source, quality_quantile_normalize, catalog_manifest,
-#     bloom_join_prune_stats, kanonymize_customer_release,
-#     ldiversity_check, embedding_covariance, bpe_pair_counts,
-#     bpe_word_frequencies, plus the three upgraded from rows-only in
-#     r4: knn_label_propagation (bipartite k-NN vote oracle),
-#     ewma_user_values (recursive-CTE recurrence oracle), and
-#     pagerank_dup_docs (10-iteration unrolled power-method oracle;
-#     NOTE its DuckDB side replays the pair CTE + 10 matvecs, ~30 s at
-#     sf0.01 — budget one slow slot)
-#   then the r1-green-never-recertified TPC-H tranche (q2/q4/q12/q13/
-#     q14/q16/q17/q20/q21) and window/scalar suites.
+# Round-6 queue: the last 17 never-graded queries are rows-only by
+# nature (xxhash sketches, PCA internals, zlib byte outputs, stateful
+# streaming probes) — schedule them for in-window rows-only driver rows
+# (spark_rows recorded, err:no_oracle expected and documented) once no
+# oracle-backed query lacks a row, plus re-certification of the r1-only
+# TPC-H tranche (q2/q4/q12/q13/q14/q16/q17/q20/q21).
 _GRADED_WINDOW = [
-    # Permanent sentinels: flagship spatial reconstruction (J5/A3),
-    # the PPJoin pair graph (feeds the staged artifact the governance
-    # family consumes), one timestamp-emitting streaming query
-    # (canonicalization guard).
-    "flagship_points_near_sites",
-    "flagship_site_density",
-    "flagship_density_power_corr",
-    "dedup_ngram_jaccard",
-    "streaming_hourly_counts",
-    # Governance / dataset-release family (plans/curation3.py) — several
-    # consume the round-4 staged pair graph (pipelines/staging.py)
-    "dataset_split_profile",
-    "split_leakage_audit",
-    "cdc_chunk_dedup",
-    "soft_dedup_weights",
-    "boilerplate_segments",
-    "corpus_shuffle_order",
-    "dataset_release_pipeline",
-    "dataset_datasheet",
-    "split_shingle_leakage_rate",
-    "temporal_split_user_overlap",
-    "source_token_gini",
-    "split_embedding_drift",
-    "quality_retention_curve",
-    "mixture_temperature_weights",
-    # Sketches + mixture planning (plans/textdata.py)
-    "kmv_distinct_ngrams",
-    "kmv_source_similarity",
-    "cms_term_counts",
-    "feature_hash_vectors",
-    "cross_source_dup_matrix",
-    "domain_mixture_weights",
-    "token_fertility_profile",
-    # LLM text-quality / language families
-    "bigram_lm_quality",
-    "langid_confusion_matrix",
-    "curation_funnel_stats",
-    "composed_corpus_pipeline",
-    "psi_source_drift",
-    "doc_novelty_scores",
-    # Scale paths newly carrying oracles (r3 task 3) + exact twin of the
-    # HLL query (r3 task 5) + the drift monitor (r3 task 6)
-    "hard_negative_mining_blocked",
-    "embedding_dup_pairs_blocked",
-    "distinct_users",
-    "streaming_drift_monitor",
-    # Dataset ops (plans/datasetops.py) — incl. staged-pair consumers
-    "snapshot_diff_orders",
-    "fuzzy_part_name_pairs",
-    "dedup_canonical_keep",
-    "dup_graph_triangles",
-    "dedup_containment_pairs",
-    "chunk_documents_overlap",
-    "incremental_join_view_update",
-    # Retrieval
-    "phrase_search_positional",
-    "rrf_hybrid_search",
-    # Operational analytics / temporal
-    "data_quality_report",
-    "embedding_health_report",
-    "incremental_rollup_merge",
-    "asof_next_order",
-    "window_funnel_levels",
+    # Behavioral / statistical analytics (plans/analytics5.py)
+    "cusum_changepoints",
+    "attribution_last_touch",
+    "attribution_first_touch",
+    "attribution_time_decay",
+    "mad_outlier_summary",
+    "log_histogram_quantiles",
+    "benford_price_digits",
+    "chisq_source_lang_independence",
+    "grouped_value_quartiles",
+    "rfm_segments",
+    "funnel_time_to_convert",
+    "new_vs_returning_hourly",
+    "order_lead_time_quartiles",
+    "part_supplier_hhi",
+    "weekly_growth_rates",
+    "clv_cohort_curves",
+    "discount_band_effects",
+    "supplier_ship_delay",
+    "order_status_mix_monthly",
+    "per_user_value_trend",
+    "event_transition_matrix",
+    "hour_of_week_profile",
+    "seasonal_anomaly_events",
+    "acf_event_counts",
+    "time_weighted_avg_user",
+    "events_hourly_ohlc",
+    "event_debounce_summary",
+    # Dataset ops / curation / privacy
+    "export_shard_manifest",
+    "chunk_assembly_plan",
+    "pps_sample_by_source",
+    "quality_quantile_normalize",
+    "catalog_manifest",
+    "bloom_join_prune_stats",
+    "kanonymize_customer_release",
+    "ldiversity_check",
+    "embedding_covariance",
+    "hard_negative_mining",
+    "bpe_pair_counts",
+    "bpe_word_frequencies",
+    # Upgraded-from-rows-only in r4 (graph/recurrence oracles).
+    # pagerank_dup_docs' DuckDB side replays the pair CTE + 10 unrolled
+    # matvecs (~30 s at sf0.01) — the window's one slow slot.
+    "knn_label_propagation",
+    "ewma_user_values",
+    "pagerank_dup_docs",
+    # Upgraded-from-rows-only this round (contract / closed-form
+    # generator-replay oracles — see each registration)
+    "approx_distinct_users",
+    "approx_price_quartiles",
+    "minhash_accuracy_report",
+    "multimodal_media_meta",
+    "multimodal_frame_samples",
+    "multimodal_image_resize",
+    "multimodal_video_frames_raw",
+    "multimodal_audio_features",
 ]
 
 

@@ -223,20 +223,41 @@ def flagship_density_power_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch differs between engines by design; the
-    # oracle-carrying exact twin is distinct_users (registered below,
-    # driver-graded) — this form stays rows-only OUTSIDE the window
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tolerance
+        FROM events
+        GROUP BY event_type
+    """,
     tags=("analytics", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the
-    at-scale form of COUNT(DISTINCT); rows-only because sketch estimates
-    are engine-specific."""
+    at-scale form of COUNT(DISTINCT).
+
+    The raw HLL estimate is engine-specific (DuckDB's sketch differs by
+    design), so the *accuracy contract* is what crosses engines: the
+    query publishes the exact count plus a genuinely-computed boolean
+    that the HLL estimate landed within 3×rsd of it. DuckDB asserts the
+    exact counts and that the contract held — a real cross-engine check
+    of the sketch (deterministic: Spark's HLL on fixed data is
+    repeatable), unlike the earlier rows-only form whose one r1 driver
+    row recorded err:no_oracle."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    rsd = 0.02
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 3 * rsd * F.col("exact_users")
+        ).alias("within_tolerance"),
     )
 
 

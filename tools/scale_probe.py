@@ -84,20 +84,70 @@ def _build_is_complete(out_dir: str, n: int) -> bool:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{n}"
+    # Any further args: probe ONLY these registry queries (plus the
+    # pseudo-query "staged", which times the cold pair-graph stage build
+    # + the five warm consumers in a fresh stage dir) — used for the
+    # targeted 30× probes of non-headline paths.
+    only = sys.argv[3:] or None
     src_dir = "/root/testdata/sf0.1"
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not _build_is_complete(out_dir, n):
         build(spark, src_dir, out_dir, n)
 
-    headline = [s for s in REGISTRY.values() if s.headline]
+    if only:
+        specs = [REGISTRY[q] for q in only if q != "staged"]
+    else:
+        specs = [s for s in REGISTRY.values() if s.headline]
     times = {}
-    for spec in headline:
+    for spec in specs:
         t0 = time.perf_counter()
         spec.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
         times[spec.name] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
-        print(f"{spec.name}: {times[spec.name]}s")
+        print(f"{spec.name}: {times[spec.name]}s", flush=True)
+    if only and "staged" in only:
+        import shutil
+        import tempfile
+
+        from data_eng_project_spark.pipelines import staging
+
+        stage_dir = tempfile.mkdtemp(prefix=f"scale_probe_stage_x{n}_")
+        prev = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+        os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_dir
+        try:
+            t0 = time.perf_counter()
+            staging.near_dup_pairs(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            staging.dup_components(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times["staged_cold_build"] = round(time.perf_counter() - t0, 2)
+            print(f"staged_cold_build: {times['staged_cold_build']}s", flush=True)
+            t0 = time.perf_counter()
+            for name in (
+                "dedup_canonical_keep",
+                "soft_dedup_weights",
+                "dup_graph_triangles",
+                "split_leakage_audit",
+                "pagerank_dup_docs",
+            ):
+                REGISTRY[name].fn(spark, out_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                spark.catalog.clearCache()
+            times["staged_warm_consumers"] = round(time.perf_counter() - t0, 2)
+            print(
+                f"staged_warm_consumers: {times['staged_warm_consumers']}s",
+                flush=True,
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_STAGE_DIR", None)
+            else:
+                os.environ["SPARK_GRAFT_STAGE_DIR"] = prev
+            shutil.rmtree(stage_dir, ignore_errors=True)
     print({"total": round(sum(times.values()), 2), "n": n, "queries": times})
 
 
