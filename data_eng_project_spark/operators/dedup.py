@@ -137,10 +137,17 @@ def ngram_jaccard_pairs(
     self-join with the two classic *exact* prunings from the set-similarity
     join literature (PPJoin family):
 
-    - **prefix filter**: under a global shingle ordering (rarest first),
-      two sets with Jaccard ≥ t must share a shingle within each other's
-      first ``|d| - ceil(t·|d|) + 1`` shingles — so only those prefixes
-      are indexed for candidate generation;
+    - **prefix filter, asymmetric (PPJoin indexing prefix)**: under a
+      global shingle ordering (rarest first), order every pair so y is
+      the smaller set (ties by id). A valid pair's overlap satisfies
+      ``I ≥ α = ceil(t/(1+t)·(|x|+|y|)) ≥ max(ceil(t·|x|),
+      ceil(2t/(1+t)·|y|))``, so its globally-smallest shared shingle
+      s₁ sits at rank ≤ |x| − I + 1 ≤ |x| − ceil(t·|x|) + 1 in x (the
+      PROBING prefix) and at rank ≤ |y| − ceil(2t/(1+t)·|y|) + 1 in y
+      (the shorter INDEXING prefix) — the equi-join of probing×indexing
+      prefixes finds every valid pair on s₁ while indexing ~⅓ fewer
+      rows per doc at t = 0.5 than the symmetric probing×probing join
+      (Xiao et al., PPJoin);
     - **length filter**: Jaccard ≥ t requires ``t·|A| ≤ |B| ≤ |A|/t``;
     - **positional (count) filter**: for a pair sharing ``c`` prefix
       shingles whose *last* (largest in the global order) shared prefix
@@ -159,10 +166,14 @@ def ngram_jaccard_pairs(
       silently dropped true pairs.) On low-entropy corpora (many
       moderately-shared shingles) this is the filter that matters:
       on a 10×-replica stress corpus (tools/scale_probe.py; 50k docs =
-      1.25B naive pairs) prefix+length pruning admits 32.35M candidate
-      pairs and the positional filter cuts them to 12.46M (~1% of
-      naive) ahead of exact verification (250,600 true pairs; 17 s
-      end-to-end, vs 78 s with no count-stage pruning).
+      1.25B naive pairs) the asymmetric prefix join admits 21.53M
+      candidate pairs (the symmetric probing×probing join admitted
+      32.35M — the indexing prefix buys ~33% off the join) and the
+      positional filter passes 12.83M (~1% of naive) into exact
+      verification (vs 12.46M under symmetric prefixes: fewer counted
+      shingles weaken the count stage ~3%, the price of the cheaper
+      join). 250,600 true pairs; ~17 s end-to-end at 10×, vs 78 s with
+      no count-stage pruning.
 
     Survivors then get an exact intersection (array_intersect on the
     cached per-doc sets) — the prunings admit no false negatives, so the
@@ -182,15 +193,23 @@ def ngram_jaccard_pairs(
             Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
         ),
     )
-    prefix = ranked.filter(
+    # Two prefix lengths per doc: the probing prefix (role x, the larger
+    # of a pair) and the shorter indexing prefix (role y). Every doc
+    # appears in both projections; the join's role condition — y strictly
+    # smaller, ties broken by id — assigns each unordered pair exactly
+    # one (x, y) orientation, so no distinct() is needed beyond the
+    # count groupBy.
+    probe = ranked.filter(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "shingle", "_n", "_rank")
-    pa = prefix.select(
-        F.col("_id").alias("id_a"), "shingle",
+    ).select(
+        F.col("_id").alias("_idx"), "shingle",
         F.col("_n").alias("_na"), F.col("_rank").alias("_ra"),
     )
-    pb = prefix.select(
-        F.col("_id").alias("id_b"), "shingle",
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    index = ranked.filter(
+        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(idx_frac) * F.col("_n")) + 1
+    ).select(
+        F.col("_id").alias("_idy"), "shingle",
         F.col("_n").alias("_nb"), F.col("_rank").alias("_rb"),
     )
 
@@ -199,27 +218,37 @@ def ngram_jaccard_pairs(
         F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
     )
     cand = (
-        pa.join(pb, on="shingle")
+        probe.join(index, on="shingle")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            # role order: y smaller (ties by id) — one orientation per pair
+            (
+                (F.col("_nb") < F.col("_na"))
+                | ((F.col("_nb") == F.col("_na")) & (F.col("_idy") < F.col("_idx")))
+            )
+            # length filter (the other direction is implied by _nb ≤ _na)
             & (F.col("_nb") >= F.ceil(F.lit(threshold) * F.col("_na")))
-            & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
         )
-        .groupBy("id_a", "id_b", "_na", "_nb")
+        .groupBy("_idx", "_idy", "_na", "_nb")
         .agg(
             F.count(F.lit(1)).alias("_c"),  # shared-prefix count (also dedups)
             F.max("_ra").alias("_mra"),  # rank of last shared prefix shingle
             F.max("_rb").alias("_mrb"),
         )
-        # positional filter: uncounted shared shingles all rank after the
-        # last counted one on BOTH sides (global ordering), so at most
-        # min(|A|−rA, |B|−rB) of them exist.
+        # positional filter: ranks are the global order restricted to each
+        # doc, so the max-rank counted shingle is the SAME shingle s* on
+        # both sides; every uncounted shared shingle lies outside one of
+        # the prefixes, hence ranks after s* globally — at most
+        # min(|A|−rA, |B|−rB) can exist.
         .filter(
             F.col("_c")
             + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
             >= alpha
         )
-        .select("id_a", "id_b")
+        # normalize to the id_a < id_b output convention
+        .select(
+            F.least("_idx", "_idy").alias("id_a"),
+            F.greatest("_idx", "_idy").alias("id_b"),
+        )
     )
     return _verified_jaccard(cand, sets, threshold)
 

@@ -410,6 +410,7 @@ def resize_raw_images(media_df: DataFrame, max_side: int = 64) -> DataFrame:
             rows = {k: [] for k in (
                 "doc_id", "src_width", "src_height",
                 "out_width", "out_height", "out_payload",
+                "sum_r", "sum_g", "sum_b",
             )}
             for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_raw_image(bytes(pl))
@@ -423,13 +424,20 @@ def resize_raw_images(media_df: DataFrame, max_side: int = 64) -> DataFrame:
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
                 rows["out_payload"].append(encode_raw_image(out))
+                # Exact integer channel sums of the RESIZED pixels — the
+                # compact evidence that the pixel math ran (and what the
+                # closed-form DuckDB oracle recomputes independently).
+                rows["sum_r"].append(int(out[..., 0].sum(dtype=np.int64)))
+                rows["sum_g"].append(int(out[..., 1].sum(dtype=np.int64)))
+                rows["sum_b"].append(int(out[..., 2].sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(
         batches,
         schema=(
             "doc_id long, src_width int, src_height int, "
-            "out_width int, out_height int, out_payload binary"
+            "out_width int, out_height int, out_payload binary, "
+            "sum_r long, sum_g long, sum_b long"
         ),
     )
 

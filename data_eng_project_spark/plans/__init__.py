@@ -55,12 +55,19 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # Round-4's 50 green queries (flagship trio etc.) stay covered by
 # tests/test_oracle_parity.py + tools/driver_audit.py every session.
 #
-# Round-6 queue: the last 17 never-graded queries are rows-only by
-# nature (xxhash sketches, PCA internals, zlib byte outputs, stateful
-# streaming probes) — schedule them for in-window rows-only driver rows
-# (spark_rows recorded, err:no_oracle expected and documented) once no
-# oracle-backed query lacks a row, plus re-certification of the r1-only
-# TPC-H tranche (q2/q4/q12/q13/q14/q16/q17/q20/q21).
+# Round-6 queue, in priority order:
+#   1. The three conversions that landed after this window filled —
+#      video_scene_cuts (closed-form multi-scene replay),
+#      streaming_heavy_hitters (exact-top-20 + MG bound contract),
+#      multimodal_resize_raw (IEEE-exact SQL bilinear kernel) — all
+#      oracle-backed, never graded.
+#   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
+#      q14/q16/q17/q20/q21) and window/scalar suites.
+#   3. The last ~15 never-graded queries are rows-only by NATURE
+#      (xxhash sketches, PCA/FFT/DCT internals, zlib byte outputs,
+#      stateful streaming probes, BPE encode) — give them in-window
+#      rows-only driver rows (spark_rows recorded, err:no_oracle
+#      expected and documented) last, since each burns an oracle slot.
 _GRADED_WINDOW = [
     # Behavioral / statistical analytics (plans/analytics5.py)
     "cusum_changepoints",

@@ -272,20 +272,104 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IEEE-exact SQL replica of operators/multimodal.bilinear_resize for the
+# deterministic gradient source image (R = x·255 // (w−1), G = y·255 //
+# (h−1), B = doc_id % 256). Mirrors numpy's op ORDER so every double is
+# bit-identical: xs = (ox+0.5)·(w/ow) − 0.5, x0 = floor, fx = clip, then
+# channel blend top·(1−fy) + bot·fy, then np.rint (half-to-even). With
+# identical doubles on both engines the rounded pixels — and hence the
+# integer channel sums — agree exactly.
+def _rint_he(v: str) -> str:
+    """SQL for np.rint (round half to even) of non-negative double v."""
+    return (
+        f"CASE WHEN ({v}) - floor({v}) > 0.5 THEN floor({v}) + 1 "
+        f"WHEN ({v}) - floor({v}) < 0.5 THEN floor({v}) "
+        f"ELSE floor({v}) + (CAST(floor({v}) AS BIGINT) % 2) END"
+    )
+
+
+_RESIZE_RAW_ORACLE = f"""
+    WITH src AS (
+        SELECT doc_id,
+               CAST(32 + doc_id % 97 AS INT) AS w,
+               CAST(24 + doc_id % 71 AS INT) AS h,
+               CAST(doc_id % 256 AS INT) AS b
+        FROM documents
+    ),
+    dims AS (
+        SELECT *,
+               CASE WHEN greatest(w, h) <= 64 THEN 1.0
+                    ELSE 64.0 / greatest(w, h) END AS s
+        FROM src
+    ),
+    od AS (
+        SELECT doc_id, w, h, b,
+               greatest(1, {_ROUND_HALF_EVEN.format(x='(w * s)')}) AS ow,
+               greatest(1, {_ROUND_HALF_EVEN.format(x='(h * s)')}) AS oh
+        FROM dims
+    ),
+    px AS (
+        SELECT od.*, gx.ox, gy.oy,
+               (gx.ox + 0.5) * (CAST(w AS DOUBLE) / ow) - 0.5 AS xs,
+               (gy.oy + 0.5) * (CAST(h AS DOUBLE) / oh) - 0.5 AS ys
+        FROM od
+        CROSS JOIN generate_series(0, 63) AS gx(ox)
+        CROSS JOIN generate_series(0, 63) AS gy(oy)
+        WHERE gx.ox < od.ow AND gy.oy < od.oh
+    ),
+    gather AS (
+        SELECT *,
+               least(greatest(CAST(floor(xs) AS BIGINT), 0), w - 1) AS x0,
+               least(greatest(CAST(floor(ys) AS BIGINT), 0), h - 1) AS y0
+        FROM px
+    ),
+    blend AS (
+        SELECT doc_id, w, h, b, ow, oh,
+               least(greatest(xs - x0, 0.0), 1.0) AS fx,
+               least(greatest(ys - y0, 0.0), 1.0) AS fy,
+               (x0 * 255) // (w - 1) AS r0,
+               (least(x0 + 1, w - 1) * 255) // (w - 1) AS r1,
+               (y0 * 255) // (h - 1) AS g0,
+               (least(y0 + 1, h - 1) * 255) // (h - 1) AS g1
+        FROM gather
+    ),
+    vals AS (
+        SELECT doc_id, w, h, ow, oh,
+               (r0 * (1 - fx) + r1 * fx) * (1 - fy)
+                   + (r0 * (1 - fx) + r1 * fx) * fy AS vr,
+               (g0 * (1 - fx) + g0 * fx) * (1 - fy)
+                   + (g1 * (1 - fx) + g1 * fx) * fy AS vg,
+               (b * (1 - fx) + b * fx) * (1 - fy)
+                   + (b * (1 - fx) + b * fx) * fy AS vb
+        FROM blend
+    )
+    SELECT doc_id,
+           any_value(w) AS src_width, any_value(h) AS src_height,
+           CAST(any_value(ow) AS INT) AS out_width,
+           CAST(any_value(oh) AS INT) AS out_height,
+           CAST(sum(least(greatest({_rint_he('vr')}, 0), 255)) AS BIGINT) AS sum_r,
+           CAST(sum(least(greatest({_rint_he('vg')}, 0), 255)) AS BIGINT) AS sum_g,
+           CAST(sum(least(greatest({_rint_he('vb')}, 0), 255)) AS BIGINT) AS sum_b
+    FROM vals
+    GROUP BY doc_id
+"""
+
+
 @register(
     "multimodal_resize_raw",
-    oracle=None,  # binary pixel output; resize correctness is asserted
-    # by property tests (constant-color preservation, gradient
-    # linearity, identity resize) in tests/test_operators.py
+    oracle=_RESIZE_RAW_ORACLE,
     tags=("multimodal", "resize"),
 )
 def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline over an uncompressed raw-RGB format: mint
     deterministic gradient images executor-side, then bilinear-resize
     them in Arrow batches (operators/multimodal.bilinear_resize — actual
-    pixel math, unlike the codec-stubbed PNG path). Output keeps only
-    narrow typed columns plus a checksum of the resized payload, so the
-    driver compare never ships pixel buffers."""
+    pixel math, unlike the codec-stubbed PNG path). Driver-facing output
+    is the decoded dimensions plus the exact integer channel sums of the
+    RESIZED pixels; the DuckDB oracle recomputes those sums through an
+    IEEE-exact SQL replica of the bilinear kernel (same op order, same
+    half-to-even rounding), so the pixel math itself is cross-engine
+    verified — not just the plumbing."""
     from data_eng_project_spark.operators.multimodal import (
         attach_raw_images,
         resize_raw_images,
@@ -300,7 +384,9 @@ def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_height",
         "out_width",
         "out_height",
-        F.sha1("out_payload").alias("out_checksum"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
     )
 
 
@@ -594,19 +680,37 @@ def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_heavy_hitters",
-    oracle=None,  # bounded-state sketch: MG bound + convergence are
-    # pytest-pinned (tests/test_streaming.py); exact counts attached
-    # batch-side below make the output self-describing
+    # The Misra–Gries summary itself is engine-specific state, but two of
+    # its theorems cross engines: (1) detectability — every user whose
+    # true count exceeds the MG floor N_shard/(capacity+1) survives in
+    # the summary, so with the graded corpora's top-20 counts (≥ 77 vs a
+    # floor of ~19 at sf0.01) the survivor set ⊇ the true top-20 and the
+    # exact-ranked top-20 below IS the global exact top-20; (2) the count
+    # bound — mg_count ∈ [exact − floor, exact]. The query publishes the
+    # exact counts plus a genuinely measured bound-check boolean; DuckDB
+    # recomputes the exact top-20 independently and asserts the bound
+    # held. (Convergence/eviction behavior at adversarial cardinalities
+    # stays pytest-pinned in tests/test_streaming.py.)
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS exact_count,
+               TRUE AS mg_bound_ok
+        FROM events
+        GROUP BY user_id
+        ORDER BY exact_count DESC, user_id ASC
+        LIMIT 20
+    """,
     tags=("streaming", "stateful", "sketch", "topk"),
 )
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent users from the event stream with O(capacity) state per
     shard (Misra–Gries under applyInPandasWithState), drained with
     AvailableNow; the surviving candidates are joined to their exact
-    batch counts and ranked — the streaming half finds the candidates
-    with bounded memory, the batch half certifies them. Top-20,
-    deterministic tie-break."""
+    batch counts, checked against the MG error bound, and ranked — the
+    streaming half finds the candidates with bounded memory, the batch
+    half certifies them. Top-20, deterministic tie-break."""
     from data_eng_project_spark.streaming.stateful import (
+        MG_CAPACITY,
         final_heavy_hitter_summaries,
         heavy_hitters_stream,
     )
@@ -619,14 +723,27 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mem_hh_{uuid.uuid4().hex[:8]}",
         output_mode="update",
     )
-    cands = final_heavy_hitter_summaries(emitted).select("user_id", "mg_count")
+    cands = final_heavy_hitter_summaries(emitted).select(
+        "user_id", "mg_count", "n_processed"
+    )
     exact = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
     )
     return (
         cands.join(exact, on="user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            (
+                (F.col("mg_count") <= F.col("exact_count"))
+                & (
+                    F.col("exact_count") - F.col("mg_count")
+                    <= F.col("n_processed") / (MG_CAPACITY + 1)
+                )
+            ).alias("mg_bound_ok"),
+        )
         .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
         .limit(20)
     )
@@ -868,8 +985,61 @@ def _crop_audio_batches(it):
 
 @register(
     "video_scene_cuts",
-    oracle=None,  # numpy luma-diff DSP; planted scene-count/boundary
-    # recovery asserted in tests/test_multimodal_phash.py
+    # Closed-form replay of the planted multi-scene generator: doc i has
+    # n = 2 + i%3 scenes; scene t runs L_t = 6 + (i·7 + t·13)%8 frames
+    # with channel-equal background shade sh_t = 30 + ((i·31 + t·97)%7)·30
+    # and one +20 bright column at x = (f + t)%32. Consecutive shades
+    # always differ (97 ≡ 6 mod 7 ⇒ the shade index steps by −1 mod 7),
+    # so every boundary is a cut; the mean-|Δluma| at cut s is the
+    # category-weighted sum over the 768 pixels (background, the old
+    # bright column, the new bright column — which can coincide). The
+    # oracle recomputes cut frames and diffs from these formulas, so the
+    # REAL decode → luma → frame-differencing pipeline is checked against
+    # the generator's math. (Intra-scene motion stays at mean |Δ| = 1.25
+    # < threshold 8 by construction, hence exactly one row per scene.)
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(doc_id AS BIGINT) AS i,
+                   2 + CAST(doc_id % 3 AS INT) AS n_scenes
+            FROM documents
+        ),
+        cuts AS (
+            SELECT d.*, CAST(g.s AS INT) AS s,
+                   6 + CAST((i*7 + (g.s-1)*13) % 8 AS INT) AS l_prev,
+                   30 + CAST(((i*31 + (g.s-1)*97) % 7) AS INT)*30 AS sh_prev,
+                   30 + CAST(((i*31 + g.s*97) % 7) AS INT)*30 AS sh_cur
+            FROM d CROSS JOIN generate_series(1, 3) AS g(s)
+            WHERE g.s < d.n_scenes
+        ),
+        geom AS (
+            SELECT *,
+                   CAST((CASE WHEN s = 1 THEN 0
+                         ELSE 6 + CAST((i*7) % 8 AS INT) +
+                              CASE WHEN s = 3
+                                   THEN 6 + CAST((i*7 + 13) % 8 AS INT)
+                                   ELSE 0 END
+                         END) + l_prev AS INT) AS cut_frame,
+                   CAST((l_prev - 1 + (s-1)) % 32 AS INT) AS col_prev,
+                   CAST(s % 32 AS INT) AS col_cur,
+                   0.299*sh_prev + 0.587*sh_prev + 0.114*sh_prev AS lp,
+                   0.299*(sh_prev+20) + 0.587*(sh_prev+20) + 0.114*(sh_prev+20) AS lpb,
+                   0.299*sh_cur + 0.587*sh_cur + 0.114*sh_cur AS lc,
+                   0.299*(sh_cur+20) + 0.587*(sh_cur+20) + 0.114*(sh_cur+20) AS lcb
+            FROM cuts
+        )
+        SELECT doc_id, CAST(0 AS INT) AS cut_frame, CAST(0 AS INT) AS scene_idx,
+               0.0 AS diff
+        FROM d
+        UNION ALL
+        SELECT doc_id, cut_frame, s AS scene_idx,
+               round(CASE WHEN col_prev = col_cur
+                     THEN (24*abs(lcb - lpb) + 744*abs(lc - lp)) / 768
+                     ELSE (24*abs(lc - lpb) + 24*abs(lcb - lp)
+                           + 720*abs(lc - lp)) / 768
+                     END, 6) AS diff
+        FROM geom
+    """,
     tags=("multimodal", "video", "scenes"),
 )
 def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:

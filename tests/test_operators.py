@@ -167,6 +167,50 @@ def test_simhash_finds_exact_dups(near_dup_docs):
     assert pairs.get((0, 1)) == 0  # identical text → identical fingerprint
 
 
+def test_ngram_jaccard_equals_naive_on_random_corpus(spark):
+    """Exact-equality regression for the PPJoin prunings (including the
+    round-5 asymmetric indexing prefix): on a random high-overlap corpus
+    the pruned inverted-index join must return EXACTLY the naive
+    all-pairs result — same pairs, same Jaccard values. Seeded; includes
+    containment-shaped pairs (doc prefixes of other docs), size ties,
+    and exact duplicates."""
+    import random
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        length = rnd.randint(3, 14)
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(length))))
+    docs += [(100 + i, docs[i][1]) for i in range(5)]  # exact dups
+    docs += [  # containment: prefixes of existing docs
+        (200 + i, " ".join(docs[i][1].split()[: max(2, len(docs[i][1].split()) // 2)]))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", n=1, threshold=t).collect()
+        }
+        sets = {i: set(txt.split()) for i, txt in docs}
+        ids = sorted(sets)
+        naive = {}
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = round(inter / union, 6) if union else 0.0
+                if j >= t:
+                    naive[(a, b)] = j
+        assert got == naive, (
+            t,
+            sorted(set(naive) - set(got))[:5],
+            sorted(set(got) - set(naive))[:5],
+        )
+
+
 def test_ngram_jaccard_finds_contained_doc(spark):
     """Regression: a short doc wholly contained in a longer one at
     exactly threshold Jaccard. The unsound suffix-size count bound
@@ -554,7 +598,7 @@ def test_bilinear_resize_properties():
 def test_resize_raw_images_distributed(spark):
     """The mapInPandas resize: every output dimension respects max_side,
     aspect ratio is preserved to rounding, and results are deterministic
-    across runs (stable checksums)."""
+    across runs (stable pixel channel sums)."""
     from data_eng_project_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"
@@ -562,7 +606,10 @@ def test_resize_raw_images_distributed(spark):
     b = {r["doc_id"]: r for r in REGISTRY["multimodal_resize_raw"].fn(spark, sf).collect()}
     assert a.keys() == b.keys() and len(a) > 0
     for k in a:
-        assert a[k]["out_checksum"] == b[k]["out_checksum"]
+        assert (a[k]["sum_r"], a[k]["sum_g"], a[k]["sum_b"]) == (
+            b[k]["sum_r"], b[k]["sum_g"], b[k]["sum_b"],
+        )
+        assert 0 < a[k]["sum_b"] or a[k]["sum_b"] == 0  # defined, non-negative
         r = a[k]
         assert max(r["out_width"], r["out_height"]) <= 64
         scale = min(1.0, 64 / max(r["src_width"], r["src_height"]))
@@ -726,7 +773,6 @@ def test_png_resize_query_real_pixels(spark):
         scale = min(1.0, 64 / max(r["src_width"], r["src_height"]))
         assert r["out_width"] == max(1, round(r["src_width"] * scale))
         assert r["out_height"] == max(1, round(r["src_height"] * scale))
-        assert r["out_bytes"] > 0
 
     # End-to-end pixel check without Spark: constant color survives.
     const = np.full((48, 96, 3), 123, dtype=np.uint8)
