@@ -242,6 +242,18 @@ def _rewrite_partitioned_sized(
     buckets = [
         vals + (max(1, math.ceil(b / target_bytes)),) for vals, b in sizes.items()
     ]
+    data_cols = [c for c in df.columns if c not in part_cols]
+    if not buckets or not data_cols:
+        # No measurable files (nothing to size against) or a table that
+        # is ONLY partition columns (no data column to salt on): plain
+        # layout-preserving rewrite.
+        (
+            df.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+        return
     # Partition-directory values are strings; join on string casts.
     nb = df.sparkSession.createDataFrame(
         buckets, [f"_pv{i}" for i in range(len(part_cols))] + ["_nb"]
@@ -253,7 +265,6 @@ def _rewrite_partitioned_sized(
     joined = df.join(F.broadcast(nb), on=cond, how="left").drop(
         *[f"_pv{i}" for i in range(len(part_cols))]
     )
-    data_cols = [c for c in df.columns if c not in part_cols]
     salted = joined.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*data_cols), F.coalesce(F.col("_nb"), F.lit(1))).cast("int"),
