@@ -137,7 +137,9 @@ def test_compact_parquet_splits_skewed_partition_value(spark, tmp_path):
     )
     target_mb = 1
     assert hot_bytes > target_mb * 1024 * 1024  # premise: hot value is skewed
-    rows_before = spark.read.parquet(path).count()
+    before = spark.read.parquet(path)
+    rows_before = before.count()
+    ksum_before = before.agg(F.sum("k")).collect()[0][0]
     compact_parquet(spark, path, target_file_mb=target_mb)
     hot_files = [
         f for f in os.listdir(os.path.join(path, "p=hot")) if f.endswith(".parquet")
@@ -147,7 +149,9 @@ def test_compact_parquet_splits_skewed_partition_value(spark, tmp_path):
     ]
     assert len(hot_files) > 1  # skewed value split toward target size
     assert len(cold_files) == 1  # tiny value fully compacted
-    assert spark.read.parquet(path).count() == rows_before
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before
+    assert after.agg(F.sum("k")).collect()[0][0] == ksum_before  # values intact
 
 
 def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
