@@ -1171,22 +1171,94 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_spectrum",
-    oracle=None,  # FFT features; physics-property test plants a pure
-    # tone and asserts the dominant bin, energy share, and centroid
+    # The numpy side computes an rFFT; the oracle recomputes the SAME
+    # spectrum as a naive O(N²) DFT over the replayed generator samples
+    # (trunc-quantized sine × Hann window, IEEE op order mirrored from
+    # the operator). FFT and naive DFT agree to ~1e-12 relative, far
+    # inside the 6-dp rounding; the dominant bin is tie-free by
+    # construction (freq·N/sr lands ≥0.004 bins away from any half-bin
+    # boundary over the generator's 100..999 Hz lattice, so adjacent-bin
+    # power gaps dwarf float noise). This cross-checks the REAL DSP
+    # output — window, transform, power spectrum, centroid math —
+    # against an independent from-scratch formulation.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 100 + CAST(doc_id % 900 AS INT) AS freq
+            FROM documents WHERE doc_id < 200
+        ),
+        s AS (
+            SELECT d.doc_id, g.n,
+                   (CAST(trunc(16383.5 * sin(((2*pi()) * d.freq)
+                                             * (CAST(g.n AS DOUBLE) / 8000)))
+                         AS INT) / 32767.0)
+                   * (0.5 - 0.5 * cos(((2.0*pi()) * g.n) / 1024)) AS f
+            FROM d CROSS JOIN generate_series(0, 1023) AS g(n)
+        ),
+        spec AS (
+            SELECT doc_id, k.k,
+                   sum(f * cos(((2*pi()) * k.k * s.n) / 1024)) AS re,
+                   sum(f * sin(((2*pi()) * k.k * s.n) / 1024)) AS im
+            FROM s CROSS JOIN generate_series(0, 512) AS k(k)
+            GROUP BY doc_id, k.k
+        ),
+        pw AS (SELECT doc_id, k, re*re + im*im AS p FROM spec),
+        agg AS (
+            SELECT doc_id,
+                   sum(p) AS total,
+                   sum((k * (1.0/(1024*(1.0/8000)))) * p) AS fpsum
+            FROM pw GROUP BY doc_id
+        ),
+        peak AS (
+            SELECT doc_id, k AS pk, p AS pmax
+            FROM pw
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY p DESC, k ASC) = 1
+        ),
+        cent AS (
+            SELECT a.doc_id, a.total, p.pk, p.pmax,
+                   a.fpsum / a.total AS centroid
+            FROM agg a JOIN peak p USING (doc_id)
+        )
+        SELECT c.doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               round(c.pk * (1.0/(1024*(1.0/8000))), 6) AS dominant_freq_hz,
+               round(c.centroid, 6) AS spectral_centroid_hz,
+               round(sqrt(sum(((k * (1.0/(1024*(1.0/8000)))) - c.centroid)
+                              * ((k * (1.0/(1024*(1.0/8000)))) - c.centroid)
+                              * p) / c.total), 6) AS spectral_bandwidth_hz,
+               round(c.pmax / c.total, 6) AS dominant_share
+        FROM pw JOIN cent c USING (doc_id)
+        GROUP BY c.doc_id, c.pk, c.centroid, c.pmax, c.total
+    """,
     tags=("multimodal", "audio", "fft"),
 )
 def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio screening features (dominant frequency,
     spectral centroid/bandwidth, dominant-bin energy share) via numpy
-    rFFT in Arrow batches — see operators/multimodal.extract_audio_spectrum."""
+    rFFT in Arrow batches — see operators/multimodal.extract_audio_spectrum.
+    Deterministic 200-doc subset (doc_id < 200, partition-prunable — not
+    a scan-order LIMIT); outputs rounded to 6 dp so the FFT-vs-naive-DFT
+    last-ulp divergence cannot surface in the compare."""
     from data_eng_project_spark.operators.multimodal import (
         attach_raw_audio,
         extract_audio_spectrum,
     )
 
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
-    return extract_audio_spectrum(attach_raw_audio(docs))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    spec = extract_audio_spectrum(attach_raw_audio(docs))
+    return spec.select(
+        "doc_id",
+        "sample_rate",
+        F.round("dominant_freq_hz", 6).alias("dominant_freq_hz"),
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("spectral_bandwidth_hz", 6).alias("spectral_bandwidth_hz"),
+        F.round("dominant_share", 6).alias("dominant_share"),
+    )
 
 
 _CMS_W, _CMS_D, _CMS_TOPK = 512, 4, 20
