@@ -102,46 +102,9 @@ def main() -> None:
     # build or the consumers' scan-not-recompute property shows up in
     # BENCH_rN.json, not just prose. Reported OUTSIDE `value` so the
     # headline total stays comparable across rounds.
-    import tempfile
-
     from data_eng_project_spark.pipelines import staging
 
-    stage_dir = tempfile.mkdtemp(prefix="bench_stage_")
-    prev_stage = os.environ.get("SPARK_GRAFT_STAGE_DIR")
-    os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_dir
-    try:
-        t0 = time.perf_counter()
-        staging.near_dup_pairs(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        staging.dup_components(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        cold_build = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        consumer_names = [
-            "dedup_canonical_keep",
-            "soft_dedup_weights",
-            "dup_graph_triangles",
-            "split_leakage_audit",
-            "pagerank_dup_docs",
-        ]
-        t0 = time.perf_counter()
-        for name in consumer_names:
-            if name in REGISTRY:
-                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                spark.catalog.clearCache()
-        warm_consumers = round(time.perf_counter() - t0, 3)
-    finally:
-        if prev_stage is None:
-            os.environ.pop("SPARK_GRAFT_STAGE_DIR", None)
-        else:
-            os.environ["SPARK_GRAFT_STAGE_DIR"] = prev_stage
-        import shutil
-
-        shutil.rmtree(stage_dir, ignore_errors=True)
+    staged_times = staging.timed_staged_run(spark, sf_dir)
 
     print(
         json.dumps(
@@ -153,9 +116,8 @@ def main() -> None:
                 "sf": sf_val,
                 "load_1min_at_start": round(load_at_start, 2),
                 "staged": {
-                    "cold_build_sec": cold_build,
-                    "warm_consumers_sec": warm_consumers,
-                    "consumers": 5,
+                    **staged_times,
+                    "consumers": len(staging.STAGED_CONSUMERS),
                 },
             }
         )

@@ -53,6 +53,69 @@ def write_full_refresh(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+# SQLStates that mean "relation does not exist" across the major
+# dialects: 42S02 (MySQL/SQLServer/ODBC), 42P01 (Postgres), 42704
+# (Db2 undefined name), S0002 (older SQLServer drivers).
+_TABLE_MISSING_SQLSTATES = frozenset({"42S02", "42P01", "42704", "S0002"})
+# Dialect messages that name the failure unambiguously even when the
+# SQLState is generic (Oracle raises ORA-00942 under SQLState 42000).
+_TABLE_MISSING_PHRASES = (
+    "table or view does not exist",  # Oracle ORA-00942
+    "no such table",  # SQLite
+)
+
+
+def _jdbc_errors(exc: Exception):
+    """Yield (sqlstate, message) down a JDBC failure's cause chain.
+
+    Handles both the raw py4j form (``java_exception`` attribute) and
+    PySpark's captured exceptions; every reflective call is guarded — a
+    probe failure we cannot introspect yields only its Python message
+    and will therefore be re-raised by the caller (the safe default)."""
+    yield None, str(exc)
+    jexc = getattr(exc, "java_exception", None)
+    seen = 0
+    while jexc is not None and seen < 16:  # cause chains are short; guard cycles
+        seen += 1
+        state, msg = None, None
+        try:
+            state = jexc.getSQLState()
+        except Exception:  # noqa: BLE001 — not a SQLException level
+            state = None
+        try:
+            msg = jexc.getMessage()
+        except Exception:  # noqa: BLE001
+            msg = None
+        yield state, msg
+        try:
+            jexc = jexc.getCause()
+        except Exception:  # noqa: BLE001
+            jexc = None
+
+
+def _jdbc_error_is_table_missing(exc: Exception, table: str) -> bool:
+    """True only for failures that unambiguously mean the TARGET TABLE
+    does not exist: a table-missing SQLState anywhere in the cause
+    chain, a dialect phrase reserved for missing relations, or a
+    missing-object message that names the table itself (which a
+    ClassNotFoundException for a JDBC driver or a missing COLUMN
+    message does not)."""
+    for state, msg in _jdbc_errors(exc):
+        if state in _TABLE_MISSING_SQLSTATES:
+            return True
+        m = (msg or "").lower()
+        if any(p in m for p in _TABLE_MISSING_PHRASES):
+            return True
+        if (
+            table.lower() in m
+            and ("not found" in m or "does not exist" in m or "doesn't exist" in m)
+            and "column" not in m
+            and "class" not in m
+        ):
+            return True
+    return False
+
+
 def write_jdbc_idempotent(
     df: DataFrame,
     url: str,
@@ -74,23 +137,24 @@ def write_jdbc_idempotent(
 
     props = properties or {}
     new = deterministic_dedup(df, [key])
-    # Two explicit probes instead of exception-message classification
-    # (ADVICE r4: "not found" substrings also match ClassNotFoundException
-    # for a missing JDBC driver or a key-column mismatch, while localized
-    # messages match nothing):
-    #   1. connectivity probe — SELECT 1, no table referenced. A failure
-    #      here is a driver/network/auth problem and MUST propagate:
-    #      silently skipping the anti-join would append duplicates into
-    #      the one sink whose contract is idempotency.
-    #   2. table probe — LIMIT-0 scan of the target. Failing only this,
-    #      with connectivity proven, is the legitimate first-write case.
+    # One dialect-portable probe (LIMIT-0 scan of the target — valid on
+    # engines without FROM-less SELECT, unlike a `SELECT 1` ping), with
+    # the failure CLASSIFIED rather than assumed: only a table-missing
+    # error (SQLState 42S02/42P01/... or an unambiguous message naming
+    # the table) means legitimate first write. Every other failure —
+    # missing JDBC driver class, auth/permission denial, network — MUST
+    # propagate: silently skipping the anti-join would append duplicates
+    # into the one sink whose contract is idempotency. (ADVICE r4 flagged
+    # bare "not found" substring matching; the r5 review flagged the
+    # opposite failure of treating ANY probe error as first-write.)
     reader = df.sparkSession.read.format("jdbc").option("url", url)
     for k, v in props.items():
         reader = reader.option(k, v)
-    reader.option("query", "SELECT 1 AS probe").load().collect()
     try:
         reader.option("query", f"SELECT * FROM {table} WHERE 1=0").load()
-    except Exception:  # noqa: BLE001 — connectivity already proven above
+    except Exception as exc:  # noqa: BLE001 — classified below, re-raised if unknown
+        if not _jdbc_error_is_table_missing(exc, table):
+            raise
         table_exists = False
     else:
         table_exists = True
@@ -228,7 +292,10 @@ def _rewrite_partitioned_sized(
     each partition value gets ceil(its bytes on disk / target_bytes) salt
     buckets, so compaction caps file sizes inside skewed values instead
     of re-accreting one file per value (ADVICE r4). Deterministic salt
-    (xxhash64 of the data columns), partition pruning untouched."""
+    (xxhash64 of the hashable data columns — map-typed columns are
+    excluded from the salt, and a table with no hashable data column
+    degrades to the plain layout-preserving rewrite rather than
+    failing), partition pruning untouched."""
     import math
 
     from pyspark.sql import functions as F
@@ -242,7 +309,25 @@ def _rewrite_partitioned_sized(
     buckets = [
         vals + (max(1, math.ceil(b / target_bytes)),) for vals, b in sizes.items()
     ]
-    data_cols = [c for c in df.columns if c not in part_cols]
+    # Spark's hash expressions reject MapType anywhere in the input type,
+    # so salt only on hashable data columns — a map-typed attrs column
+    # must not break compaction of an otherwise ordinary table.
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    data_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in part_cols and _hashable(f.dataType)
+    ]
     if not buckets or not data_cols:
         # No measurable files (nothing to size against) or a table that
         # is ONLY partition columns (no data column to salt on): plain

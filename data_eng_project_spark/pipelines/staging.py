@@ -57,10 +57,25 @@ def _op_fingerprint(*ops) -> str:
     change can never leave stale artifacts valid (the failure mode a
     memory-dependent manual version constant allows). Comment-only edits
     also rotate the key — a few seconds of rebuild, bought for the
-    guarantee."""
+    guarantee.
+
+    The digest covers the operator's own source AND its defining source
+    FILE in full: the motivating round-4 bug class (a fix inside a
+    same-module callee such as ``_verified_jaccard`` changing
+    ``ngram_jaccard_pairs`` output while the named function's bytes stay
+    identical) must rotate the key too. Cross-module callees are the
+    remaining blind spot; staged producers keep their helper chain in
+    their own module by convention."""
     h = hashlib.md5()
+    hashed_files = set()
     for op in ops:
+        h.update(getattr(op, "__qualname__", repr(op)).encode())
         h.update(inspect.getsource(op).encode())
+        src_file = inspect.getsourcefile(op)
+        if src_file and src_file not in hashed_files:
+            hashed_files.add(src_file)
+            with open(src_file, "rb") as f:
+                h.update(f.read())
     return h.hexdigest()[:12]
 
 
@@ -153,6 +168,58 @@ def near_dup_pairs(
         pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=n, threshold=threshold)
         materialize_once(pairs, path)
     return spark.read.parquet(path).select("id_a", "id_b", "jaccard")
+
+
+# The five registry consumers of the staged pair graph — the single
+# source of truth for every tool that times the staged path (bench.py's
+# `staged` group, tools/scale_probe.py's `staged` pseudo-query). One
+# list, so a consumer rename cannot drift between the two harnesses.
+STAGED_CONSUMERS = (
+    "dedup_canonical_keep",
+    "soft_dedup_weights",
+    "dup_graph_triangles",
+    "split_leakage_audit",
+    "pagerank_dup_docs",
+)
+
+
+def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Time the staged pair-graph path in a FRESH throwaway stage dir:
+    cold build (pair graph + components materialization) then the five
+    warm consumers reading the stage. Returns
+    {"cold_build_sec": ..., "warm_consumers_sec": ...}. Restores
+    $SPARK_GRAFT_STAGE_DIR and removes the temp dir on exit; unknown
+    consumer names raise (a silent skip would report a fake speedup)."""
+    import time
+
+    from data_eng_project_spark.plans import REGISTRY
+
+    missing = [q for q in STAGED_CONSUMERS if q not in REGISTRY]
+    if missing:
+        raise KeyError(f"staged consumers missing from REGISTRY: {missing}")
+    stage_dir = tempfile.mkdtemp(prefix="staged_bench_")
+    prev = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_dir
+    try:
+        t0 = time.perf_counter()
+        for build in (near_dup_pairs, dup_components):
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        for name in STAGED_CONSUMERS:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+        warm = round(time.perf_counter() - t0, 3)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_STAGE_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_STAGE_DIR"] = prev
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return {"cold_build_sec": cold, "warm_consumers_sec": warm}
 
 
 def dup_components(

@@ -689,7 +689,12 @@ def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound — mg_count ∈ [exact − floor, exact]. The query publishes the
     # exact counts plus a genuinely measured bound-check boolean; DuckDB
     # recomputes the exact top-20 independently and asserts the bound
-    # held. (Convergence/eviction behavior at adversarial cardinalities
+    # held. Detectability is a DATA property of the graded corpora, not
+    # a theorem — test_heavy_hitters_oracle_detectability_margin pins a
+    # 2x safety margin at both graded SFs so a skew-flattening testdata
+    # regeneration fails in pytest with a clear message instead of
+    # surfacing as a driver mismatch on a correct pipeline.
+    # (Convergence/eviction behavior at adversarial cardinalities
     # stays pytest-pinned in tests/test_streaming.py.)
     oracle="""
         SELECT user_id,

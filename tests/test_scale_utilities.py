@@ -348,3 +348,47 @@ def test_prepare_restores_arrow_batch_default(spark):
     assert (
         spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "10000"
     )
+
+
+def test_compact_parquet_handles_map_columns(spark, tmp_path):
+    """Regression (r5 review): the sized-compaction salt is xxhash64 of
+    the data columns, but Spark's hash functions reject MapType — a
+    partitioned table carrying a map attrs column must still compact
+    (salting on the hashable columns only), not fail analysis."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.sink import compact_parquet
+
+    path = str(tmp_path / "map_tbl")
+    df = (
+        spark.range(0, 2000)
+        .select(
+            (F.col("id") % 3).alias("part"),
+            F.col("id").alias("v"),
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+        )
+    )
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    compact_parquet(spark, path, target_file_mb=128)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    # values (including the map payload) survive the rewrite
+    assert back.selectExpr("sum(v)").first()[0] == sum(range(2000))
+    assert back.filter(F.col("attrs")["k"] == "7").count() == 1
+
+
+def test_compact_parquet_map_only_data_column(spark, tmp_path):
+    """A table whose ONLY data column is a map degrades to the plain
+    layout-preserving rewrite (no salt available) instead of failing."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.sink import compact_parquet
+
+    path = str(tmp_path / "map_only_tbl")
+    df = spark.range(0, 500).select(
+        (F.col("id") % 2).alias("part"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+    )
+    df.repartition(4).write.partitionBy("part").parquet(path)
+    compact_parquet(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == 500

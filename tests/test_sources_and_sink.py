@@ -329,3 +329,67 @@ def test_run_available_now_leaves_no_temp_view(spark, tmp_path):
     out = run_available_now(hourly_counts_stream(stream), name)
     assert out.count() > 0  # result survives the view drop (checkpointed)
     assert not any(t.name == name for t in spark.catalog.listTables())
+
+
+class _FakeJavaExc:
+    """Duck-typed stand-in for a py4j java exception chain node."""
+
+    def __init__(self, state=None, message=None, cause=None):
+        self._state, self._message, self._cause = state, message, cause
+
+    def getSQLState(self):
+        return self._state
+
+    def getMessage(self):
+        return self._message
+
+    def getCause(self):
+        return self._cause
+
+
+class _FakePy4JError(Exception):
+    def __init__(self, java_exception):
+        super().__init__("An error occurred while calling o1.load.")
+        self.java_exception = java_exception
+
+
+def test_jdbc_table_missing_classifier():
+    """Regression (r5 review): write_jdbc_idempotent must treat ONLY a
+    genuine missing-table probe failure as 'first write'. A permission
+    denial, missing JDBC driver class, or column mismatch must re-raise
+    — classifying them as first-write would skip the anti-join and
+    append duplicates into the idempotent sink."""
+    from data_eng_project_spark.operators.sink import _jdbc_error_is_table_missing
+
+    missing = [
+        _FakePy4JError(_FakeJavaExc(state="42P01", message='relation "t" does not exist')),
+        _FakePy4JError(_FakeJavaExc(state="42S02", message="Table 'db.t' doesn't exist")),
+        _FakePy4JError(  # nested cause carries the state
+            _FakeJavaExc(message="Job aborted", cause=_FakeJavaExc(state="42S02"))
+        ),
+        _FakePy4JError(_FakeJavaExc(state="42000", message="ORA-00942: table or view does not exist")),
+        _FakePy4JError(_FakeJavaExc(message="no such table: t")),
+        _FakePy4JError(_FakeJavaExc(message="Invalid object name 't'. SQLState: S0002", state="S0002")),
+    ]
+    for exc in missing:
+        assert _jdbc_error_is_table_missing(exc, "t"), exc.java_exception._message
+
+    not_missing = [
+        _FakePy4JError(_FakeJavaExc(state="42501", message="permission denied for table t")),
+        _FakePy4JError(_FakeJavaExc(message="java.lang.ClassNotFoundException: org.h2.Driver not found")),
+        _FakePy4JError(_FakeJavaExc(state="42703", message='column "t" not found')),
+        _FakePy4JError(_FakeJavaExc(message="Connection refused: connect")),
+        _FakePy4JError(_FakeJavaExc(message="login timed out")),
+        Exception("plain python failure, no java_exception at all"),
+    ]
+    for exc in not_missing:
+        assert not _jdbc_error_is_table_missing(exc, "t")
+
+
+def test_jdbc_cycle_guarded_cause_chain():
+    """A pathological self-referencing cause chain must terminate."""
+    from data_eng_project_spark.operators.sink import _jdbc_error_is_table_missing
+
+    node = _FakeJavaExc(message="boom")
+    node._cause = node  # cycle
+    assert not _jdbc_error_is_table_missing(_FakePy4JError(node), "t")

@@ -120,3 +120,38 @@ def test_near_dedup_stage_staged_equals_recompute(spark, sf_dir, stage_dir):
     assert a == b and len(a) > 0
     # and the subset genuinely dropped near-dup members
     assert len(a) < docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 5).count()
+
+
+def test_stage_key_tracks_same_module_helpers(sf_dir, tmp_path):
+    """Regression (r5 review): the round-4 bug class one level down — a
+    semantic change inside a SAME-MODULE callee (e.g. _verified_jaccard)
+    while the named operator's own source stays byte-identical must
+    still rotate the stage key."""
+    import importlib.util
+    import sys
+
+    def _load(name: str, helper_body: str):
+        src = (
+            f"def _helper(x):\n    return {helper_body}\n\n\n"
+            "def op(df):\n    return _helper(df)\n"
+        )
+        p = tmp_path / f"{name}.py"
+        p.write_text(src)
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        try:
+            spec.loader.exec_module(mod)
+            return mod.op
+        finally:
+            sys.modules.pop(name, None)
+
+    op_a = _load("stagemod_a", "x")
+    op_b = _load("stagemod_b", "x.distinct()")
+    # op() is byte-identical in both modules; only the helper differs.
+    import inspect
+
+    assert inspect.getsource(op_a) == inspect.getsource(op_b)
+    assert staging.stage_path("k", sf_dir, _ops=(op_a,), n=3) != staging.stage_path(
+        "k", sf_dir, _ops=(op_b,), n=3
+    )

@@ -3,6 +3,7 @@ and windowed aggregations whose AvailableNow result equals batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_eng_project_spark.streaming.incremental import (
@@ -559,3 +560,44 @@ def test_dedup_index_resume_appends_beside_compacted_base(spark, tmp_path):
     write_index_delta(delta_docs, batch_id=0, index_dir=compacted)
     again = {(r["id"], r["band"], r["bucket"]) for r in read_index(spark, compacted).collect()}
     assert again == merged
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_heavy_hitters_oracle_detectability_margin(spark, sf):
+    """Regression (r5 review): the streaming_heavy_hitters oracle relies
+    on a DATA property, not an MG theorem — every true global-top-20
+    user must survive its shard's Misra-Gries summary, i.e. its exact
+    count must exceed N_shard/(capacity+1). Pin that property (with a 2x
+    safety margin) on both graded corpora, so a testdata regeneration
+    that flattens the skew fails HERE with a clear message instead of
+    surfacing as a driver hash mismatch on a correct pipeline."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.session import prepare
+    from data_eng_project_spark.streaming.stateful import MG_CAPACITY, N_SHARDS
+    from data_eng_project_spark.tables import load_table
+
+    prepare(spark)
+    events = load_table(spark, f"/root/testdata/{sf}", "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    shard_n = (
+        events.groupBy((F.col("user_id") % N_SHARDS).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_shard"))
+    )
+    top20 = (
+        per_user.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(20)
+        .withColumn("shard", F.col("user_id") % N_SHARDS)
+        .join(shard_n, on="shard")
+        .collect()
+    )
+    # sf0.001 has only 15 distinct users — the "top 20" is then everyone.
+    assert 0 < len(top20) <= 20
+    for r in top20:
+        floor = r["n_shard"] / (MG_CAPACITY + 1)
+        assert r["n"] > 2 * floor, (
+            f"user {r['user_id']}: count {r['n']} within 2x of the MG "
+            f"eviction floor {floor:.1f} — the exact-top-20 oracle for "
+            "streaming_heavy_hitters is no longer safely implied by MG "
+            "detectability on this corpus"
+        )

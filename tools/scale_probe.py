@@ -107,47 +107,13 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"{spec.name}: {times[spec.name]}s", flush=True)
     if only and "staged" in only:
-        import shutil
-        import tempfile
-
         from data_eng_project_spark.pipelines import staging
 
-        stage_dir = tempfile.mkdtemp(prefix=f"scale_probe_stage_x{n}_")
-        prev = os.environ.get("SPARK_GRAFT_STAGE_DIR")
-        os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_dir
-        try:
-            t0 = time.perf_counter()
-            staging.near_dup_pairs(spark, out_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            staging.dup_components(spark, out_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times["staged_cold_build"] = round(time.perf_counter() - t0, 2)
-            print(f"staged_cold_build: {times['staged_cold_build']}s", flush=True)
-            t0 = time.perf_counter()
-            for name in (
-                "dedup_canonical_keep",
-                "soft_dedup_weights",
-                "dup_graph_triangles",
-                "split_leakage_audit",
-                "pagerank_dup_docs",
-            ):
-                REGISTRY[name].fn(spark, out_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                spark.catalog.clearCache()
-            times["staged_warm_consumers"] = round(time.perf_counter() - t0, 2)
-            print(
-                f"staged_warm_consumers: {times['staged_warm_consumers']}s",
-                flush=True,
-            )
-        finally:
-            if prev is None:
-                os.environ.pop("SPARK_GRAFT_STAGE_DIR", None)
-            else:
-                os.environ["SPARK_GRAFT_STAGE_DIR"] = prev
-            shutil.rmtree(stage_dir, ignore_errors=True)
+        staged = staging.timed_staged_run(spark, out_dir)
+        times["staged_cold_build"] = staged["cold_build_sec"]
+        times["staged_warm_consumers"] = staged["warm_consumers_sec"]
+        print(f"staged_cold_build: {times['staged_cold_build']}s", flush=True)
+        print(f"staged_warm_consumers: {times['staged_warm_consumers']}s", flush=True)
     print({"total": round(sum(times.values()), 2), "n": n, "queries": times})
 
 
