@@ -725,24 +725,50 @@ def attach_noise_grouped_images(
     df: DataFrame, id_col: str = "doc_id", groups: int = 100, noise_pixels: int = 4
 ) -> DataFrame:
     """Mint near-duplicate test images: rows sharing ``doc_id % groups``
-    get the same seeded random base image, then ``noise_pixels`` pixels
-    are perturbed per individual id — same-group pairs are perceptual
-    near-dups, cross-group pairs are unrelated noise. Executor-side via
-    mapInPandas like the other attach_* fakes."""
+    get the same deterministic pseudo-random base image, then
+    ``noise_pixels`` pixels are perturbed per individual id — same-group
+    pairs are perceptual near-dups, cross-group pairs are unrelated
+    noise. Executor-side via mapInPandas like the other attach_* fakes.
+
+    Pixels are sha256-derived (closed form, no numpy RNG) so any engine
+    can replay them — the multimodal_phash_dups oracle re-derives the
+    exact images in SQL:
+    - base pixel (channel c, row y, col x) of group g is byte ``x % 32``
+      of ``sha256("p:{g}:{c}:{y}:{x // 32}")``;
+    - noise pixel i of doc d uses ``digest = sha256("n:{d}:{i}")``:
+      row ``(digest[0]·256+digest[1]) % h``, col
+      ``(digest[2]·256+digest[3]) % w``, RGB ``digest[4..6]`` —
+      applied in order of i, so on a collision the LAST write wins."""
+    import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict[int, "np.ndarray"] = {}
         for pdf in it:
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
                 g = int(doc_id) % groups
                 w = 40 + g % 17
                 h = 40 + g % 13
-                rng = np.random.RandomState(1000 + g)
-                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-                jit = np.random.RandomState(int(doc_id))
-                for _ in range(noise_pixels):
-                    y, x = jit.randint(0, h), jit.randint(0, w)
-                    img[y, x] = jit.randint(0, 256, size=3)
+                if g not in base_cache:
+                    chans = []
+                    for c in range(3):
+                        rows = []
+                        for y in range(h):
+                            buf = b"".join(
+                                hashlib.sha256(
+                                    f"p:{g}:{c}:{y}:{xb}".encode()
+                                ).digest()
+                                for xb in range((w + 31) // 32)
+                            )
+                            rows.append(np.frombuffer(buf[:w], dtype=np.uint8))
+                        chans.append(np.stack(rows))
+                    base_cache[g] = np.stack(chans, axis=-1)
+                img = base_cache[g].copy()
+                for i in range(noise_pixels):
+                    d = hashlib.sha256(f"n:{int(doc_id)}:{i}".encode()).digest()
+                    y = (d[0] * 256 + d[1]) % h
+                    x = (d[2] * 256 + d[3]) % w
+                    img[y, x] = (d[4], d[5], d[6])
                 ids.append(doc_id)
                 payloads.append(encode_raw_image(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

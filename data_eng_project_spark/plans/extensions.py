@@ -546,11 +546,169 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, f"mem_enrich_{uuid.uuid4().hex[:8]}")
 
 
+def _hexbyte_at(h: str, pos: str) -> str:
+    """Like _hexbyte but with a 0-based byte index EXPRESSION — needed
+    when the byte offset varies per row (pixel replay)."""
+    c1 = f"substr({h}, 2*({pos})+1, 1)"
+    c2 = f"substr({h}, 2*({pos})+2, 1)"
+    hexd = "'0123456789abcdef'"
+    return f"((strpos({hexd},{c1})-1)*16 + (strpos({hexd},{c2})-1))"
+
+
+def _dct_basis_sql(k: str, i: str) -> str:
+    """SQL replica of operators/multimodal._dct_basis entry B[k, i]:
+    cos(pi·(2i+1)·k / (2·32))·sqrt(2/32), row 0 divided by sqrt(2) —
+    same op order as the numpy expression."""
+    core = f"cos(((pi() * (2*({i})+1)) * ({k})) / 64) * sqrt(2.0/32)"
+    return f"(CASE WHEN ({k}) = 0 THEN ({core}) / sqrt(2.0) ELSE {core} END)"
+
+
+def _phash_chan_sql(c: int) -> str:
+    """Base-image channel byte of group g at (gy.y, gx.x): byte x%32 of
+    sha256('p:{g}:{c}:{y}:{x//32}') — the generator's closed form."""
+    h = f"sha256(concat('p:', grp.g, ':{c}:', gy.y, ':', gx.x // 32))"
+    return _hexbyte_at(h, "gx.x % 32")
+
+
+# Full cross-engine replay of the pHash pipeline. Everything up to the
+# DCT is bit-exact by construction: sha256 pixels, the luma weights CAST
+# TO DOUBLE (bare 0.299 literals are DECIMAL in DuckDB and round the
+# 176.999... knife-edge cases the other way), and the bilinear kernel
+# mirrored op-for-op from numpy (same xs/fx formation, same half-to-even
+# rounding) so the 32×32 resample is integer-identical. The DCT sums are
+# only ~1e-12-identical (BLAS vs SQL summation order), which the
+# median-threshold absorbs: coefficient gaps around the median are many
+# orders above float noise, and the median ELEMENT itself is compared
+# against the very value row_number selected — inside ONE window
+# pipeline, so DuckDB cannot re-evaluate the CTE with a different
+# parallel summation order for the comparison than for the median (that
+# re-evaluation flipped ~half the hashes by one bit until the window
+# form pinned it). Final hashes are integers, so pairs + Hamming match
+# exactly or not at all.
+_PHASH_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 100 AS INT) AS g
+        FROM documents
+    ),
+    grp AS (
+        SELECT DISTINCT g, 40 + g % 17 AS w, 40 + g % 13 AS h FROM d
+    ),
+    base AS (
+        SELECT grp.g, grp.w, grp.h, gy.y, gx.x,
+               {_phash_chan_sql(0)} AS r,
+               {_phash_chan_sql(1)} AS gg,
+               {_phash_chan_sql(2)} AS b
+        FROM grp
+        CROSS JOIN generate_series(0, 51) AS gy(y)
+        CROSS JOIN generate_series(0, 55) AS gx(x)
+        WHERE gy.y < grp.h AND gx.x < grp.w
+    ),
+    nz AS (
+        SELECT d.doc_id, d.g, gi.i, grp.w, grp.h,
+               sha256(concat('n:', d.doc_id, ':', gi.i)) AS hh
+        FROM d JOIN grp USING (g)
+        CROSS JOIN generate_series(0, 3) AS gi(i)
+    ),
+    noise AS (
+        SELECT doc_id, i,
+               ({_hexbyte_at('hh', '0')}*256 + {_hexbyte_at('hh', '1')}) % h AS y,
+               ({_hexbyte_at('hh', '2')}*256 + {_hexbyte_at('hh', '3')}) % w AS x,
+               {_hexbyte_at('hh', '4')} AS r,
+               {_hexbyte_at('hh', '5')} AS gg,
+               {_hexbyte_at('hh', '6')} AS b
+        FROM nz
+    ),
+    ovr AS (
+        SELECT doc_id, y, x,
+               arg_max(r, i) AS r, arg_max(gg, i) AS gg, arg_max(b, i) AS b
+        FROM noise GROUP BY doc_id, y, x
+    ),
+    gray AS (
+        SELECT d.doc_id, bp.y, bp.x, bp.w, bp.h,
+               CAST(floor(CAST(0.299 AS DOUBLE) * coalesce(o.r, bp.r)
+                          + CAST(0.587 AS DOUBLE) * coalesce(o.gg, bp.gg)
+                          + CAST(0.114 AS DOUBLE) * coalesce(o.b, bp.b))
+                    AS INT) AS v
+        FROM d JOIN base bp USING (g)
+        LEFT JOIN ovr o ON o.doc_id = d.doc_id AND o.y = bp.y AND o.x = bp.x
+    ),
+    rs AS (
+        SELECT g2.doc_id, g2.w, g2.h, gx.ox, gy.oy,
+               (gx.ox + 0.5) * (CAST(g2.w AS DOUBLE) / 32) - 0.5 AS xs,
+               (gy.oy + 0.5) * (CAST(g2.h AS DOUBLE) / 32) - 0.5 AS ys
+        FROM (SELECT DISTINCT doc_id, w, h FROM gray) g2
+        CROSS JOIN generate_series(0, 31) AS gx(ox)
+        CROSS JOIN generate_series(0, 31) AS gy(oy)
+    ),
+    gat AS (
+        SELECT doc_id, w, h, ox, oy,
+               least(greatest(CAST(floor(xs) AS BIGINT), 0), w - 1) AS x0,
+               least(greatest(CAST(floor(ys) AS BIGINT), 0), h - 1) AS y0,
+               least(least(greatest(CAST(floor(xs) AS BIGINT), 0), w - 1) + 1,
+                     w - 1) AS x1,
+               least(least(greatest(CAST(floor(ys) AS BIGINT), 0), h - 1) + 1,
+                     h - 1) AS y1,
+               least(greatest(
+                   xs - least(greatest(CAST(floor(xs) AS BIGINT), 0), w - 1),
+                   0.0), 1.0) AS fx,
+               least(greatest(
+                   ys - least(greatest(CAST(floor(ys) AS BIGINT), 0), h - 1),
+                   0.0), 1.0) AS fy
+        FROM rs
+    ),
+    small AS (
+        SELECT r.doc_id, r.oy, r.ox,
+               least(greatest({_rint_he(
+                   '((p00.v*(1-r.fx) + p01.v*r.fx) * (1-r.fy)'
+                   ' + (p10.v*(1-r.fx) + p11.v*r.fx) * r.fy)')}, 0), 255) AS v
+        FROM gat r
+        JOIN gray p00 ON p00.doc_id = r.doc_id AND p00.y = r.y0 AND p00.x = r.x0
+        JOIN gray p01 ON p01.doc_id = r.doc_id AND p01.y = r.y0 AND p01.x = r.x1
+        JOIN gray p10 ON p10.doc_id = r.doc_id AND p10.y = r.y1 AND p10.x = r.x0
+        JOIN gray p11 ON p11.doc_id = r.doc_id AND p11.y = r.y1 AND p11.x = r.x1
+    ),
+    dct AS (
+        SELECT s.doc_id, u.u, v.v,
+               sum({_dct_basis_sql('u.u', 's.oy')} * CAST(s.v AS DOUBLE)
+                   * {_dct_basis_sql('v.v', 's.ox')}) AS coef
+        FROM small s
+        CROSS JOIN generate_series(0, 7) AS u(u)
+        CROSS JOIN generate_series(0, 7) AS v(v)
+        GROUP BY s.doc_id, u.u, v.v
+    ),
+    blk AS (
+        SELECT doc_id, (u * 8 + v) AS idx8, coef
+        FROM dct WHERE NOT (u = 0 AND v = 0)
+    ),
+    ranked AS (
+        SELECT doc_id, idx8, coef,
+               row_number() OVER (PARTITION BY doc_id ORDER BY coef, idx8) AS rn
+        FROM blk
+    ),
+    wm AS (
+        SELECT doc_id, idx8, coef,
+               max(CASE WHEN rn = 32 THEN coef END)
+                   OVER (PARTITION BY doc_id) AS m
+        FROM ranked
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN coef > m
+                             THEN (CAST(1 AS BIGINT) << (idx8 - 1))
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM wm GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    ORDER BY id_a, id_b
+"""
+
+
 @register(
     "multimodal_phash_dups",
-    oracle=None,  # DCT over minted pixels has no SQL twin; hash physics
-    # (noise invariance, cross-group separation, band-join exactness)
-    # are pinned by tests/test_multimodal_phash.py
+    oracle=_PHASH_ORACLE,
     tags=("multimodal", "image", "dedup"),
 )
 def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +718,12 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming ≤ 6 via the generic pigeonhole band join — the
     image-modality column of the dedup matrix. Scale: hashing is
     map-only; candidates come from an 8-band equi-join, never
-    all-pairs."""
+    all-pairs. The oracle replays the sha256 closed-form pixels, luma,
+    bilinear 32×32, DCT, median threshold, and Hamming pairing in SQL
+    (all-pairs there — sound because the band join is exact for
+    max_hamming ≤ n_bands−1), so the whole image pipeline is
+    cross-engine verified; band-join physics stay pinned by
+    tests/test_multimodal_phash.py."""
     from data_eng_project_spark.operators.dedup import fingerprint_hamming_pairs
     from data_eng_project_spark.operators.multimodal import (
         attach_noise_grouped_images,
