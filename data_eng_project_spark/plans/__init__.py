@@ -56,14 +56,15 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # tests/test_oracle_parity.py + tools/driver_audit.py every session.
 #
 # Round-6 queue, in priority order:
-#   1. The five conversions that landed after this window filled —
+#   1. The six conversions that landed after this window filled —
 #      video_scene_cuts (closed-form multi-scene replay),
 #      streaming_heavy_hitters (exact-top-20 + MG bound contract),
 #      multimodal_resize_raw (IEEE-exact SQL bilinear kernel),
 #      multimodal_audio_spectrum (naive-DFT spectrum replay),
 #      multimodal_phash_dups (sha256-pixel + bilinear + DCT + median
-#      + Hamming full-pipeline replay) — all oracle-backed, never
-#      graded.
+#      + Hamming full-pipeline replay),
+#      similarity_ann_lsh (LCG-hyperplane + band-arithmetic replay) —
+#      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
 #   3. The last ~15 never-graded queries are rows-only by NATURE

@@ -403,12 +403,67 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # approximate; recall vs brute force asserted in tests/
+    # Full deterministic replay: the hyperplanes are an LCG recurrence
+    # (operators/similarity._hyperplanes — state·1103515245+12345 mod
+    # 2^31, seed 42, value state/2^30 − 1, all exact in doubles), so the
+    # oracle regenerates all 16×64 plane components with a recursive CTE
+    # and recomputes every signature bit (sign of the plane dot product;
+    # an unordered SQL sum vs Spark's sequential fold differs ~1e-16,
+    # astronomically inside the O(0.1) |dot| scale, so signs agree).
+    # Candidates replicate the band join arithmetically: bands are bits
+    # [0,5)/[5,10)/[10,15) of the signature (bit 15 unused — width =
+    # 16//3), a pair is a candidate iff some band of sig_a XOR sig_b is
+    # zero. Exact-cosine re-rank reuses the proven
+    # list_cosine_similarity-at-6dp formulation.
+    oracle=f"""
+        WITH RECURSIVE lcg(step, state) AS (
+            SELECT 0, CAST(42 AS BIGINT)
+            UNION ALL
+            SELECT step + 1, (1103515245 * state + 12345) % 2147483648
+            FROM lcg WHERE step < 1024
+        ),
+        pl AS (
+            SELECT (step - 1) // 64 AS i, (step - 1) % 64 AS j,
+                   CAST(state AS DOUBLE) / 1073741824.0 - 1.0 AS p
+            FROM lcg WHERE step >= 1
+        ),
+        vx AS (
+            SELECT vec_id, g.j, CAST(embedding[g.j + 1] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(0, 63) AS g(j)
+        ),
+        dots AS (
+            SELECT vx.vec_id, pl.i, sum(vx.x * pl.p) AS d
+            FROM vx JOIN pl USING (j) GROUP BY vx.vec_id, pl.i
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                                 ELSE 0 END) AS BIGINT) AS sig
+            FROM dots GROUP BY vec_id
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])),
+                     6) AS cosine
+        FROM sigs a
+        JOIN sigs b ON a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ((xor(a.sig, b.sig) & 31) = 0
+            OR ((xor(a.sig, b.sig) >> 5) & 31) = 0
+            OR ((xor(a.sig, b.sig) >> 10) & 31) = 0)
+          AND round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])),
+                    6) >= {COSINE_DUP_THRESHOLD}
+    """,
     tags=("similarity", "ann", "lsh"),
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs with exact cosine
-    re-rank — the scale path for similarity search."""
+    re-rank — the scale path for similarity search. Oracle-backed end to
+    end (LCG hyperplane replay + band-membership arithmetic + exact
+    cosine); recall vs brute force stays asserted in tests/."""
     prepare(spark)
     return S.lsh_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"),
