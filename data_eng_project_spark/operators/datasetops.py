@@ -346,10 +346,18 @@ def chunk_documents(
     Returns (id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
     chunk_hash).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        # size(NULL) is -1 under the session's non-ANSI mode, and -1<=w
+        # would take the one-chunk branch and emit a garbage row
+        # (end_tok=-1, NULL hash) for a NULL document — drop NULL texts
+        # instead, matching the oracle's empty generate_series.
+        .filter(F.col("n") >= 1)
+    )
     w, s = int(window), int(stride)
     n_chunks = F.when(F.col("n") <= w, F.lit(1)).otherwise(
         F.expr(f"(n - {w} + {s} - 1) div {s}") + 1

@@ -20,6 +20,57 @@ from data_eng_project_spark.tables import load_table
 _DEC = "decimal(28,6)"
 
 
+def _funnel_stage_times(ev: DataFrame):
+    """The ordered view→click→purchase stage chain shared by
+    funnel_conversion and funnel_time_to_convert — ONE definition so the
+    conversion counts and the time-to-convert quartiles can never
+    describe different funnels. Each stage is the per-user min timestamp
+    of the stage event STRICTLY AFTER the user's previous-stage time;
+    three groupBys chained by equi-joins on user_id, so every stage
+    shuffles on the same key and AQE reuses the partitioning."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return v, c, p
+
+
+def _attribution_touches(events: DataFrame, ts_alias: str = "ts") -> DataFrame:
+    """The touch universe shared by the three attribution models (last-
+    touch, first-touch, time-decay): one row per (user, ts) click/view
+    touchpoint, channel = max(event_type) on exact-timestamp ties. One
+    definition so the models can never attribute over inconsistent
+    touch sets."""
+    return (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+        .select("user_id", F.col("ts").alias(ts_alias), "touch_type")
+    )
+
+
+def _attribution_purchases(events: DataFrame, ts_alias: str = "ts") -> DataFrame:
+    """The purchase set the attribution models credit."""
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias(ts_alias), "value"
+    )
+
+
 @register(
     "funnel_conversion",
     headline=True,
@@ -55,25 +106,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are one-row aggregates."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
+    v, c, p = _funnel_stage_times(ev)
     return (
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
         .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))))
@@ -730,15 +763,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    touches = (
-        events.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_type").alias("touch_type"))
-        .withColumn("touch_ts", F.col("ts"))
-    )
-    purch = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    touches = _attribution_touches(events).withColumn("touch_ts", F.col("ts"))
+    purch = _attribution_purchases(events)
     att = asof_join(
         purch, touches, on="user_id", left_ts="ts", right_ts="ts",
         payload_cols=["touch_type", "touch_ts"],
@@ -886,15 +912,8 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     its channel in one pass; 'none' when the window is empty."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    touches = (
-        events.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_type").alias("touch_type"))
-        .select("user_id", F.col("ts").alias("tts"), "touch_type")
-    )
-    purch = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    touches = _attribution_touches(events, ts_alias="tts")
+    purch = _attribution_purchases(events)
     joined = purch.join(
         touches,
         (purch["user_id"] == touches["user_id"])
@@ -1108,15 +1127,8 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit term is pure IEEE arithmetic on identical inputs."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
-    touches = (
-        events.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_type").alias("touch_type"))
-        .select("user_id", F.col("ts").alias("tts"), "touch_type")
-    )
-    purch = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("pts"), "value"
-    )
+    touches = _attribution_touches(events, ts_alias="tts")
+    purch = _attribution_purchases(events, ts_alias="pts")
     gap_us = F.unix_micros("pts") - F.unix_micros("tts")
     joined = purch.join(
         touches,
@@ -1357,25 +1369,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     converting user)."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, on="user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, on="user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
+    v, c, p = _funnel_stage_times(ev)
     d = p.join(v, on="user_id").select(
         (
             (F.unix_micros("tp") - F.unix_micros("tv")) / F.lit(60000000.0)

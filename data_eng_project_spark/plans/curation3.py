@@ -34,7 +34,11 @@ from data_eng_project_spark.operators.datasetops import (
     cdc_chunk_stats,
 )
 from data_eng_project_spark.plans.registry import register
-from data_eng_project_spark.plans.textdata import _NGRAM_CTES, JACCARD_THRESHOLD
+from data_eng_project_spark.plans.textdata import (
+    _COMPONENT_CTES,
+    _NGRAM_CTES,
+    JACCARD_THRESHOLD,
+)
 from data_eng_project_spark.session import prepare
 from data_eng_project_spark.tables import load_table
 
@@ -230,17 +234,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "soft_dedup_weights",
     oracle=f"""
-        WITH RECURSIVE {_NGRAM_CTES},
-        sym AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-            SELECT src, dst FROM sym
-            UNION
-            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-        ),
+        WITH RECURSIVE {_NGRAM_CTES},{_COMPONENT_CTES},
         comp AS (
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src
@@ -485,17 +479,7 @@ def _release_oracle() -> str:
             JOIN canon ON d.doc_id = canon.keep_id
             JOIN feat ON feat.doc_id = d.doc_id
             WHERE feat.lang_pred = 'en' AND feat.n_words >= 20
-        ), {_clean_ngram_ctes()},
-        sym AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-            SELECT src, dst FROM sym
-            UNION
-            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-        ),
+        ), {_clean_ngram_ctes()},{_COMPONENT_CTES},
         comp AS (
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src

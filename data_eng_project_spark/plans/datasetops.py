@@ -33,9 +33,13 @@ from data_eng_project_spark.operators.datasetops import (
     transition_matrix,
 )
 from data_eng_project_spark.plans.registry import register
-from data_eng_project_spark.plans.textdata import _NGRAM_CTES, JACCARD_THRESHOLD
+from data_eng_project_spark.plans.textdata import (
+    _COMPONENT_CTES,
+    _NGRAM_CTES,
+    JACCARD_THRESHOLD,
+)
 from data_eng_project_spark.session import prepare
-from data_eng_project_spark.tables import load_table
+from data_eng_project_spark.tables import TABLE_NAMES, load_table
 
 _PPS_K = 10
 
@@ -275,17 +279,7 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_keep",
     oracle=f"""
-        WITH RECURSIVE {_NGRAM_CTES},
-        sym AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-            SELECT src, dst FROM sym
-            UNION
-            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-        ),
+        WITH RECURSIVE {_NGRAM_CTES},{_COMPONENT_CTES},
         comp AS (
             SELECT src AS id, least(src, min(dst)) AS component
             FROM reach GROUP BY src
@@ -685,10 +679,9 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MANIFEST_TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+# The manifest pins the FULL catalog: use the canonical table list so a
+# table added in tables.py can never silently go unmanifested.
+_MANIFEST_TABLES = TABLE_NAMES
 
 
 @register(

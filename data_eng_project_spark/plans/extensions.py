@@ -1077,8 +1077,13 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "audio_fingerprint_match",
-    oracle=None,  # FFT peak track (platform-float DSP) — planted-truth
-    # recovery is asserted in tests/test_multimodal_phash.py
+    oracle=None,  # The peak track needs |rfft| argmax over every STFT
+    # window INCLUDING note-boundary windows mixing two tones — a
+    # faithful SQL replay is a naive DFT over 510 clips × 61 windows ×
+    # 129 bins × 256 samples ≈ 1e9 terms, far past the oracle time
+    # budget (the spectrum/pHash replays stop at ~1e7–1e8). Planted-
+    # truth recovery (cropped copies match their originals with
+    # consistent offsets) is asserted in tests/test_multimodal_phash.py
     tags=("multimodal", "audio", "fingerprint"),
 )
 def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,6 +256,25 @@ _NGRAM_CTES = f"""
             WHERE round(i / (na.n + nb.n - i), 6) >= {JACCARD_THRESHOLD}
         )"""
 
+# Shared connected-components closure over the `pairs` CTE (symmetrized
+# edges + recursive reachability) — ONE definition for every oracle that
+# labels near-dup components (dedup_clusters, dedup_canonical_keep,
+# soft_dedup_weights, the clean-pipeline release oracle), so a fix to
+# the closure semantics can never reach only some of them. Callers wrap
+# the whole statement in WITH RECURSIVE and append their own `comp`/
+# labeling CTE on top of `reach`.
+_COMPONENT_CTES = """
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )"""
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -279,17 +298,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     oracle=f"""
-        WITH RECURSIVE {_NGRAM_CTES},
-        sym AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-            SELECT src, dst FROM sym
-            UNION
-            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-        )
+        WITH RECURSIVE {_NGRAM_CTES},{_COMPONENT_CTES}
         SELECT src AS doc_id,
                least(src, min(dst)) AS component,
                least(src, min(dst)) = src AS is_canonical

@@ -743,3 +743,20 @@ def test_pack_sequences_empty_doc_occupies_no_tokens(spark):
     assert out[2]["n_tokens"] == 0
     assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2
     assert out[3]["start_offset"] == 3  # not 4
+
+
+def test_chunk_documents_drops_null_text(spark):
+    """Regression (r5 review): size(NULL) is -1 under the pinned
+    non-ANSI mode and previously took the one-chunk branch, emitting a
+    garbage (end_tok=-1, NULL hash) row for a NULL document — NULL texts
+    must yield no chunks, matching the oracle's empty generate_series."""
+    from data_eng_project_spark.operators.datasetops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, None), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", window=3, stride=2).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1, 3}
+    assert all(r["n_chunk_tokens"] > 0 and r["chunk_hash"] is not None for r in out)
