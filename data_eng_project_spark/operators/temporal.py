@@ -82,8 +82,19 @@ def asof_join(
     sort *before* the left row, giving inclusive semantics. One shuffle
     on the key; no row explosion regardless of how many right rows
     precede a left row.
+
+    NULL semantics follow SQL ASOF joins: a NULL key or NULL timestamp
+    never matches (right rows with either are dropped from the index;
+    left rows with either keep their place but carry a NULL payload —
+    and are dropped under ``how='inner'``). Without this, the window's
+    partitionBy would happily group NULL keys together and nulls-first
+    ordering would make a NULL-ts right row the backward match of every
+    left row (r5 review, verified live).
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     payload = F.struct(*[F.col(c) for c in payload_cols])
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -104,7 +115,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(
-        "_asof", F.last("_payload", ignorenulls=True).over(w)
+        "_asof",
+        # NULL left key/ts ⇒ no match by definition (the key mask also
+        # covers the all-left NULL partition; the ts mask is belt-and-
+        # braces here since a NULL _ts sorts first and sees no right row).
+        F.when(
+            F.col("_k").isNotNull() & F.col("_ts").isNotNull(),
+            F.last("_payload", ignorenulls=True).over(w),
+        ),
     )
     # Inner mode tests the _asof STRUCT (null ⟺ no matching right row),
     # not its first field — a matched right row whose first payload
@@ -182,8 +200,16 @@ def ewma_per_key(
     The streaming twin of this pattern is
     streaming/stateful.running_user_profile_stream
     (applyInPandasWithState).
+
+    NULL values are excluded from the series (dropped, not emitted):
+    pandas ewm would silently RENORMALIZE the decay weights across a
+    NaN gap while the SQL recurrence oracle would cascade NULL forever —
+    two different semantics, neither declared. Dropping the row is the
+    one behavior both engines state identically (r5 review).
     """
     import pandas as pd
+
+    df = df.filter(F.col(value_col).isNotNull())
 
     def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
@@ -206,7 +232,9 @@ def ewma_per_key(
     )
 
 
-def hourly_rollup_state(events: DataFrame, value_col: str = "value") -> DataFrame:
+def hourly_rollup_state(
+    events: DataFrame, value_col: str = "value", ts_col: str = "ts"
+) -> DataFrame:
     """Partial-aggregate state for the hourly event rollup: per
     (hour, event_type), the running count and an EXACT decimal value sum.
     This is the mergeable form — counts and decimal sums are associative
@@ -214,7 +242,7 @@ def hourly_rollup_state(events: DataFrame, value_col: str = "value") -> DataFram
     exactly the state a full recompute would build (the
     continuous-aggregate / hypertable-rollup maintenance pattern)."""
     return events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -276,10 +304,29 @@ def cusum_hourly_changepoints(
     exact decimal products) passes through doubles, with the identical
     expression on both engines.
     """
-    hourly = events.groupBy(
+    observed = events.groupBy(
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
     ).agg(F.count(F.lit(1)).alias("x"))
+    # Densify to the full per-type hour grid: an hour with ZERO events
+    # must enter the series as x = 0 — an outage is precisely the signal
+    # a changepoint detector exists for, and skipping silent hours also
+    # biased μ/σ toward active hours and broke the prefix-sum index
+    # across gaps (r5 review). The grid is type-bounded (min..max hour),
+    # dimension-sized: |types| × |span hours| rows, from one tiny
+    # aggregate + sequence() — no shuffle beyond the existing ones.
+    span = observed.groupBy("event_type").agg(
+        F.min("window_start").alias("_h0"), F.max("window_start").alias("_h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start"),
+    )
+    hourly = grid.join(observed, on=["event_type", "window_start"], how="left").select(
+        "event_type", "window_start", F.coalesce("x", F.lit(0)).alias("x")
+    )
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("total"),
@@ -392,21 +439,23 @@ def hourly_ohlc(
     asc = Window.partitionBy("hour_start").orderBy(
         F.col("_ts").asc(), F.col("_tb").asc()
     )
-    desc = Window.partitionBy("hour_start").orderBy(
-        F.col("_ts").desc(), F.col("_tb").desc()
-    )
+    # (_ts, _tb) totally orders each hour, so the last row in ascending
+    # order IS the descending rank-1 row: close = the row where
+    # ra == count(hour). One sorted window instead of two full sorts —
+    # the count window needs only the hour partitioning, which the asc
+    # sort already established (r5 review).
     ranked = base.select(
         "hour_start",
         "v",
         F.row_number().over(asc).alias("_ra"),
-        F.row_number().over(desc).alias("_rd"),
+        F.count("*").over(Window.partitionBy("hour_start")).alias("_n"),
     )
     return ranked.groupBy("hour_start").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.max(F.when(F.col("_ra") == 1, F.col("v"))).alias("open"),
         F.max("v").alias("high"),
         F.min("v").alias("low"),
-        F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
+        F.max(F.when(F.col("_ra") == F.col("_n"), F.col("v"))).alias("close"),
     )
 
 
@@ -427,8 +476,16 @@ def asof_join_forward(
     so at an exact tie they sort *after* the left row (inclusive), and
     the window takes ``first(payload, ignorenulls)`` over the
     FOLLOWING frame. One shuffle on the key, no row explosion.
+
+    NULL semantics mirror asof_join: NULL keys/timestamps never match —
+    critical here because a NULL-ts left row sorts FIRST and its
+    following frame would otherwise "match" the key's earliest right
+    row.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     payload = F.struct(*[F.col(c) for c in payload_cols])
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -449,7 +506,11 @@ def asof_join_forward(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = r.unionByName(l).withColumn(
-        "_asof", F.first("_payload", ignorenulls=True).over(w)
+        "_asof",
+        F.when(
+            F.col("_k").isNotNull() & F.col("_ts").isNotNull(),
+            F.first("_payload", ignorenulls=True).over(w),
+        ),
     )
     # Inner mode tests the _asof STRUCT (null ⟺ no right row follows),
     # not its first field — a matched right row whose first payload
@@ -484,14 +545,13 @@ def debounce_events(
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    new_island = (
-        prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000)
-    ).cast("int")
-    island = F.sum(new_island).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    iw = Window.partitionBy(*key_cols, island).orderBy(ts_col, id_col)
+    # A burst's first event is by construction the row that STARTS a new
+    # island (no predecessor, or gap above threshold) — the island
+    # running-sum + second per-island window the original
+    # gaps-and-islands formulation used computed exactly this flag at
+    # the cost of an extra sort pass (r5 review).
     return events.withColumn(
-        "debounce_keep", F.row_number().over(iw) == 1
+        "debounce_keep",
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
     )

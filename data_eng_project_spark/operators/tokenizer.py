@@ -233,7 +233,7 @@ def bpe_encode_stats(
                 singl_l.append(n_singleton)
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
+                    id_col: ids,
                     "n_words": n_words_l,
                     "n_bpe_tokens": n_tok_l,
                     "tokens_per_word": pd.array(tpw_l, dtype="float64"),
@@ -241,10 +241,14 @@ def bpe_encode_stats(
                 }
             )
 
+    # Derive the id column's name AND type from the input (same
+    # regression class as linalg.project / ewma_per_key: a string or int
+    # id must round-trip, not be forced into a hardcoded 'doc_id long').
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         batches,
         schema=(
-            "doc_id long, n_words long, n_bpe_tokens long, "
+            f"{id_col} {id_type}, n_words long, n_bpe_tokens long, "
             "tokens_per_word double, n_uncompressed_words long"
         ),
     )

@@ -684,10 +684,25 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cusum_changepoints",
     oracle="""
-        WITH hourly AS (
+        WITH observed AS (
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS x
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), span AS (
+            SELECT event_type, min(window_start) AS h0, max(window_start) AS h1
+            FROM observed GROUP BY event_type
+        ), grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       AS window_start
+            FROM span
+        ), hourly AS (
+            -- zero-event hours enter the series as x = 0 (mirrors the
+            -- Spark-side densify: an outage is a signal, not a gap)
+            SELECT g.event_type, g.window_start, coalesce(o.x, 0) AS x
+            FROM grid g LEFT JOIN observed o
+              ON o.event_type = g.event_type
+             AND o.window_start = g.window_start
         ), stats AS (
             SELECT event_type, count(*) AS n,
                    CAST(sum(x) AS BIGINT) AS total,

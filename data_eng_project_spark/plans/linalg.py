@@ -55,38 +55,41 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_health_report",
+    # The exact decimal sums are aggregated ONCE in `s` and the derived
+    # mean/variance doubles computed ONCE in `m` — previously the same
+    # sum/mean expression was spelled out four times (and sum-of-squares
+    # twice), inviting a precision tweak to reach only some copies
+    # (r5 review). The double op order is unchanged, so results are
+    # bit-identical.
     oracle="""
         WITH x AS (
             SELECT generate_subscripts(embedding, 1) - 1 AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
+        ), s AS (
+            SELECT dim, count(*) AS n,
+                   sum(CAST(val AS DECIMAL(28,12))) AS sd,
+                   sum(CAST(val * val AS DECIMAL(38,18))) AS ss,
+                   min(val) AS mn, max(val) AS mx,
+                   sum(CASE WHEN val = 0.0 THEN 1 ELSE 0 END) AS nz
+            FROM x GROUP BY dim
+        ), m AS (
+            SELECT *, CAST(sd AS DOUBLE) / n AS mean_d,
+                   sqrt(greatest(
+                       CAST(ss AS DOUBLE) / n
+                       - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n),
+                       0.0)) AS std_d
+            FROM s
         )
         SELECT CAST(dim AS BIGINT) AS dim,
-               CAST(count(*) AS BIGINT) AS n_vecs,
-               round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                     / count(*), 6) + 0.0 AS mean,
-               round(sqrt(greatest(
-                   CAST(sum(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE)
-                       / count(*)
-                   - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                          / count(*))
-                     * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                          / count(*)),
-                   0.0)), 6) + 0.0 AS std,
-               round(min(val), 6) + 0.0 AS min_val,
-               round(max(val), 6) + 0.0 AS max_val,
-               round(CAST(sum(CASE WHEN val = 0.0 THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 6) AS zero_frac,
-               sqrt(greatest(
-                   CAST(sum(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE)
-                       / count(*)
-                   - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                          / count(*))
-                     * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                          / count(*)),
-                   0.0)) < 1e-6 AS near_constant
-        FROM x
-        GROUP BY dim
+               CAST(n AS BIGINT) AS n_vecs,
+               round(mean_d, 6) + 0.0 AS mean,
+               round(std_d, 6) + 0.0 AS std,
+               round(mn, 6) + 0.0 AS min_val,
+               round(mx, 6) + 0.0 AS max_val,
+               round(CAST(nz AS DOUBLE) / n, 6) AS zero_frac,
+               std_d < 1e-6 AS near_constant
+        FROM m
     """,
     tags=("linalg", "embedding", "quality"),
 )

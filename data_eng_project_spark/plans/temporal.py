@@ -104,13 +104,17 @@ def events_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join. Both engines evaluate the identical double recurrence
     # in the identical order (pandas ewm(adjust=False) divides by
     # old_wt+new_wt, which is exactly 1.0 for α=0.3), then round once.
+    # NULL values are excluded from the series on BOTH sides (operator
+    # filter + WHERE here): pandas ewm renormalizes across a NaN while
+    # this recurrence would cascade NULL — dropping is the one semantics
+    # both engines state identically (r5 review).
     oracle="""
         WITH RECURSIVE e AS (
             SELECT event_id, user_id, value,
                    row_number() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS seq
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ), ew AS (
             SELECT event_id, user_id, value, seq, value AS y
             FROM e WHERE seq = 1

@@ -1433,3 +1433,109 @@ def test_dq_report_empty_rules_and_empty_table(spark):
     empty_df = spark.createDataFrame([], "v long")
     row = dq_report(empty_df, {"v_pos": F.col("v") > 0}).collect()[0]
     assert (row.n_rows, row.n_violations, row.violation_rate) == (0, 0, 0.0)
+
+
+def test_asof_join_null_keys_and_ts_never_match(spark):
+    """Regression (r5 review): SQL ASOF semantics — NULL keys and NULL
+    timestamps never match. Previously the window partitioned NULL keys
+    together and a NULL-ts right row (nulls-first) backward-matched
+    every left row; in the forward join a NULL-ts LEFT row matched the
+    key's earliest right row."""
+    from data_eng_project_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"),
+         (2, None, "2024-01-01 10:00:00"),
+         (3, 10, None)],
+        "event_id long, k int, lts string",
+    ).selectExpr("event_id", "k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 09:00:00", 100.0),
+         (None, "2024-01-01 08:00:00", 666.0),
+         (10, None, 777.0)],
+        "k int, rts string, pay double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "pay")
+
+    out = {r["event_id"]: r["asof_pay"] for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["pay"],
+    ).collect()}
+    assert out == {1: 100.0, 2: None, 3: None}
+
+    inner = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["pay"], how="inner",
+    ).collect()
+    assert [r["event_id"] for r in inner] == [1]
+
+    fwd_left = left.selectExpr(
+        "event_id", "k", "CAST('2024-01-01 08:30:00' AS TIMESTAMP) AS lts"
+    ).where("event_id = 1").unionByName(left.where("event_id != 1"))
+    fout = {r["event_id"]: r["next_pay"] for r in asof_join_forward(
+        fwd_left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["pay"],
+    ).collect()}
+    assert fout == {1: 100.0, 2: None, 3: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how must be"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  payload_cols=["pay"], how="outer")
+
+
+def test_ewma_drops_null_values(spark):
+    """Regression (r5 review): NULL values are excluded from the EWMA
+    series — pandas ewm renormalizes across NaN while the recursive-CTE
+    oracle cascades NULL; dropping is the one shared semantics."""
+    from data_eng_project_spark.operators.temporal import ewma_per_key
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00", 1.0),
+         (2, 7, "2024-01-01 10:01:00", None),
+         (3, 7, "2024-01-01 10:02:00", 3.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = {r["event_id"]: r["ewma"] for r in ewma_per_key(df).collect()}
+    # NULL row dropped; the recurrence runs 1.0 -> 0.3*3 + 0.7*1 = 1.6
+    assert set(rows) == {1, 3}
+    assert rows[1] == 1.0 and rows[3] == 1.6
+
+
+def test_cusum_densifies_gap_hours(spark):
+    """Regression (r5 review): hours with zero events must enter the
+    hourly series as x = 0 — an outage is the changepoint signal."""
+    from data_eng_project_spark.operators.temporal import (
+        cusum_hourly_changepoints,
+    )
+
+    rows = [("a", f"2024-01-01 {h:02d}:15:00") for h in (0, 1, 2, 7)]
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = cusum_hourly_changepoints(df).collect()
+    assert len(out) == 8  # hours 0..7 inclusive, gaps densified
+    xs = {r["window_start"].hour: r["x"] for r in out}
+    assert xs[3] == 0 and xs[6] == 0 and xs[0] == 1 and xs[7] == 1
+
+
+def test_bpe_encode_stats_preserves_id_column(spark):
+    """Regression (r5 review): bpe_encode_stats must emit the caller's
+    id column name and type, not a hardcoded 'doc_id long'."""
+    from data_eng_project_spark.operators.tokenizer import (
+        bpe_encode_stats,
+        bpe_fit,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "hello hello world"), ("b", "world world hello")],
+        "name string, text string",
+    )
+    merges = bpe_fit([("hello", 3), ("world", 3)], n_merges=5)
+    out = bpe_encode_stats(docs, merges, id_col="name", text_col="text")
+    assert out.schema["name"].dataType.simpleString() == "string"
+    got = {r["name"] for r in out.collect()}
+    assert got == {"a", "b"}
