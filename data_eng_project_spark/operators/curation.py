@@ -44,33 +44,38 @@ def decontaminate_overlap(
         _distinct_shingles(benchmark, text_col, id_col, n)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    hits = (
-        corpus_sh.join(F.broadcast(bench_keys), on="shingle", how="left_semi")
+    # ONE pass over the corpus shingles: the broadcast left join marks
+    # benchmark hits and a single aggregate produces both the shingle
+    # count and the hit count — the earlier two-branch form (left_semi
+    # hits + separate counts) executed the tokenize→shingle→distinct
+    # pipeline over the whole corpus twice (r5 review).
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_keys), on="shingle", how="left")
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
     )
-    counts = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One output row per INPUT document, including docs too short to
     # produce a single n-gram (they'd otherwise vanish, leaving their
     # contamination status undefined — a keep-list join would silently
     # drop them). Shingle-less docs report 0 shingles / 0 hits / ratio
     # 0.0 / contaminated = (0.0 >= threshold).
     ids = corpus.select(F.col(id_col).alias("_id"))
-    sizes = ids.join(counts, on="_id", how="left")
+    sizes = ids.join(per_doc, on="_id", how="left")
     n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
     ratio = F.when(
         n_sh > 0, F.coalesce(F.col("n_hit"), F.lit(0)) / n_sh
     ).otherwise(F.lit(0.0))
-    return (
-        sizes.join(hits, on="_id", how="left")
-        .select(
-            F.col("_id").alias(id_col),
-            n_sh.cast("bigint").alias("n_shingles"),
-            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(ratio, 6).alias("overlap_ratio"),
-            (ratio >= threshold).alias("contaminated"),
-        )
+    return sizes.select(
+        F.col("_id").alias(id_col),
+        n_sh.cast("bigint").alias("n_shingles"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(ratio, 6).alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
     )
 
 
@@ -106,16 +111,20 @@ def pack_sequences(
         F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # Last occupied token slot: greatest(n−1, 0) keeps a ZERO-token doc's
+    # end_chunk equal to its start_chunk (and spans_boundary false) —
+    # the raw n−1 gave it end_chunk < start_chunk and a phantom
+    # boundary-spanning range (r5 review).
+    last_tok = start + F.greatest(F.col("n_tokens") - 1, F.lit(0))
     return with_counts.select(
         "shard",
         id_col,
         "n_tokens",
         start.alias("start_offset"),
         F.floor(start / chunk_tokens).alias("start_chunk"),
-        F.floor((start + F.col("n_tokens") - 1) / chunk_tokens).alias("end_chunk"),
+        F.floor(last_tok / chunk_tokens).alias("end_chunk"),
         (
-            F.floor(start / chunk_tokens)
-            != F.floor((start + F.col("n_tokens") - 1) / chunk_tokens)
+            F.floor(start / chunk_tokens) != F.floor(last_tok / chunk_tokens)
         ).alias("spans_boundary"),
     )
 
@@ -259,8 +268,13 @@ def repetition_signals(
     )
     top_word_frac = F.col("top_word_n") / F.col("n_tokens")
     top_bigram_frac = F.col("top_bigram_n") / F.col("n_bigrams")
+    # LEFT join: a one-token document has no bigram row, and an inner
+    # join would erase it from the output — the one-row-per-input-doc
+    # contract violation unigram_lm_scores' docstring calls out (a keep-
+    # filter join then drops it while an anti-join keeps it). Such docs
+    # report top_bigram_frac NULL and are judged on top_word_frac alone.
     return (
-        per_doc_words.join(bigram_stats, on="_id", how="inner")
+        per_doc_words.join(bigram_stats, on="_id", how="left")
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
@@ -271,7 +285,9 @@ def repetition_signals(
             F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
             (
                 (top_word_frac > top_word_threshold)
-                | (top_bigram_frac > top_bigram_threshold)
+                | F.coalesce(
+                    top_bigram_frac > top_bigram_threshold, F.lit(False)
+                )
             ).alias("repetitive"),
         )
     )
@@ -442,16 +458,23 @@ def pii_scan(
     scales as a map-only pass at any corpus size. The redacted text is
     emitted as an md5 so oracle comparison stays narrow; production would
     keep the string column."""
+    # Counts are taken STAGE-WISE on the progressively redacted text, so
+    # each count equals the number of replacements its stage actually
+    # performed: a phone-shaped substring swallowed by the email match
+    # (e.g. 'joe+1-234-5678@mail.com', whose local part the email class
+    # admits) is counted as 0 phones, matching the redacted output —
+    # counting every category on the ORIGINAL text claimed redactions
+    # the output didn't contain (r5 review).
     t = F.col(text_col)
-    red = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
-    red = F.regexp_replace(red, PII_PHONE, "[PHONE]")
-    red = F.regexp_replace(red, PII_IPV4, "[IP]")
+    red1 = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    red2 = F.regexp_replace(red1, PII_PHONE, "[PHONE]")
+    red3 = F.regexp_replace(red2, PII_IPV4, "[IP]")
     return docs.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
-        F.md5(red).alias("redacted_md5"),
+        F.regexp_count(red1, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(red2, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(red3).alias("redacted_md5"),
     )
 
 
@@ -571,11 +594,22 @@ def quality_model_scores(
         + F.lit(w["stopword_share"]) * stop_share
         + F.lit(w["distinct_ratio"]) * distinct_ratio
     )
-    return per_doc.select(
-        F.col("_id").alias(id_col),
+    # One output row per INPUT document: a doc with zero letter tokens
+    # has no term_counts rows and would silently vanish from the scores
+    # (the keep-filter-join-vs-anti-join divergence unigram_lm_scores
+    # documents). Such docs report n_tokens 0, NULL logit, keep false.
+    ids = docs.select(F.col(id_col).alias("_id"))
+    scored = per_doc.select(
+        "_id",
         "n_tokens",
         F.round(logit, 6).alias("quality_logit"),
         (logit > F.lit(0.0)).alias("quality_keep"),
+    )
+    return ids.join(scored, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        "quality_logit",
+        F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
     )
 
 
@@ -835,8 +869,10 @@ def export_training_shards(
     loader can open independently; sortWithinPartitions(start_offset)
     makes each file's row order the packing order, so sequential reads
     reconstruct the token stream without a shuffle at load time. The
-    manifest is an aggregate of the SAME pack annotations that were
-    written — one job writes, one computes the manifest.
+    manifest is computed by READING BACK the shards just written — one
+    pack/shuffle job total (the lineage-recompute form ran the whole
+    packing plan twice, once per consumer — r5 review), and the manifest
+    is guaranteed consistent with the bytes on disk.
     """
     packed = pack_sequences(
         docs, chunk_tokens, text_col=text_col, id_col=id_col, shard_col=shard_col
@@ -848,8 +884,9 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    written = docs.sparkSession.read.parquet(out_dir)
     return (
-        packed.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),

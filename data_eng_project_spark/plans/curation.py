@@ -105,10 +105,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT shard, doc_id, n_tokens,
                CAST(start_offset AS BIGINT) AS start_offset,
                CAST(floor(start_offset / {_CHUNK_TOKENS}.0) AS BIGINT) AS start_chunk,
-               CAST(floor((start_offset + n_tokens - 1) / {_CHUNK_TOKENS}.0) AS BIGINT)
+               CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / {_CHUNK_TOKENS}.0) AS BIGINT)
                    AS end_chunk,
                floor(start_offset / {_CHUNK_TOKENS}.0)
-                   <> floor((start_offset + n_tokens - 1) / {_CHUNK_TOKENS}.0)
+                   <> floor((start_offset + greatest(n_tokens - 1, 0)) / {_CHUNK_TOKENS}.0)
                    AS spans_boundary
         FROM c
     """,
@@ -275,8 +275,11 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(p.top_word_n / p.n_tokens, 6) AS top_word_frac,
                round(b.top_bigram_n / b.n_bigrams, 6) AS top_bigram_frac,
                (p.top_word_n / p.n_tokens > 0.30
-                OR b.top_bigram_n / b.n_bigrams > 0.18) AS repetitive
-        FROM per_word p JOIN per_bg b USING (doc_id)
+                OR coalesce(b.top_bigram_n / b.n_bigrams > 0.18, false))
+                   AS repetitive
+        -- LEFT: a one-token doc has no bigram row but keeps its output
+        -- row (NULL top_bigram_frac), mirroring the operator
+        FROM per_word p LEFT JOIN per_bg b USING (doc_id)
     """,
     tags=("curation", "quality", "repetition"),
 )
@@ -367,7 +370,7 @@ def length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT shard, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-               CAST(max(CAST(floor((start_offset + n_tokens - 1)
+               CAST(max(CAST(floor((start_offset + greatest(n_tokens - 1, 0))
                                    / {_CHUNK_TOKENS}.0) AS BIGINT)) + 1
                     AS BIGINT) AS n_chunks
         FROM c GROUP BY shard
@@ -409,7 +412,7 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT shard, doc_id, n_tokens, start_offset,
                    unnest(range(CAST(floor(start_offset / {_CHUNK_TOKENS}.0)
                                      AS BIGINT),
-                                CAST(floor((start_offset + n_tokens - 1)
+                                CAST(floor((start_offset + greatest(n_tokens - 1, 0))
                                            / {_CHUNK_TOKENS}.0) AS BIGINT) + 1))
                        AS chunk_id
             FROM c WHERE n_tokens > 0

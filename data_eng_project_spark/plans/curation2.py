@@ -122,26 +122,40 @@ def _aug_spark() -> F.Column:
 
 @register(
     "pii_detect_redact",
+    # Counts are stage-wise on the progressively redacted text (emails
+    # on the original, phones after email redaction, IPs after phone
+    # redaction) so every count equals the replacements its stage made —
+    # mirrors operators/curation.pii_scan (r5 review).
     oracle=f"""
         WITH aug AS (
             SELECT doc_id, {_AUG_SQL} AS text FROM documents
+        ), r1 AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '[EMAIL]', 'g') AS t1
+            FROM aug
+        ), r2 AS (
+            SELECT doc_id, text, t1,
+                   regexp_replace(t1,
+                       '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}',
+                       '[PHONE]', 'g') AS t2
+            FROM r1
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
                    AS n_emails,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(t1,
                    '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
                    AS n_phones,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(t2,
                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT)
                    AS n_ips,
-               md5(regexp_replace(regexp_replace(regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
-                   '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+               md5(regexp_replace(t2,
                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
                    '[IP]', 'g')) AS redacted_md5
-        FROM aug
+        FROM r2
     """,
     tags=("curation", "pii", "redaction"),
 )
@@ -239,18 +253,22 @@ def vocab_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN c ELSE 0 END) AS BIGINT) AS n_stop
             FROM term_counts GROUP BY doc_id
         )
-        SELECT doc_id, n_tokens,
+        -- LEFT join back to documents: a zero-letter-token doc has no
+        -- term rows but must keep its output row (n_tokens 0, NULL
+        -- logit, keep false) — mirrors the operator (r5 review)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                round({QUALITY_WEIGHTS["bias"]}
-                     + {QUALITY_WEIGHTS["mean_word_len"]} * (n_letter_chars / n_tokens)
-                     + {QUALITY_WEIGHTS["stopword_share"]} * (n_stop / n_tokens)
-                     + {QUALITY_WEIGHTS["distinct_ratio"]} * (n_types / n_tokens),
+                     + {QUALITY_WEIGHTS["mean_word_len"]} * (p.n_letter_chars / p.n_tokens)
+                     + {QUALITY_WEIGHTS["stopword_share"]} * (p.n_stop / p.n_tokens)
+                     + {QUALITY_WEIGHTS["distinct_ratio"]} * (p.n_types / p.n_tokens),
                      6) AS quality_logit,
-               {QUALITY_WEIGHTS["bias"]}
-                   + {QUALITY_WEIGHTS["mean_word_len"]} * (n_letter_chars / n_tokens)
-                   + {QUALITY_WEIGHTS["stopword_share"]} * (n_stop / n_tokens)
-                   + {QUALITY_WEIGHTS["distinct_ratio"]} * (n_types / n_tokens)
-                   > 0.0 AS quality_keep
-        FROM per_doc
+               coalesce({QUALITY_WEIGHTS["bias"]}
+                   + {QUALITY_WEIGHTS["mean_word_len"]} * (p.n_letter_chars / p.n_tokens)
+                   + {QUALITY_WEIGHTS["stopword_share"]} * (p.n_stop / p.n_tokens)
+                   + {QUALITY_WEIGHTS["distinct_ratio"]} * (p.n_types / p.n_tokens)
+                   > 0.0, false) AS quality_keep
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """,
     tags=("curation", "quality", "classifier"),
 )

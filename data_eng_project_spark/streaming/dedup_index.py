@@ -59,39 +59,25 @@ def write_index_delta(
     """One micro-batch's contribution to the dedup index: its band rows,
     landed in the batch's own partition (dynamic overwrite ⇒ replay-
     idempotent; rows deterministic ⇒ rewrite is byte-equivalent)."""
-    s = batch_df.sparkSession
+    from data_eng_project_spark.streaming.incremental import write_batch_partition
+
     sets = _shingle_sets_direct(batch_df, text_col, id_col, shingle_n)
-    rows = lsh_band_rows(sets, num_hashes=NUM_HASHES, bands=BANDS).withColumn(
-        "batch_id", F.lit(batch_id)
-    )
-    prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rows.write.mode("overwrite").partitionBy("batch_id").parquet(index_dir)
-    finally:
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    rows = lsh_band_rows(sets, num_hashes=NUM_HASHES, bands=BANDS)
+    write_batch_partition(rows, batch_id, index_dir)
 
 
 def read_docs_stream(
     spark: SparkSession, docs_parquet: str, **reader_options: str
 ) -> DataFrame:
     """Open the documents table as a bounded stream (availableNow
-    processing). Mirrors incremental.read_events_stream's directory /
-    single-file handling; ``maxFilesPerTrigger`` in reader_options
-    controls micro-batch granularity."""
-    from data_eng_project_spark.session import prepare
+    processing) — the shared reader in incremental.py handles the
+    directory / single-file mechanics; ``maxFilesPerTrigger`` in
+    reader_options controls micro-batch granularity."""
+    from data_eng_project_spark.streaming.incremental import (
+        read_bounded_parquet_stream,
+    )
 
-    prepare(spark)
-    raw_schema = spark.read.parquet(docs_parquet).schema
-    reader = spark.readStream.schema(raw_schema)
-    if os.path.isdir(docs_parquet):
-        base = docs_parquet
-    else:
-        base = os.path.dirname(docs_parquet)
-        reader = reader.option("pathGlobFilter", os.path.basename(docs_parquet))
-    for k, v in reader_options.items():
-        reader = reader.option(k, v)
-    return reader.parquet(base)
+    return read_bounded_parquet_stream(spark, docs_parquet, **reader_options)
 
 
 def stream_build_index(
@@ -158,8 +144,12 @@ def probe_index(
         id_col,
         shingle_n,
     )
-    sets = batch_sets.unionByName(corpus_sets).dropDuplicates(["_id"])
-    return _verified_jaccard(cand, sets, threshold).select(
+    # Bipartite verification: id_a resolves against the BATCH text and
+    # id_b against the INDEXED corpus text. The earlier union +
+    # dropDuplicates('_id') form picked an arbitrary version when an id
+    # exists in both (a re-ingested doc whose text changed), verifying
+    # candidates against the wrong side's text (r5 review).
+    return _verified_jaccard(cand, batch_sets, threshold, sets_b=corpus_sets).select(
         F.col("id_a").alias("id_new"),
         F.col("id_b").alias("id_indexed"),
         "jaccard",

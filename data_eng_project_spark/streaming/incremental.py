@@ -20,7 +20,11 @@ def ingest_new_text_files(
     output_dir: str,
 ) -> int:
     """Drain unprocessed ``.txt`` files from source_dir into output_dir
-    (parquet, append) exactly once; returns the number of batches run.
+    (parquet, append) exactly once; returns 1 + the id of the last batch
+    this run committed (0 when nothing new was found). Batch ids are
+    CUMULATIVE across runs of the same checkpoint — the return is a
+    high-water mark, not a per-run batch count (a second run that
+    ingests one file in checkpoint-global batch 1 returns 2).
 
     Re-running with the same checkpoint ingests only files that appeared
     since the last run — the checkpoint *is* the ledger.
@@ -38,6 +42,60 @@ def ingest_new_text_files(
     return int(progress["batchId"]) + 1 if progress else 0
 
 
+def read_bounded_parquet_stream(
+    spark: SparkSession, parquet_path: str, **reader_options: str
+) -> DataFrame:
+    """Open a parquet table as a bounded stream for availableNow
+    processing — the shared reader mechanics behind read_events_stream
+    and dedup_index.read_docs_stream (one copy, so hardening like the
+    single-file glob handling can never drift between them)."""
+    import os
+
+    from data_eng_project_spark.session import prepare
+
+    prepare(spark)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(parquet_path):
+        # Spark-written directory table: stream the directory itself
+        # (a pathGlobFilter on the directory NAME would match none of
+        # the part-*.parquet files inside and silently read 0 rows).
+        base = parquet_path
+    else:
+        # Single-file table (driver testdata layout): the streaming file
+        # source needs a *directory* base path — point it at the parent
+        # dir and glob-filter to just this table's file(s).
+        base = os.path.dirname(parquet_path)
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(base)
+
+
+def write_batch_partition(df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Land one micro-batch's (deterministic) rows in their own
+    ``batch_id`` partition with DYNAMIC partition overwrite — a replayed
+    batch (the at-least-once case foreachBatch exposes after a crash
+    between state write and checkpoint commit) rewrites the same
+    partition with the same rows instead of duplicating them. The
+    exactly-once-without-a-transactional-format pattern shared by the
+    rollup and dedup-index maintenance sinks."""
+    from pyspark.sql import functions as F
+
+    s = df.sparkSession
+    prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+
 def read_events_stream(
     spark: SparkSession, events_parquet: str, **reader_options: str
 ) -> DataFrame:
@@ -52,27 +110,8 @@ def read_events_stream(
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    from data_eng_project_spark.session import prepare
-
-    import os
-
-    prepare(spark)
-    raw_schema = spark.read.parquet(events_parquet).schema
-    reader = spark.readStream.schema(raw_schema)
-    if os.path.isdir(events_parquet):
-        # Spark-written directory table: stream the directory itself
-        # (a pathGlobFilter on the directory NAME would match none of
-        # the part-*.parquet files inside and silently read 0 rows).
-        base = events_parquet
-    else:
-        # Single-file table (driver testdata layout): the streaming file
-        # source needs a *directory* base path — point it at the parent
-        # dir and glob-filter to just this table's file(s).
-        base = os.path.dirname(events_parquet)
-        reader = reader.option("pathGlobFilter", os.path.basename(events_parquet))
-    for k, v in reader_options.items():
-        reader = reader.option(k, v)
-    stream = reader.parquet(base)
+    stream = read_bounded_parquet_stream(spark, events_parquet, **reader_options)
+    raw_schema = stream.schema
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
@@ -123,23 +162,9 @@ def write_rollup_delta(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     same rows instead of double-counting. This is what makes the
     maintained state exactly-once without a transactional table format.
     """
-    from pyspark.sql import functions as F
-
     from data_eng_project_spark.operators.temporal import hourly_rollup_state
 
-    s = batch_df.sparkSession
-    prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            hourly_rollup_state(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(state_dir)
-        )
-    finally:
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    write_batch_partition(hourly_rollup_state(batch_df), batch_id, state_dir)
 
 
 def stream_maintain_rollup(

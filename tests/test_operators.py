@@ -1539,3 +1539,104 @@ def test_bpe_encode_stats_preserves_id_column(spark):
     assert out.schema["name"].dataType.simpleString() == "string"
     got = {r["name"] for r in out.collect()}
     assert got == {"a", "b"}
+
+
+def test_repetition_signals_keeps_one_token_docs(spark):
+    """Regression (r5 review): a one-token doc has no bigram and must
+    keep its output row (NULL top_bigram_frac, judged on the word frac
+    alone) — the inner join silently erased it."""
+    from data_eng_project_spark.operators.curation import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "spam spam spam spam spam"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["top_bigram_frac"] is None
+    assert rows[1]["repetitive"] is True  # top_word_frac = 1.0 > 0.30
+    assert rows[2]["repetitive"] is True
+
+
+def test_quality_model_scores_keeps_letterless_docs(spark):
+    """Regression (r5 review): an all-punctuation doc has no letter
+    tokens and must keep its output row (n_tokens 0, NULL logit,
+    keep false) instead of vanishing from the scores."""
+    from data_eng_project_spark.operators.curation import quality_model_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "12345 !!! ...")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_model_scores(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["quality_logit"] is None
+    assert rows[2]["quality_keep"] is False
+
+
+def test_pii_scan_counts_match_redactions_on_overlap(spark):
+    """Regression (r5 review): a phone-shaped substring inside an email
+    local part is swallowed by the email redaction — the phone count
+    must be 0 (stage-wise counting), matching the redacted output."""
+    import hashlib
+
+    from data_eng_project_spark.operators.curation import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "mail joe+1-234-5678@mail.com now"),
+         (2, "call +1-234-5678 or ping 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 0
+    assert rows[1]["redacted_md5"] == hashlib.md5(
+        b"mail [EMAIL] now"
+    ).hexdigest()
+    assert rows[2]["n_phones"] == 1 and rows[2]["n_ips"] == 1
+
+
+def test_pack_sequences_zero_token_doc_chunk_range(spark):
+    """Regression (r5 review): a zero-token doc must report
+    end_chunk == start_chunk and spans_boundary false, not an inverted
+    [start, start-1] range."""
+    from data_eng_project_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "   ", "s"), (3, "d e", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, chunk_tokens=4).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["end_chunk"] == rows[2]["start_chunk"]
+    assert rows[2]["spans_boundary"] is False
+    # neighbors unaffected
+    assert rows[1]["start_offset"] == 0 and rows[3]["start_offset"] == 3
+
+
+def test_probe_index_verifies_against_indexed_text(spark, tmp_path):
+    """Regression (r5 review): when an id exists in both the probe batch
+    and the index with DIFFERENT text, candidates must verify id_b
+    against the INDEXED corpus text, not an arbitrary winner of a
+    batch-union dedup."""
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_index,
+        write_index_delta,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(7, base)], "doc_id long, text string"
+    )
+    write_index_delta(corpus, 0, index_dir)
+    # Batch: id 9 is a near-dup of the INDEXED text of id 7; id 7
+    # re-appears with totally different text.
+    batch = spark.createDataFrame(
+        [(9, base + " extra"), (7, "completely different words entirely now")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_new"], r["id_indexed"]): r["jaccard"] for r in probe_index(
+        spark, index_dir, batch, corpus
+    ).collect()}
+    assert (9, 7) in out  # verified against indexed text -> high jaccard
