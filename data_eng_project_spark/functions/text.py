@@ -69,6 +69,15 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def letter_tokens(col: Column | str) -> Column:
+    """Lowercase letter-run tokens ('[^a-z]+' split, empties removed) —
+    the corpus-statistics tokenizer shared by tfidf/bm25/CMS/feature-
+    hashing in operators/textops.py and the curation quality features
+    (one definition, so the Spark sides and their oracle twins cannot
+    drift tokenizer-by-tokenizer)."""
+    return F.filter(F.split(F.lower(_c(col)), "[^a-z]+"), lambda x: x != F.lit(""))
+
+
 def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
     """n-word shingles from an already-materialized token-array column.
 

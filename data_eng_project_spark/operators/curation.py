@@ -358,11 +358,10 @@ def length_trim_by_group(
 
 
 def _letter_tokens(text_col: str) -> "F.Column":
-    """Lowercase letter-run tokens (the corpus-statistics tokenizer shared
-    with tfidf/bm25 in operators/textops.py), empties removed."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
-    )
+    """Alias of functions/text.letter_tokens — one tokenizer definition."""
+    from data_eng_project_spark.functions.text import letter_tokens
+
+    return letter_tokens(text_col)
 
 
 def unigram_lm_scores(

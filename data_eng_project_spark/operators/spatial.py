@@ -41,12 +41,40 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_eng_project_spark.functions.geo import KM_PER_DEG_LAT, MAX_ABS_LAT_DEG, haversine_km
+from data_eng_project_spark.functions.geo import (
+    EARTH_RADIUS_KM,
+    KM_PER_DEG_LAT,
+    MAX_ABS_LAT_DEG,
+    haversine_km,
+)
 
 
 def cell_sizes_deg(radius_km: float, max_abs_lat_deg: float = MAX_ABS_LAT_DEG) -> tuple[float, float]:
+    """Grid cell sizes guaranteeing that any within-radius pair lands at
+    most one cell apart per axis.
+
+    Latitude: r/111 deg (111.0 < the true 111.195 km/deg, so the cell is
+    strictly wider than the max latitude separation — safe).
+
+    Longitude uses the EXACT spherical bound, not the linear
+    r/(111·cos L) approximation: for two points within great-circle
+    distance r in the |lat| ≤ L band, hav(Δλ)·cos φ₁·cos φ₂ ≤ hav(r/R)
+    and cos φ ≥ cos L inside the band, so
+    Δλ_max = 2·asin(sin(r/2R)/cos L). The linear form undershoots this
+    (asin convexity) once r ≳ 755 km at L = 60°, silently dropping
+    within-radius pairs whose cells end up two apart (r5 review); the
+    exact bound holds for every radius. When the argument exceeds 1 the
+    radius out-spans the band entirely — every longitude is reachable,
+    one ring cell."""
     lat_cell = radius_km / KM_PER_DEG_LAT
-    lon_cell = radius_km / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
+    s = math.sin(radius_km / (2.0 * EARTH_RADIUS_KM)) / math.cos(
+        math.radians(max_abs_lat_deg)
+    )
+    if s >= 1.0:
+        lon_cell = 360.0
+    else:
+        # Tiny relative slack absorbs the float rounding of asin/degrees.
+        lon_cell = math.degrees(2.0 * math.asin(s)) * (1.0 + 1e-9)
     return lat_cell, lon_cell
 
 

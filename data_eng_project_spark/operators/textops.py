@@ -12,9 +12,10 @@ from pyspark.sql import functions as F
 from data_eng_project_spark.functions.text import (
     EN_STOPWORDS,
     lang_scores,
+    letter_tokens,
     padded_for_counting,
     substr_count,
-    token_count,
+    tokens,
 )
 
 
@@ -50,7 +51,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     pipeline; thresholds are the caller's policy."""
     t = F.col(text_col)
     padded = padded_for_counting(t)
-    n_words = token_count(text_col)
+    # Count NON-EMPTY tokens: split(trim(''), '\\s+') yields [''], so an
+    # empty/whitespace-only doc otherwise reports n_words=1 and a
+    # fabricated mean_word_len — and would survive a "min 1 word"
+    # filter (r5 review). Such docs report 0 words and NULL ratios.
+    n_words = F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
     stop_hits = None
     for w in EN_STOPWORDS:
         cnt = substr_count(padded, f" {w} ")
@@ -59,8 +64,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         F.length(t).alias("n_chars_measured"),
         n_words.alias("n_words"),
-        F.round(F.length(t) / n_words, 6).alias("mean_word_len"),
-        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+        F.when(n_words > 0, F.round(F.length(t) / n_words, 6)).alias(
+            "mean_word_len"
+        ),
+        F.when(n_words > 0, F.round(stop_hits / n_words, 6)).alias(
+            "stopword_ratio"
+        ),
     )
 
 
@@ -136,9 +145,8 @@ def tfidf_top_terms(
     the term string.
     """
     toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
-    ).filter(F.col("term") != "")
+        F.col(id_col), F.explode(letter_tokens(text_col)).alias("term")
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -190,7 +198,7 @@ def kmv_distinct_ngrams(
     """
     from pyspark.sql import Window
 
-    from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
+    from data_eng_project_spark.functions.text import shingles_from_tokens
 
     toks = docs.select(
         F.col(source_col).alias("source"), tokens(text_col).alias("_toks")
@@ -211,7 +219,14 @@ def kmv_distinct_ngrams(
             F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_kth"),
         )
     )
-    u = F.conv(F.substring("_kth", 1, 8), 16, 10).cast("bigint")
+    # greatest(u, 1): a k-th hash whose first 8 hex digits are all zero
+    # would make U_(k) = 0 and the estimate divide to NULL; clamping to
+    # the smallest representable prefix caps the estimate at (k-1)·2^32
+    # instead (r5 review). Probability ~k/2^32 per source, but a NULL
+    # estimate is a contract violation when it fires.
+    u = F.greatest(
+        F.conv(F.substring("_kth", 1, 8), 16, 10).cast("bigint"), F.lit(1)
+    )
     est = F.when(
         F.col("_kth").isNull(), F.col("n_exact_distinct").cast("double")
     ).otherwise(
@@ -253,7 +268,7 @@ def kmv_source_similarity(
     """
     from pyspark.sql import Window
 
-    from data_eng_project_spark.functions.text import shingles_from_tokens, tokens
+    from data_eng_project_spark.functions.text import shingles_from_tokens
 
     toks = docs.select(
         F.col(source_col).alias("source"), tokens(text_col).alias("_toks")
@@ -311,18 +326,35 @@ def kmv_source_similarity(
     union_k = pair_hashes.withColumn("urk", F.row_number().over(wp)).filter(
         F.col("urk") <= k
     )
-    in_both = (
-        union_k.join(sa.withColumnRenamed("h", "h"), on=["source_a", "h"])
-        .join(sb, on=["source_b", "h"])
+    # Estimator denominator is min(k, |K(A)∪K(B)|) — the number of union
+    # minima the sketches actually hold (Beyer et al. §5), NOT the fixed
+    # k: dividing by k underestimates whenever the pair's union has
+    # fewer than k hashes (two identical 10-shingle sources came out at
+    # 10/64 instead of 1.0 — r5 review). LEFT membership joins keep the
+    # union count and the in-both count in one aggregate.
+    marked = (
+        union_k.join(
+            sa.withColumn("_ina", F.lit(1)), on=["source_a", "h"], how="left"
+        )
+        .join(sb.withColumn("_inb", F.lit(1)), on=["source_b", "h"], how="left")
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("_both"))
+        .agg(
+            F.count(F.lit(1)).alias("_uk"),
+            F.sum(
+                F.when(
+                    F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("_both"),
+        )
     )
-    est = in_both.select(
+    est = marked.select(
         "source_a",
         "source_b",
-        F.round(F.col("_both").cast("double") / F.lit(float(k)), 6).alias(
-            "kmv_jaccard"
-        ),
+        F.round(
+            F.col("_both").cast("double")
+            / F.least(F.lit(k), F.col("_uk")).cast("double"),
+            6,
+        ).alias("kmv_jaccard"),
     )
     return (
         exact.join(est, on=["source_a", "source_b"], how="left")
@@ -357,21 +389,15 @@ def cms_term_count_estimates(
     in every engine — so the sketch CELLS and the estimates are
     bit-reproducible and oracle-checkable, unlike seeded-xxhash sketches.
 
-    Scale: the sketch build is one (row, bucket) aggregate over exploded
-    terms — depth × word-count-shaped, map-side combinable; the sketch
-    itself is depth·width cells (mergeable across partitions/batches by
-    cell-wise addition, same algebra as the rollup state).
+    Scale: ONE corpus scan total — terms reduce to vocabulary-sized
+    (term, count) rows first, and both the sketch cells (bucket sums of
+    term counts) and the exact top-k derive from that aggregate; the
+    earlier form re-tokenized the corpus once per hash row (depth+1
+    scans — r5 review). The sketch itself is depth·width cells
+    (mergeable across partitions/batches by cell-wise addition, same
+    algebra as the rollup state).
     """
-    from data_eng_project_spark.functions.text import tokens
-
-    terms = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("term")
-    )
+    terms = docs.select(F.explode(letter_tokens(text_col)).alias("term"))
 
     def bucket(row: int, term_col) -> "F.Column":
         h = F.conv(
@@ -379,23 +405,18 @@ def cms_term_count_estimates(
         ).cast("bigint")
         return (h % width).cast("int")
 
-    rows = [
-        terms.select(
-            F.lit(j).alias("row"), bucket(j, F.col("term")).alias("bucket")
-        )
-        for j in range(depth)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    cms = allrows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
-
-    exact = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
-        .limit(top_k)
+    term_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    pairs = term_counts.select(
+        "n_exact",
+        F.posexplode(
+            F.array(*[bucket(j, F.col("term")) for j in range(depth)])
+        ).alias("row", "bucket"),
     )
+    cms = pairs.groupBy("row", "bucket").agg(F.sum("n_exact").alias("cell"))
+
+    exact = term_counts.orderBy(
+        F.col("n_exact").desc(), F.col("term").asc()
+    ).limit(top_k)
     probes = exact
     for j in range(depth):
         probes = probes.withColumn(f"_b{j}", bucket(j, F.col("term")))
@@ -436,16 +457,9 @@ def feature_hash_doc_vectors(
     the sparse form downstream linear models consume. One word-count-
     shaped aggregate; zero-weight buckets are omitted (sparse contract).
     """
-    from data_eng_project_spark.functions.text import tokens  # noqa: F401
-
     terms = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("term"),
+        F.explode(letter_tokens(text_col)).alias("term"),
     )
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
     bucket = (h % dim).cast("int")
@@ -474,7 +488,13 @@ def phrase_occurrences(
     self-join adjacent positions. Cost is driven by the phrase tokens'
     posting lists, never the corpus; overlapping occurrences (e.g. 'w w
     w' for phrase 'w w') are counted correctly, which substring-replace
-    counting gets wrong. Returns (doc_id, n_occurrences ≥ 1)."""
+    counting gets wrong. Matching is case-insensitive (document tokens
+    are lowercased, and the phrase is lowercased to match — a raw
+    uppercase phrase word would otherwise silently match nothing).
+    Returns (doc_id, n_occurrences ≥ 1)."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    phrase = tuple(w.lower() for w in phrase)
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
@@ -522,19 +542,23 @@ def compression_ratio_signal(
                 raws.append(len(b))
                 comps.append(len(zlib.compress(b, 6)))
             out = pd.DataFrame(
-                {"doc_id": ids, "raw_bytes": raws, "compressed_bytes": comps}
+                {id_col: ids, "raw_bytes": raws, "compressed_bytes": comps}
             )
             yield out
 
+    # The id column round-trips with the CALLER's name and type (the
+    # linalg.project rule — a hardcoded 'doc_id long' broke string ids).
+    id_type = docs.schema[id_col].dataType.simpleString()
     stats = docs.select(id_col, text_col).mapInPandas(
-        batches, schema="doc_id long, raw_bytes long, compressed_bytes long"
+        batches,
+        schema=f"{id_col} {id_type}, raw_bytes long, compressed_bytes long",
     )
     ratio = F.when(
         F.col("raw_bytes") > 0,
         F.round(F.col("compressed_bytes") / F.col("raw_bytes"), 6),
     ).otherwise(F.lit(None))
     return stats.select(
-        "doc_id",
+        id_col,
         "raw_bytes",
         "compressed_bytes",
         ratio.alias("compression_ratio"),

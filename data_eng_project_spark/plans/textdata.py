@@ -72,15 +72,24 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_scores",
+    # Non-empty token count + NULL ratios for wordless docs, mirroring
+    # the operator (split(trim(''), ..) yields [''] on both engines).
     oracle=f"""
+        WITH q AS (
+            SELECT doc_id, text,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS nw
+            FROM documents
+        )
         SELECT doc_id,
                length(text) AS n_chars_measured,
-               len(string_split_regex(trim(text), '\\s+')) AS n_words,
-               round(length(text) / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_word_len,
-               round((
+               nw AS n_words,
+               CASE WHEN nw > 0
+                    THEN round(length(text) / nw, 6) END AS mean_word_len,
+               CASE WHEN nw > 0 THEN round((
                    {" + ".join(substr_count_sql(_PADDED, f" {w} ") for w in T.EN_STOPWORDS)}
-               ) / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
-        FROM documents
+               ) / nw, 6) END AS stopword_ratio
+        FROM q
     """,
     headline=True,
     tags=("textdata", "quality"),
@@ -946,12 +955,16 @@ _KMV_K = 64
             FROM ranked GROUP BY source
         ), est AS (
             SELECT source, n_exact,
+                   -- greatest(u, 1) mirrors the operator's zero-prefix
+                   -- guard (an all-zero 8-hex prefix must not NULL the
+                   -- estimate via division by zero)
                    CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
                         ELSE {_KMV_K - 1}.0 /
-                             (CAST(list_sum(list_transform(range(1, 9),
+                             (CAST(greatest(
+                                  list_sum(list_transform(range(1, 9),
                                   i -> CAST((strpos('0123456789abcdef',
                                              substr(kth, i, 1)) - 1) AS BIGINT)
-                                       * CAST(16 ** (8 - i) AS BIGINT)))
+                                       * CAST(16 ** (8 - i) AS BIGINT))), 1)
                                    AS DOUBLE) / 4294967296.0)
                    END AS e
             FROM per_source
@@ -1131,15 +1144,24 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM ph
             ) WHERE urk <= {_KMV_K}
         ), bth AS (
-            SELECT u.sa, u.sb, count(*) AS c
+            -- denominator = min(k, |union sketch|), per Beyer et al. §5
+            -- (mirrors the operator; /k underestimated small unions)
+            SELECT u.sa, u.sb, count(*) AS uk,
+                   sum(CASE WHEN x.h IS NOT NULL AND y.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS c
             FROM uk u
-            JOIN sketch x ON x.source = u.sa AND x.h = u.h
-            JOIN sketch y ON y.source = u.sb AND y.h = u.h
+            LEFT JOIN sketch x ON x.source = u.sa AND x.h = u.h
+            LEFT JOIN sketch y ON y.source = u.sb AND y.h = u.h
             GROUP BY u.sa, u.sb
         )
         SELECT e.sa AS source_a, e.sb AS source_b, e.exact_jaccard,
-               round(coalesce(c, 0) / {_KMV_K}.0, 6) AS kmv_jaccard,
-               round(coalesce(c, 0) / {_KMV_K}.0 - e.exact_jaccard, 6) AS est_error
+               round(coalesce(c, 0)
+                     / CAST(least({_KMV_K}, coalesce(uk, {_KMV_K}))
+                            AS DOUBLE), 6) AS kmv_jaccard,
+               round(coalesce(c, 0)
+                     / CAST(least({_KMV_K}, coalesce(uk, {_KMV_K}))
+                            AS DOUBLE)
+                     - e.exact_jaccard, 6) AS est_error
         FROM exact e
         LEFT JOIN bth ON bth.sa = e.sa AND bth.sb = e.sb
     """,

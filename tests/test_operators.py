@@ -1640,3 +1640,116 @@ def test_probe_index_verifies_against_indexed_text(spark, tmp_path):
         spark, index_dir, batch, corpus
     ).collect()}
     assert (9, 7) in out  # verified against indexed text -> high jaccard
+
+
+def test_near_join_large_radius_high_latitude_exact(spark):
+    """Regression (r5 review): the linear lon-cell approximation broke
+    the one-cell-apart guarantee for radius ≳ 755 km at |lat| 60° —
+    east-west great-circle separation grows superlinearly (asin). The
+    exact spherical bound must reproduce brute force at 999 km."""
+    import math
+
+    from data_eng_project_spark.functions.geo import EARTH_RADIUS_KM
+    from data_eng_project_spark.operators.spatial import near_join
+
+    radius = 999.0
+    # Pairs of points at lat 60 separated by just under/over the radius
+    # in pure longitude, plus a seam-straddling pair.
+    half = math.degrees(
+        2.0 * math.asin(math.sin(radius / (2 * EARTH_RADIUS_KM)) / math.cos(math.radians(60.0)))
+    )
+    pts = [
+        (1, 60.0, 0.0),
+        (2, 60.0, half * 0.999),   # within radius, near the max Δλ
+        (3, 60.0, half * 1.01),    # just outside
+        (4, 60.0, 179.99),
+        (5, 60.0, -179.99 + half * 0.5),  # seam-straddling, within
+    ]
+    points = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    sites = spark.createDataFrame(
+        [(r[0] + 100, r[1], r[2]) for r in pts],
+        "sid long, site_lat double, site_lon double",
+    )
+    got = {
+        (r["pid"], r["sid"])
+        for r in near_join(points, sites, radius_km=radius).collect()
+    }
+    # Brute force oracle
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+    want = {
+        (p[0], s[0] + 100)
+        for p in pts
+        for s in pts
+        if hav(p, s) <= radius
+    }
+    assert got == want
+    assert (1, 102) in got and (1, 103) not in got  # the knife-edge pair
+
+
+def test_phrase_occurrences_case_insensitive_and_empty_guard(spark):
+    """Regression (r5 review): an uppercase phrase word must match the
+    lowercased document tokens; an empty phrase raises."""
+    import pytest as _pytest
+
+    from data_eng_project_spark.operators.textops import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_occurrences"] for r in phrase_occurrences(
+        docs, ("The", "CAT")
+    ).collect()}
+    assert out == {1: 1}
+    with _pytest.raises(ValueError, match="at least one token"):
+        phrase_occurrences(docs, ())
+
+
+def test_compression_signal_preserves_id_column(spark):
+    """Regression (r5 review): string ids must round-trip."""
+    from data_eng_project_spark.operators.textops import compression_ratio_signal
+
+    docs = spark.createDataFrame(
+        [("a", "xyz " * 50), ("b", "q")], "name string, text string"
+    )
+    out = compression_ratio_signal(docs, id_col="name")
+    assert out.schema["name"].dataType.simpleString() == "string"
+    rows = {r["name"]: r for r in out.collect()}
+    assert rows["a"]["too_repetitive"] is True
+
+
+def test_kmv_jaccard_exact_on_identical_small_sources(spark):
+    """Regression (r5 review): two sources with identical shingle sets
+    smaller than k must estimate Jaccard 1.0 (denominator is the union
+    sketch size, not the fixed k)."""
+    from data_eng_project_spark.operators.textops import kmv_source_similarity
+
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, text, "sa"), (2, text, "sb")],
+        "doc_id long, text string, source string",
+    )
+    row = kmv_source_similarity(docs, n=3, k=64).collect()[0]
+    assert row["exact_jaccard"] == 1.0
+    assert row["kmv_jaccard"] == 1.0
+    assert row["est_error"] == 0.0
+
+
+def test_quality_score_empty_doc_reports_zero_words(spark):
+    """Regression (r5 review): whitespace-only docs must report
+    n_words 0 with NULL ratios, not a phantom 1-word doc."""
+    from data_eng_project_spark.operators.textops import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "real words here")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert rows[1]["n_words"] == 0
+    assert rows[1]["mean_word_len"] is None
+    assert rows[1]["stopword_ratio"] is None
+    assert rows[2]["n_words"] == 3
