@@ -133,8 +133,13 @@ def all_pairs_above_blocked(
     )
     rep = a_side.unionByName(b_side)
 
-    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
-        same = (pdf["side"] == "a").all()
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # `same` comes from the GROUP KEY, never from the data: inferring
+        # it as "all rows are side a" misfires when block j is EMPTY —
+        # the (i, j) group then re-emitted block i's internal pairs once
+        # per empty partner block (duplicate pairs on small/skewed
+        # corpora — r5 review).
+        same = key[0] == key[1]
         a = pdf[pdf["side"] == "a"]
         b = a if same else pdf[pdf["side"] == "b"]
         if len(a) == 0 or len(b) == 0:
@@ -144,7 +149,11 @@ def all_pairs_above_blocked(
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B if same else B / np.linalg.norm(B, axis=1, keepdims=True)
         C = An @ (An if same else Bn).T
-        C = np.floor(C * 1e6 + 0.5) / 1e6  # half-up round to 6 dp (all kept values > 0)
+        # Sign-aware half-up round to 6 dp (HALF_UP = away from zero,
+        # matching Spark/DuckDB for negative cosines too — the
+        # floor(x+0.5) shortcut rounded -0.0000005 the wrong way and
+        # silently relied on threshold > 0).
+        C = np.where(C >= 0, np.floor(C * 1e6 + 0.5), np.ceil(C * 1e6 - 0.5)) / 1e6
         ia, ib = np.nonzero(C >= threshold)
         ids_a = a["id"].to_numpy()[ia]
         ids_b = (a if same else b)["id"].to_numpy()[ib]
@@ -196,7 +205,7 @@ def lsh_bucketed_pairs(
     threshold: float,
     n_planes: int = 16,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_hamming: int = 2,
@@ -204,7 +213,17 @@ def lsh_bucketed_pairs(
     """Approximate near-neighbor pairs: same/adjacent LSH bucket, exact
     cosine re-rank. Multi-probe via banding: split the n_planes-bit
     signature into (max_hamming+1) bands — pairs within Hamming
-    max_hamming share ≥1 exact band (pigeonhole)."""
+    max_hamming share ≥1 exact band (pigeonhole).
+
+    ``dim`` defaults to the data's actual vector length (one-row probe).
+    A stale explicit dim smaller than the real length used to NULL the
+    zip_with dot products, zero every signature, and silently degrade
+    the bucketed join into a full cross join (r5 review)."""
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("_d")).first()
+        if first is None or first["_d"] is None:
+            raise ValueError("lsh_bucketed_pairs: empty vectors input")
+        dim = int(first["_d"])
     planes = _hyperplanes(dim, n_planes, seed)
     sig = vectors.select(
         F.col(id_col).alias("id"),
@@ -292,6 +311,27 @@ def ivf_assign(
     return assigned, centroids
 
 
+def _driver_cos(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine for centroid ranking (centroid lists are
+    n_clusters×dim floats — dimension-sized, never corpus data)."""
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a)) or 1.0
+    nb = math.sqrt(sum(x * x for x in b)) or 1.0
+    return d / (na * nb)
+
+
+def _probe_clusters(
+    centroids: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cluster ids whose centroids are most cosine-
+    similar to the query — shared by ivf_topk and ivf_pq_topk so the
+    probe-selection rule cannot drift between the two IVF entry points."""
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -_driver_cos(query, centroids[i])
+    )
+    return ranked[:n_probe]
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],
@@ -307,15 +347,7 @@ def ivf_topk(
     inside them. Scan cost drops by ~n_probe/n_clusters vs exact; recall
     is tested against brute_force_topk in tests/test_operators.py."""
     assigned, centroids = ivf_assign(vectors, n_clusters, seed, id_col, vec_col)
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return d / (na * nb)
-
-    ranked = sorted(range(len(centroids)), key=lambda i: -_cos(query, centroids[i]))
-    probe = ranked[:n_probe]
+    probe = _probe_clusters(centroids, query, n_probe)
     cands = assigned.filter(F.col("_cluster").isin(probe))
     qcol = F.array(*[F.lit(float(x)) for x in query])
     return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
@@ -396,15 +428,27 @@ def pq_train_encode(
     from pyspark.ml.functions import array_to_vector
 
     first = vectors.select(vec_col).head()
+    if first is None or first[0] is None:
+        raise ValueError("pq_train_encode: empty vectors input")
     dim = len(first[0])  # 1-row driver peek: schema-level metadata
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
     k = 1 << nbits
 
+    # Zero-norm guard: x / 0 is NULL element-wise and array_to_vector
+    # raises on NULLs deep inside the KMeans job (r5 review) — a
+    # zero-norm vector stays the zero vector instead.
     nrm = norm(vec_col)
     df = vectors.withColumn(
         "_nv",
-        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / nrm),
+        F.when(
+            nrm > 0,
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / nrm),
+        ).otherwise(
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: x * F.lit(0.0)
+            )
+        ),
     )
     for j in range(m):
         df = df.withColumn(
@@ -430,6 +474,52 @@ def pq_train_encode(
     return encoded, codebooks
 
 
+def _adc_shortlist_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    m: int,
+    nbits: int,
+    rerank_factor: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC serving path (pq_topk and pq_load_topk): normalize the
+    query, build the m·2^nbits lookup table of per-subspace dot products
+    on the driver, score codes with zip_with/element_at, take the
+    rerank_factor·k shortlist deterministically, and exact-rerank. ONE
+    copy of the j·2^nbits+c+1 index arithmetic, so a fix to the scoring
+    or tie-break cannot reach only one of the two entry points
+    (r5 review)."""
+    import math as _m
+
+    kk = 1 << nbits
+    qn = _m.sqrt(sum(x * x for x in query)) or 1.0
+    q = [x / qn for x in query]
+    dsub = len(query) // m
+    flat: list[float] = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * dsub : (j + 1) * dsub]
+        for cent in book:
+            flat.append(sum(a * b for a, b in zip(qs, cent)))
+    table = F.array(*[F.lit(float(x)) for x in flat])
+    idx = F.zip_with(
+        "_codes",
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(table, (j * kk + c + 1).cast("int")),
+    )
+    adc = F.aggregate(idx, F.lit(0.0), lambda acc, x: acc + x)
+    cands = (
+        encoded.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(rerank_factor * k)
+        .drop("_adc", "_codes")
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def pq_topk(
     vectors: DataFrame,
     query: list[float],
@@ -453,35 +543,12 @@ def pq_topk(
     memory: codes only. The exact re-rank bounds the approximation —
     recall vs brute_force_topk is asserted in tests.
     """
-    import math as _m
-
     encoded, codebooks = pq_train_encode(
         vectors, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    qn = _m.sqrt(sum(x * x for x in query)) or 1.0
-    q = [x / qn for x in query]
-    dsub = len(query) // m
-    kk = 1 << nbits
-    flat: list[float] = []
-    for j, book in enumerate(codebooks):
-        qs = q[j * dsub : (j + 1) * dsub]
-        for cent in book:
-            flat.append(sum(a * b for a, b in zip(qs, cent)))
-    table = F.array(*[F.lit(float(x)) for x in flat])
-    idx = F.zip_with(
-        "_codes",
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, j: F.element_at(table, (j * kk + c + 1).cast("int")),
+    return _adc_shortlist_topk(
+        encoded, codebooks, query, m, nbits, rerank_factor, k, id_col, vec_col
     )
-    adc = F.aggregate(idx, F.lit(0.0), lambda acc, x: acc + x)
-    cands = (
-        encoded.withColumn("_adc", adc)
-        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
-        .limit(rerank_factor * k)
-        .drop("_adc", "_codes")
-    )
-    qcol = F.array(*[F.lit(float(x)) for x in query])
-    return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_pq_topk(
@@ -508,15 +575,8 @@ def ivf_pq_topk(
     assigned, centroids = ivf_assign(
         vectors, n_clusters, seed, id_col, vec_col
     )
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return d / (na * nb)
-
-    ranked = sorted(range(len(centroids)), key=lambda i: -_cos(query, centroids[i]))
-    cands = assigned.filter(F.col("_cluster").isin(ranked[:n_probe])).drop("_cluster")
+    probe = _probe_clusters(centroids, query, n_probe)
+    cands = assigned.filter(F.col("_cluster").isin(probe)).drop("_cluster")
     return pq_topk(
         cands,
         query,
@@ -570,38 +630,15 @@ def pq_load_topk(
     sidecar codebooks, scan the codes parquet, exact re-rank the
     shortlist — no k-means, no training data needed at query time."""
     import json
-    import math as _m
     import os
 
     with open(os.path.join(index_dir, "codebooks.json")) as f:
         meta = json.load(f)
-    m, kk = meta["m"], 1 << meta["nbits"]
-    codebooks = meta["codebooks"]
     encoded = spark.read.parquet(os.path.join(index_dir, "codes"))
-
-    qn = _m.sqrt(sum(x * x for x in query)) or 1.0
-    q = [x / qn for x in query]
-    dsub = len(query) // m
-    flat = [
-        sum(a * b for a, b in zip(q[j * dsub : (j + 1) * dsub], cent))
-        for j, book in enumerate(codebooks)
-        for cent in book
-    ]
-    table = F.array(*[F.lit(float(x)) for x in flat])
-    idx = F.zip_with(
-        "_codes",
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, j: F.element_at(table, (j * kk + c + 1).cast("int")),
+    return _adc_shortlist_topk(
+        encoded, meta["codebooks"], query, meta["m"], meta["nbits"],
+        rerank_factor, k, id_col, vec_col,
     )
-    adc = F.aggregate(idx, F.lit(0.0), lambda acc, x: acc + x)
-    cands = (
-        encoded.withColumn("_adc", adc)
-        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
-        .limit(rerank_factor * k)
-        .drop("_adc", "_codes")
-    )
-    qcol = F.array(*[F.lit(float(x)) for x in query])
-    return brute_force_topk(cands, qcol, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def knn_join_blocked(
@@ -677,6 +714,14 @@ def knn_join_blocked(
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         S = Qn @ Cn.T
         S = np.where(S >= 0, np.floor(S * 1e6 + 0.5), np.ceil(S * 1e6 - 0.5)) / 1e6
+        # A zero-norm vector (failed/padded embedding) yields NaN
+        # cosines; left in place, a NaN reaching the k-th slot made
+        # `tied = S >= kth` all-False and silently dropped EVERY
+        # candidate for that query/block (r5 review). Park NaNs at the
+        # -2.0 sentinel — below any real cosine — and filter them after
+        # the window, matching the exact twin where a NULL cosine pair
+        # simply never ranks.
+        S = np.where(np.isnan(S), -2.0, S)
         if exclude_match_col is not None:
             # mask same-tag pairs (e.g. same label for hard-negative
             # mining) below any real cosine so they never reach top-k.
@@ -719,8 +764,9 @@ def knn_join_blocked(
     cand = rep.groupBy("bq", "bc").applyInPandas(
         gemm_topk, schema="qid long, cid long, cosine double"
     )
-    if exclude_match_col is not None:
-        cand = cand.filter(F.col("cosine") > -1.5)  # drop masked cells
+    # Drop sentinel cells (masked same-tag pairs AND NaN zero-norm
+    # cosines) — real cosines are ≥ -1.0, the sentinel is -2.0.
+    cand = cand.filter(F.col("cosine") > -1.5)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -1753,3 +1753,50 @@ def test_quality_score_empty_doc_reports_zero_words(spark):
     assert rows[1]["mean_word_len"] is None
     assert rows[1]["stopword_ratio"] is None
     assert rows[2]["n_words"] == 3
+
+
+def test_blocked_pairs_no_duplicates_with_empty_blocks(spark):
+    """Regression (r5 review): with more blocks than occupied hash
+    slots, a (i, j) group whose j-block is empty must NOT re-emit block
+    i's internal pairs (the data-inferred `same` flag did exactly that)."""
+    from data_eng_project_spark.operators.similarity import (
+        all_pairs_above,
+        all_pairs_above_blocked,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 == j) + 0.1 for j in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in all_pairs_above(vecs, threshold=0.5).collect()
+    )
+    blocked = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in all_pairs_above_blocked(vecs, threshold=0.5, n_blocks=16).collect()
+    )
+    assert len(blocked) == len(set(blocked))  # no duplicate pairs
+    assert blocked == exact
+    assert len(exact) > 0
+
+
+def test_knn_blocked_survives_zero_norm_corpus_vector(spark):
+    """Regression (r5 review): a zero-norm corpus vector produced NaN
+    cosines that poisoned the block-local k-th threshold and silently
+    dropped ALL candidates for the block; valid candidates must
+    survive and the zero-norm row must simply never rank."""
+    from data_eng_project_spark.operators.similarity import knn_join_blocked
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    out = knn_join_blocked(
+        queries, corpus, k=5, n_query_blocks=1, n_corpus_blocks=1
+    ).collect()
+    got = {r["cid"] for r in out}
+    assert got == {1, 2}  # valid neighbors kept, zero-norm row absent
