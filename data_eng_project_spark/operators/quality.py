@@ -37,19 +37,22 @@ def dq_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     if not rules:
         return df.sparkSession.createDataFrame([], schema)
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for name, pred in rules.items():
+    # Internal column handles are positional (_v_0, _v_1, ...) so rule
+    # NAMES stay free-form: a name like 'price.positive' inside F.col()
+    # would parse as a nested-field access and fail analysis.
+    for i, pred in enumerate(rules.values()):
         aggs.append(
-            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"_v_{name}")
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"_v_{i}")
         )
     wide = df.agg(*aggs)
     rows = None
-    for name in rules:
+    for i, name in enumerate(rules):
         one = wide.select(
             F.lit(name).alias("rule"),
             F.col("_n").cast("bigint").alias("n_rows"),
-            F.coalesce(F.col(f"_v_{name}"), F.lit(0)).alias("n_violations"),
+            F.coalesce(F.col(f"_v_{i}"), F.lit(0)).alias("n_violations"),
             F.coalesce(
-                F.round(F.col(f"_v_{name}") / F.col("_n"), 6), F.lit(0.0)
+                F.round(F.col(f"_v_{i}") / F.col("_n"), 6), F.lit(0.0)
             ).alias("violation_rate"),
         )
         rows = one if rows is None else rows.unionByName(one)
@@ -73,8 +76,10 @@ def dq_orphan_count(
             F.lit(rule).alias("rule"),
             "n_rows",
             "n_violations",
-            F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
-                "violation_rate"
-            ),
+            # Same empty-table contract as dq_report: 0 rows → rate 0.0,
+            # not a NULL 0/0.
+            F.coalesce(
+                F.round(F.col("n_violations") / F.col("n_rows"), 6), F.lit(0.0)
+            ).alias("violation_rate"),
         )
     )

@@ -1435,6 +1435,29 @@ def test_dq_report_empty_rules_and_empty_table(spark):
     assert (row.n_rows, row.n_violations, row.violation_rate) == (0, 0, 0.0)
 
 
+def test_dq_report_freeform_rule_names_and_orphan_empty_fact(spark):
+    """Regression (r5 review): rule names are user-facing labels, so a
+    dotted name like 'price.positive' must not be parsed as a nested
+    field by the internal column plumbing; dq_orphan_count on an empty
+    fact table reports rate 0.0 (same contract as dq_report), not NULL."""
+    from data_eng_project_spark.operators.quality import dq_orphan_count, dq_report
+
+    df = spark.createDataFrame([(1,), (-2,)], "v long")
+    rows = {
+        r.rule: r
+        for r in dq_report(
+            df, {"price.positive": F.col("v") > 0, "v not-null": F.col("v").isNotNull()}
+        ).collect()
+    }
+    assert rows["price.positive"].n_violations == 1
+    assert rows["v not-null"].n_violations == 0
+
+    fact = spark.createDataFrame([], "fk long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    row = dq_orphan_count(fact, dim, "fk", "k", "fk resolves").collect()[0]
+    assert (row.n_rows, row.n_violations, row.violation_rate) == (0, 0, 0.0)
+
+
 def test_asof_join_null_keys_and_ts_never_match(spark):
     """Regression (r5 review): SQL ASOF semantics — NULL keys and NULL
     timestamps never match. Previously the window partitioned NULL keys

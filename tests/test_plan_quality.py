@@ -286,3 +286,46 @@ def test_release_pipeline_no_cartesian_no_python(spark):
     plan = _plan(spark, "dataset_release_pipeline")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_label_propagation_blocked_no_cartesian(spark):
+    """The bipartite k-NN must ride the blocked-GEMM equi-join (Arrow
+    stage is the design), never a cartesian/nested-loop pair blowup; the
+    vote join and truth join are plain equi-joins."""
+    plan = _plan(spark, "knn_label_propagation")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_covariance_jvm_side_partial_aggs(spark):
+    """The dim-pair moment rollup must stay in codegen (posexplode +
+    self-equi-join on vec_id + decimal aggregates): no Python eval
+    nodes, map-side partial aggregation before the (i,j) shuffle."""
+    plan = _plan(spark, "embedding_covariance")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_bitset_broadcasts(spark):
+    """The ~8 KB bitset must reach the probe side as a broadcast (the
+    operator's whole point: the filter rides to the data; the big side
+    never shuffles for the probe), and nothing may cartesian."""
+    plan = _plan(spark, "bloom_join_prune_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_normalize_equi_join_on_target_rank(spark):
+    """The curve lookup must be an equi-join on the integer target rank
+    (with a legitimate 1-row total broadcast); no cartesian, no Python."""
+    plan = _plan(spark, "quality_quantile_normalize")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pps_sample_broadcasts_stratum_totals(spark):
+    """Per-stratum totals join the cumulative-sum side as a broadcast
+    hash join; the stratum window is the only wide shuffle."""
+    plan = _plan(spark, "pps_sample_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
