@@ -128,3 +128,33 @@ def test_scene_cut_detection_recovers_planted_scene_structure(spark):
         frames = [r["cut_frame"] for r in rows]
         assert frames[0] == 0 and frames == sorted(frames)
         assert all(r["diff"] > 8.0 for r in rows[1:])
+
+
+def test_bilinear_resize_identity_and_png_roundtrip_property():
+    """Property (r5 review): same-size bilinear resize is the identity
+    (target pixel centers map exactly onto source centers), and the
+    stdlib PNG codec round-trips arbitrary RGB content at arbitrary
+    small dimensions — not just the fixed-filter fixtures."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_eng_project_spark.operators.multimodal import (
+        bilinear_resize,
+        decode_png,
+        encode_png,
+    )
+
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (bilinear_resize(img, w, h) == img).all()
+        assert (decode_png(encode_png(img)) == img).all()
+
+    check()

@@ -397,6 +397,47 @@ def test_connected_components_long_path_converges_fast(spark):
     assert got.agg(F.max("comp")).collect()[0][0] == 1
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_match_union_find_random_graphs(spark, raw_edges):
+    """Property (r5 review): on arbitrary random graphs — self-loops,
+    parallel edges, any topology — min-label propagation with pointer
+    jumping agrees with a driver-side union-find on every node's
+    component minimum."""
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nodes = set()
+    for a, b in raw_edges:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in nodes:
+        expected.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in raw_edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == want
+
+
 # ------------------------------------------------------------- temporal
 
 def test_asof_join_inclusive_and_unmatched(spark):

@@ -117,3 +117,32 @@ def test_encode_compresses_corpus(spark, sf_dir):
     ).collect()[0]
     assert agg["tok"] < 4.0 * agg["w"]  # far below raw chars+EOW
     assert agg["sing"] < 0.2 * agg["w"]  # vocab covers the corpus
+
+
+def test_bpe_encode_reconstruction_property():
+    """Property (r5 review): for ANY fitted merge table, encoding is a
+    segmentation — the pieces of every word concatenate back to exactly
+    word+EOW (no characters lost, duplicated, or reordered), and piece
+    count is in [1, len(word)+1]."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=10)
+
+    @given(st.lists(st.tuples(word, st.integers(1, 50)), min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def check(freqs):
+        from data_eng_project_spark.operators.tokenizer import (
+            EOW,
+            bpe_fit,
+            encode_word,
+        )
+
+        merges = bpe_fit(freqs, n_merges=20)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w, _ in freqs:
+            pieces = encode_word(w, ranks)
+            assert "".join(pieces) == w + EOW
+            assert 1 <= len(pieces) <= len(w) + 1
+
+    check()
