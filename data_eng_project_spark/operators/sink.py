@@ -398,31 +398,16 @@ def zorder_value(a, b, bits: int = 16):
     return z
 
 
-def write_zorder(
-    df: DataFrame,
-    path: str,
-    col_a: str,
-    col_b: str,
-    num_files: int = 8,
-    bits: int = 16,
-) -> None:
-    """Z-order clustered parquet layout: TWO-dimensional data skipping,
-    the upgrade over write_range_sorted's single sort dimension. Each
-    column is bucketed into 2^bits ranks between its min and max (the
-    stats come from one broadcast aggregate — no driver collect), the
-    ranks interleave into a Morton value, and files are range-partitioned
-    and sorted on that value. Locality on the Z-curve means every file
-    covers a compact rectangle-ish region of (a, b) space, so footer
-    min/max statistics prune files for selective predicates on EITHER
-    column — a linear sort gives this for its leading column only.
-
-    At 100 TB this is the table-maintenance job behind "filter on either
-    user_id or ts without reading the lake"; engines with native
-    clustering (OPTIMIZE ZORDER BY) run the same math. Min/max bucketing
-    degrades under heavy skew (most ranks collapse into few buckets) —
-    swap the bucket edges for approx quantiles if a dimension is skewed;
-    the interleave and layout are unchanged.
-    """
+def zorder_frame(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16, keep_ranks: bool = False
+) -> DataFrame:
+    """Attach the Morton value behind write_zorder as a ``_z`` column
+    (plus ``_arank``/``_brank`` when keep_ranks). Each column is bucketed
+    into 2^bits ranks between its min and max (the stats come from one
+    broadcast aggregate — no driver collect) and the ranks interleave
+    into a Z-curve value. Shared by the clustered writer below and the
+    layout-inspection queries (plans/layout.py), so the math audited by
+    the oracle IS the math the writer lays files out with."""
     from pyspark.sql import functions as F
 
     stats = df.agg(
@@ -442,12 +427,45 @@ def write_zorder(
             F.lit(n_buckets - 1), F.floor(frac * n_buckets).cast("long")
         )
 
-    (
+    out = (
         df.join(F.broadcast(stats))
-        .withColumn("_z", zorder_value(_rank(col_a, "_amin", "_amax"), _rank(col_b, "_bmin", "_bmax"), bits))
+        .withColumn("_arank", _rank(col_a, "_amin", "_amax"))
+        .withColumn("_brank", _rank(col_b, "_bmin", "_bmax"))
+        .withColumn("_z", zorder_value(F.col("_arank"), F.col("_brank"), bits))
+        .drop("_amin", "_amax", "_bmin", "_bmax")
+    )
+    return out if keep_ranks else out.drop("_arank", "_brank")
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order clustered parquet layout: TWO-dimensional data skipping,
+    the upgrade over write_range_sorted's single sort dimension. Rank
+    bucketing + Morton interleave come from zorder_frame above; files
+    are range-partitioned and sorted on the Z value. Locality on the
+    Z-curve means every file covers a compact rectangle-ish region of
+    (a, b) space, so footer min/max statistics prune files for selective
+    predicates on EITHER column — a linear sort gives this for its
+    leading column only.
+
+    At 100 TB this is the table-maintenance job behind "filter on either
+    user_id or ts without reading the lake"; engines with native
+    clustering (OPTIMIZE ZORDER BY) run the same math. Min/max bucketing
+    degrades under heavy skew (most ranks collapse into few buckets) —
+    swap the bucket edges for approx quantiles if a dimension is skewed;
+    the interleave and layout are unchanged.
+    """
+    (
+        zorder_frame(df, col_a, col_b, bits=bits)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

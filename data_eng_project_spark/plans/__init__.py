@@ -28,6 +28,7 @@ from data_eng_project_spark.plans import curation3  # noqa: E402,F401
 from data_eng_project_spark.plans import datasetops  # noqa: E402,F401
 from data_eng_project_spark.plans import extensions  # noqa: E402,F401
 from data_eng_project_spark.plans import flagship  # noqa: E402,F401
+from data_eng_project_spark.plans import layout  # noqa: E402,F401
 from data_eng_project_spark.plans import linalg  # noqa: E402,F401
 from data_eng_project_spark.plans import parity  # noqa: E402,F401
 from data_eng_project_spark.plans import privacy  # noqa: E402,F401

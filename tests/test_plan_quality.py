@@ -329,3 +329,24 @@ def test_pps_sample_broadcasts_stratum_totals(spark):
     plan = _plan(spark, "pps_sample_by_source")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_stats_broadcast_bounds_single_agg_shuffle(spark):
+    """The min/max bounds frame must reach the rank computation as a
+    1-row broadcast (never a shuffled or nested-loop pair), the Morton
+    interleave must stay in codegen (pure bitwise — no Python eval
+    node), and the bucket rollup must partial-aggregate map-side."""
+    plan = _plan(spark, "zorder_layout_stats")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_pruning_ratio_no_python_no_cartesian(spark):
+    """Four layout/predicate branches, each a 64-row file-stats rollup:
+    everything bitwise/aggregate JVM-side, no Python, no cartesian
+    beyond the legitimate 1-row bounds broadcast."""
+    plan = _plan(spark, "zorder_pruning_ratio")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -392,3 +392,27 @@ def test_compact_parquet_map_only_data_column(spark, tmp_path):
     df.repartition(4).write.partitionBy("part").parquet(path)
     compact_parquet(spark, path, target_file_mb=128)
     assert spark.read.parquet(path).count() == 500
+
+
+def test_zorder_frame_interleave_round_trip(spark):
+    """zorder_frame's Morton value must de-interleave back to exactly
+    the rank pair it was built from (a in odd bit positions), and ranks
+    must stay inside [0, 2^bits) with min/max hitting the rail values —
+    the contract both the clustered writer and the layout-audit oracles
+    (plans/layout.py) rely on."""
+    from data_eng_project_spark.operators.sink import zorder_frame
+
+    grid = spark.range(1000).selectExpr(
+        "CAST(id % 37 AS LONG) AS x", "CAST(id % 101 AS LONG) AS y"
+    )
+    rows = zorder_frame(grid, "x", "y", bits=8, keep_ranks=True).collect()
+    assert len(rows) == 1000
+    for r in rows:
+        assert 0 <= r._arank < 256 and 0 <= r._brank < 256
+        a = b = 0
+        for i in range(8):
+            a |= ((r._z >> (2 * i + 1)) & 1) << i
+            b |= ((r._z >> (2 * i)) & 1) << i
+        assert (a, b) == (r._arank, r._brank)
+    assert min(r._arank for r in rows) == 0
+    assert max(r._arank for r in rows) == 255
