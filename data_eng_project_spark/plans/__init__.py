@@ -64,7 +64,10 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      multimodal_audio_spectrum (naive-DFT spectrum replay),
 #      multimodal_phash_dups (sha256-pixel + bilinear + DCT + median
 #      + Hamming full-pipeline replay),
-#      similarity_ann_lsh (LCG-hyperplane + band-arithmetic replay) —
+#      similarity_ann_lsh (LCG-hyperplane + band-arithmetic replay),
+#      and the two layout-audit queries added after this window froze
+#      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
+#      rank/interleave replays, plans/layout.py) —
 #      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
