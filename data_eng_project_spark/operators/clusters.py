@@ -240,3 +240,71 @@ def triangle_stats(
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    roots: DataFrame,
+    root_col: str = "root",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_hops: int = 12,
+) -> DataFrame:
+    """Multi-source BFS over the undirected pair graph: the hop
+    (shortest-path) distance from each root to every node it reaches
+    within ``max_hops``. Returns (root, node, hops); a root appears at
+    hops 0, and nodes farther than ``max_hops`` from every root are
+    absent — callers pick the cap, and the SQL-oracle twin applies the
+    identical cap so both engines truncate the same frontier.
+
+    For dup graphs this is the "how far from the canonical" diagnostic:
+    hop distance from a cluster's kept representative separates direct
+    near-dups (1 hop) from documents that are only transitively
+    duplicated through a chain of borderline matches (≥2 hops) — the
+    rows a curator re-reviews before an aggressive keep-one policy.
+
+    Scale design: level-synchronous frontier expansion — each round is
+    one equi-join (frontier ⋈ edges, shuffle on node id) plus one
+    anti-join against the visited set, the Pregel BFS as DataFrame
+    algebra. Rounds are bounded by min(graph diameter, max_hops); dup
+    graphs are near-cliques so the frontier empties in a handful of
+    rounds. Lineage is cut per round with a lazy localCheckpoint whose
+    materializing action IS the frontier-empty test (one job per
+    round); the visited set only ever grows by the new frontier, so
+    per-round cost tracks the answer, not the corpus.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        roots.select(
+            F.col(root_col).alias("root"),
+            F.col(root_col).alias("node"),
+            F.lit(0).cast("int").alias("hops"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        # The count is the one action that both materializes the round
+        # and decides termination — BFS level-synchrony needs it, and
+        # it is bounded by max_hops driver round-trips.
+        if new.count() == 0:
+            break
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new
+    return dist

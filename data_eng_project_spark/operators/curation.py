@@ -1029,3 +1029,78 @@ def soft_dedup_weights(
         F.col("_nt").cast("bigint").alias("n_tokens"),
         F.round(F.col("_nt") / csize, 6).alias("effective_tokens"),
     )
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus collocations: adjacent word pairs ranked by association
+    lift = P(w1 w2) / (P(w1)·P(w2)) — the quantity whose log is PMI
+    (the log is monotone, so ranking by lift IS ranking by PMI; lift is
+    emitted instead because ln() is not correctly-rounded across math
+    libraries while the division tree below is plain IEEE arithmetic
+    both engines evaluate identically). High-lift pairs are the
+    multi-word expressions a tokenizer/phrase-miner should fuse and the
+    boilerplate bellwethers a curator inspects; the ``min_count`` floor
+    removes the hapax pairs whose lift is spuriously huge.
+
+    Scale shape: two word-count aggregates (unigrams, bigram strings)
+    over one tokenization pass, two vocab-sized equi-joins to attach
+    the unigram counts (AQE decides broadcast vs shuffle), a 1-row
+    totals broadcast, and a TakeOrdered top-k — no window over the
+    corpus, no self-join.
+    """
+    toks = docs.select(_letter_tokens(text_col).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat(
+                F.element_at("_t", i), F.lit(" "), F.element_at("_t", i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    bc = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("n_uni")).crossJoin(
+        toks.select(F.explode(bigrams).alias("b")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_big")
+        )
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bc.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(
+                (F.col("n_pair").cast("double") / F.col("n_big"))
+                / (
+                    (F.col("c1").cast("double") / F.col("n_uni"))
+                    * (F.col("c2").cast("double") / F.col("n_uni"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -663,3 +663,73 @@ def shuffle_order(
         F.col("bucket"),
         (F.col("_off") + F.col("_rnk") - 1).cast("bigint").alias("global_pos"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    name_col: str,
+    window: int = 5,
+    max_distance: int = 4,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo): sort the distinct names, slide a window of ``window``
+    ranks, and verify each in-window pair with exact Levenshtein —
+    the complementary blocking strategy to token-inverted-index
+    blocking (fuzzy_name_pairs): a typo inside a name's only shared
+    token breaks token blocking but usually leaves the sort position
+    adjacent, while a reordered word breaks the sort position but
+    keeps a shared token. Production ER runs several blocking passes
+    and unions the candidates.
+
+    Scale design — a global row_number() would funnel the table
+    through ONE partition (the zipWithIndex trap, same as
+    shuffle_order). Instead the global sort rank is hierarchical and
+    ORDER-ALIGNED: names bucket by their ``prefix_len``-char prefix
+    (string prefix order is consistent with full lexicographic order,
+    so bucket blocks are contiguous rank ranges), rank within each
+    bucket via a distributed window, and add bucket base offsets from
+    a prefix sum over the dimension-sized bucket table. The window
+    join is rank-arithmetic: explode the ``window`` gap offsets and
+    equi-join rank + k = rank — never an inequality join, never a
+    cross join. Boundary pairs spanning two buckets are found because
+    the join runs on the GLOBAL rank, not within buckets.
+
+    Returns (name_a, name_b, rank_gap, distance) with name_a the
+    lower-ranked (lexicographically smaller) name.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    a = names.select(
+        "name", F.substring("name", 1, prefix_len).alias("_bkt")
+    )
+    rn = F.row_number().over(Window.partitionBy("_bkt").orderBy("name"))
+    ranked = a.select("name", "_bkt", rn.alias("_rn"))
+    sizes = a.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    off = F.sum("_n").over(
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select("_bkt", F.coalesce(off, F.lit(0)).alias("_off"))
+    g = ranked.join(F.broadcast(offsets), "_bkt").select(
+        "name", (F.col("_off") + F.col("_rn")).cast("bigint").alias("rnk")
+    )
+    gaps = F.explode(
+        F.sequence(F.lit(1), F.lit(int(window)))
+    ).alias("rank_gap")
+    probes = g.select("name", "rnk", gaps).select(
+        F.col("name").alias("name_a"),
+        (F.col("rnk") + F.col("rank_gap")).alias("rnk"),
+        F.col("rank_gap").cast("bigint").alias("rank_gap"),
+    )
+    cand = probes.join(
+        g.select(F.col("name").alias("name_b"), "rnk"), "rnk"
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            "name_a",
+            "name_b",
+            "rank_gap",
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )

@@ -555,3 +555,74 @@ def debounce_events(
         prev_us.isNull()
         | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
     )
+
+
+def holt_linear_per_key(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str = "x",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend) per
+    key over an ordered series — the step past EWMA when the series has
+    drift: an EWMA of a steadily growing series lags by design, while
+    Holt tracks the growth as an explicit trend term and yields the
+    standard one-step forecast ``level + trend``.
+
+        l_1 = x_1,  b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Same execution shape as ewma_per_key: groupBy(key).applyInPandas,
+    sort inside the group, one float64 recurrence pass per Arrow batch
+    — state never crosses keys, so the operator scales on the key hash
+    like any aggregation; series length per key (e.g. days) is bounded,
+    so the per-group Python walk is dimension-sized, never corpus-sized.
+    The recurrence's float expression tree matches the recursive-CTE
+    oracle term for term (both engines: IEEE double, identical
+    operation order), so results agree bit-exactly before the single
+    output rounding.
+
+    Returns (key, order, x, level, trend, forecast_next) with the three
+    smoothed columns rounded to 6 dp; NULL values are excluded from the
+    series on both sides (same contract as ewma_per_key).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    series = series.filter(F.col(value_col).isNotNull())
+    a, b_ = float(alpha), float(beta)
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values([order_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        lev = np.empty(n, dtype="float64")
+        tr = np.empty(n, dtype="float64")
+        l_prev, b_prev = x[0], 0.0
+        lev[0], tr[0] = l_prev, b_prev
+        for t in range(1, n):
+            l_new = a * x[t] + (1.0 - a) * (l_prev + b_prev)
+            b_new = b_ * (l_new - l_prev) + (1.0 - b_) * b_prev
+            lev[t], tr[t] = l_new, b_new
+            l_prev, b_prev = l_new, b_new
+        out = pdf[[key_col, order_col, value_col]].copy()
+        out["level"] = np.round(lev, 6)
+        out["trend"] = np.round(tr, 6)
+        out["forecast_next"] = np.round(lev + tr, 6)
+        return out
+
+    in_fields = {f.name: f.dataType.simpleString() for f in series.schema.fields}
+    schema = (
+        f"{key_col} {in_fields[key_col]}, {order_col} {in_fields[order_col]}, "
+        f"{value_col} {in_fields[value_col]}, "
+        "level double, trend double, forecast_next double"
+    )
+    return (
+        series.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(holt, schema=schema)
+    )

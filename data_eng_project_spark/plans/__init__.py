@@ -67,7 +67,12 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      similarity_ann_lsh (LCG-hyperplane + band-arithmetic replay),
 #      and the two layout-audit queries added after this window froze
 #      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
-#      rank/interleave replays, plans/layout.py) —
+#      rank/interleave replays, plans/layout.py),
+#      and the four round-5 late additions (dup_graph_bfs_hops —
+#      recursive BFS-walk oracle; holt_linear_event_trend — recursive
+#      Holt recurrence oracle; collocation_lift_scores — PMI-argument
+#      lift with exact count arithmetic; er_sorted_neighborhood —
+#      global-rank window replay) —
 #      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators.curation import (
     QUALITY_WEIGHTS,
+    collocation_lift,
     cross_source_dup_matrix,
     domain_mixture_weights,
     pii_scan,
@@ -527,3 +528,66 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi")
         )
     )
+
+
+_COLLOC_MIN_COUNT, _COLLOC_K = 5, 100
+
+
+@register(
+    "collocation_lift_scores",
+    # lift = (n_pair/B) / ((c1/N)·(c2/N)) — PMI's argument, emitted
+    # un-logged because ln() is not correctly-rounded across math
+    # libraries while this division tree is plain IEEE arithmetic both
+    # engines evaluate in the identical order. Ordering/tie-breaks run
+    # on the ROUNDED lift so the top-k frontier is engine-independent.
+    oracle=f"""
+        WITH t AS (
+            SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), u AS (
+            SELECT unnest(toks) AS w FROM t
+        ), uc AS (
+            SELECT w, count(*) AS c FROM u GROUP BY w
+        ), bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1]))
+                       AS bigram
+            FROM t WHERE len(toks) >= 2
+        ), bc AS (
+            SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram
+            HAVING count(*) >= {_COLLOC_MIN_COUNT}
+        ), tot AS (
+            SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_uni,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS n_big
+        ), scored AS (
+            SELECT split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   round((CAST(n_pair AS DOUBLE) / tot.n_big)
+                         / ((CAST(u1.c AS DOUBLE) / tot.n_uni)
+                            * (CAST(u2.c AS DOUBLE) / tot.n_uni)),
+                         6) AS lift
+            FROM bc
+            CROSS JOIN tot
+            JOIN uc u1 ON u1.w = split_part(bigram, ' ', 1)
+            JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
+        )
+        SELECT w1, w2, n_pair, lift
+        FROM scored
+        ORDER BY lift DESC, w1, w2
+        LIMIT {_COLLOC_K}
+    """,
+    tags=("curation", "collocations", "pmi", "corpus-stats"),
+)
+def collocation_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-word collocations by association lift (PMI's
+    argument) with an n_pair ≥ 5 support floor — the multi-word
+    expressions a phrase miner fuses and the boilerplate bellwethers a
+    curator inspects. Two word-count aggregates + vocab-sized count
+    joins + a 1-row totals broadcast + TakeOrdered top-k
+    (operators/curation.collocation_lift); no corpus window, no
+    self-join."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return collocation_lift(docs, min_count=_COLLOC_MIN_COUNT, k=_COLLOC_K)

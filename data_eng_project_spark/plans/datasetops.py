@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.operators import dedup as D
 from data_eng_project_spark.operators.clusters import (
+    bfs_hops,
     pagerank,
     triangle_stats,
 )
@@ -30,6 +31,7 @@ from data_eng_project_spark.operators.datasetops import (
     pps_systematic_sample,
     quantile_normalize,
     snapshot_diff,
+    sorted_neighborhood_pairs,
     transition_matrix,
 )
 from data_eng_project_spark.plans.registry import register
@@ -723,3 +725,104 @@ def catalog_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_BFS_MAX_HOPS = 12
+
+
+@register(
+    "dup_graph_bfs_hops",
+    # Shortest-path BFS replayed in SQL: the recursive `walk` explores
+    # (root, node, hops) tuples level-by-level from each component's
+    # canonical (minimum-id) node with the SAME hop cap as the operator;
+    # cycles terminate because hops is strictly increasing and capped,
+    # and min(hops) per node is the BFS distance. Components come from
+    # the shared transitive-closure CTE (_COMPONENT_CTES), so the pair
+    # graph, the closure, and the walk all derive from one definition.
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_CTES},{_COMPONENT_CTES},
+        comp AS (
+            SELECT src AS id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        walk AS (
+            SELECT component AS root, component AS node, 0 AS hops
+            FROM comp GROUP BY component
+            UNION
+            SELECT w.root, s.dst AS node, w.hops + 1 AS hops
+            FROM walk w JOIN sym s ON s.src = w.node
+            WHERE w.hops < {_BFS_MAX_HOPS}
+        )
+        SELECT c.id AS doc_id, c.component,
+               CAST(min(w.hops) AS BIGINT) AS hops
+        FROM comp c JOIN walk w ON w.node = c.id AND w.root = c.component
+        GROUP BY c.id, c.component
+    """,
+    tags=("datasetops", "graph", "bfs"),
+)
+def dup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from each near-dup cluster's canonical document to
+    every member (level-synchronous BFS — operators/clusters.bfs_hops):
+    1 hop = direct near-dup of the kept representative, ≥2 hops = only
+    transitively duplicated through a chain of borderline matches — the
+    rows a curator re-reviews before an aggressive keep-one policy.
+    Consumes the STAGED pair graph and components (pipelines/staging.py),
+    so the similarity join and the component fixpoint are shared with
+    the other five graph consumers, and the BFS itself re-scans a
+    parquet edge list each round."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.staging import (
+        dup_components,
+        near_dup_pairs,
+    )
+
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
+    comps = dup_components(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
+    roots = comps.select(F.col("comp").alias("root")).distinct()
+    hops = bfs_hops(pairs, roots, max_hops=_BFS_MAX_HOPS)
+    return comps.join(
+        hops,
+        (comps["id"] == hops["node"]) & (comps["comp"] == hops["root"]),
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+_SNM_WINDOW, _SNM_MAX_DIST = 5, 4
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        r AS (
+            SELECT name, row_number() OVER (ORDER BY name) AS rnk
+            FROM names
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+        FROM r a JOIN r b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW}
+        WHERE levenshtein(a.name, b.name) <= {_SNM_MAX_DIST}
+    """,
+    tags=("datasetops", "entity-resolution", "blocking"),
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over the distinct part-name
+    registry: names within 5 sort ranks of each other verified by
+    Levenshtein ≤ 4 — the complementary blocking pass to
+    fuzzy_part_name_pairs' token inverted index (a typo inside the only
+    shared token breaks token blocking but not sort adjacency). The
+    oracle ranks with one global window; the operator builds the SAME
+    global rank hierarchically (prefix buckets + offset prefix sum —
+    operators/datasetops.sorted_neighborhood_pairs) and turns the
+    window into a rank-arithmetic equi-join, so no corpus-wide
+    single-partition stage exists at any scale."""
+    prepare(spark)
+    part = load_table(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        part, "p_name", window=_SNM_WINDOW, max_distance=_SNM_MAX_DIST
+    )

@@ -669,3 +669,79 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(F.col("lv").cast("bigint").alias("funnel_level")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "holt_linear_event_trend",
+    # Holt's recurrence is order-dependent like the EWMA, so the oracle
+    # walks it with a recursive CTE per event_type over the daily-count
+    # series. Every float term is written as the SAME expression tree
+    # the operator evaluates (l_new inlined into b's update), so both
+    # engines run the identical IEEE-double operation sequence and agree
+    # bit-exactly before the single 6-dp output rounding. All smoothing
+    # constants are CAST(... AS DOUBLE): DuckDB would otherwise parse
+    # 0.5 as DECIMAL(2,1) and run decimal arithmetic.
+    oracle="""
+        WITH RECURSIVE s AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), q AS (
+            SELECT event_type, day, x,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS seq
+            FROM s
+        ), hw AS (
+            SELECT event_type, day, x, seq,
+                   x AS l, CAST(0 AS DOUBLE) AS b
+            FROM q WHERE seq = 1
+            UNION ALL
+            SELECT q.event_type, q.day, q.x, q.seq,
+                   CAST(0.5 AS DOUBLE) * q.x
+                   + CAST(0.5 AS DOUBLE) * (hw.l + hw.b) AS l,
+                   CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * q.x
+                       + CAST(0.5 AS DOUBLE) * (hw.l + hw.b)) - hw.l)
+                   + CAST(0.7 AS DOUBLE) * hw.b AS b
+            FROM q JOIN hw
+              ON q.event_type = hw.event_type AND q.seq = hw.seq + 1
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               CAST(x AS BIGINT) AS n_events,
+               round(l, 6) AS level, round(b, 6) AS trend,
+               round(l + b, 6) AS forecast_next
+        FROM hw
+    """,
+    tags=("temporal", "forecast", "stateful", "pandas-udf"),
+)
+def holt_linear_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3) of the daily
+    event-count series per event_type: level, linear trend, and the
+    one-step forecast level+trend — the load-forecasting primitive a
+    drifting series needs where a plain EWMA lags by design. The series
+    build is one word-count-shaped (type, day) aggregate; the recurrence
+    runs per key via applyInPandas (operators/temporal.
+    holt_linear_per_key), so state never crosses keys and the Python
+    walk is days-long, never corpus-long."""
+    prepare(spark)
+    from data_eng_project_spark.operators.temporal import holt_linear_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    out = holt_linear_per_key(
+        series, key_col="event_type", order_col="day", value_col="x",
+        alpha=0.5, beta=0.3,
+    )
+    return out.select(
+        "event_type",
+        # DATE output columns are unproven at the driver's hash layer
+        # (tools/driver_audit.risky_fields) — serve the ISO string.
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("bigint").alias("n_events"),
+        "level",
+        "trend",
+        "forecast_next",
+    )

@@ -1,0 +1,138 @@
+"""Unit tests for the round-5 additions — properties the oracle parity
+check can't see: BFS distances against a hand-built graph, Holt
+recurrence against a hand-walked series, collocation lift against
+hand-counted probabilities, sorted-neighborhood rank correctness across
+bucket boundaries (the hierarchical global rank must equal a true
+global row_number, including pairs that straddle prefix buckets).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_eng_project_spark.operators.clusters import bfs_hops
+from data_eng_project_spark.operators.curation import collocation_lift
+from data_eng_project_spark.operators.datasetops import sorted_neighborhood_pairs
+from data_eng_project_spark.operators.temporal import holt_linear_per_key
+
+
+def test_bfs_hops_path_graph(spark):
+    # Path 1-2-3-4-5 plus isolated edge 10-11: distances from roots 1, 10.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    roots = spark.createDataFrame([(1,), (10,)], ["root"])
+    got = {
+        (r["root"], r["node"]): r["hops"]
+        for r in bfs_hops(edges, roots).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3, (1, 5): 4,
+        (10, 10): 0, (10, 11): 1,
+    }
+
+
+def test_bfs_hops_takes_shortest_path_not_first_found(spark):
+    # Triangle with a long detour: 1-2, 2-3, plus direct 1-3 → hops(3)=1.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["id_a", "id_b"])
+    roots = spark.createDataFrame([(1,)], ["root"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, roots).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_hops_respects_max_hops_cap(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    roots = spark.createDataFrame([(1,)], ["root"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, roots, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 is beyond the cap → absent
+
+
+def test_holt_linear_matches_hand_walked_recurrence(spark):
+    xs = [10.0, 12.0, 15.0, 11.0, 18.0]
+    a, b = 0.5, 0.3
+    lev, tr = [xs[0]], [0.0]
+    for x in xs[1:]:
+        l_new = a * x + (1 - a) * (lev[-1] + tr[-1])
+        tr.append(b * (l_new - lev[-1]) + (1 - b) * tr[-1])
+        lev.append(l_new)
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], ["k", "seq", "x"]
+    )
+    out = {
+        r["seq"]: (r["level"], r["trend"], r["forecast_next"])
+        for r in holt_linear_per_key(
+            df, key_col="k", order_col="seq", value_col="x", alpha=a, beta=b
+        ).collect()
+    }
+    for i in range(len(xs)):
+        assert math.isclose(out[i][0], round(lev[i], 6), abs_tol=1e-9)
+        assert math.isclose(out[i][1], round(tr[i], 6), abs_tol=1e-9)
+        assert math.isclose(out[i][2], round(lev[i] + tr[i], 6), abs_tol=1e-9)
+
+
+def test_holt_linear_tracks_linear_series_exactly_in_the_limit(spark):
+    # On x_t = t the trend estimate converges toward slope 1 and the
+    # one-step forecast converges to the next value.
+    df = spark.createDataFrame(
+        [("k", t, float(t)) for t in range(200)], ["k", "seq", "x"]
+    )
+    last = (
+        holt_linear_per_key(df, key_col="k", order_col="seq", value_col="x")
+        .orderBy(F.col("seq").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert abs(last["trend"] - 1.0) < 0.05
+    assert abs(last["forecast_next"] - 200.0) < 0.5
+
+
+def test_collocation_lift_hand_counted(spark):
+    # Corpus: "a b" ×4 and "a c" ×1 and "c c" ×1 → 6 bigrams, 12 unigrams.
+    rows = [("a b",)] * 4 + [("a c",), ("c c",)]
+    docs = spark.createDataFrame(rows, ["text"])
+    out = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["lift"])
+        for r in collocation_lift(docs, min_count=1, k=10).collect()
+    }
+    n_uni, n_big = 12.0, 6.0
+    c = {"a": 5, "b": 4, "c": 3}
+    exp_ab = round((4 / n_big) / ((c["a"] / n_uni) * (c["b"] / n_uni)), 6)
+    assert out[("a", "b")] == (4, exp_ab)
+    assert set(out) == {("a", "b"), ("a", "c"), ("c", "c")}
+    # Lift > 1 for the dominant pair, and the support floor filters.
+    assert out[("a", "b")][1] > 1.0
+    assert (
+        collocation_lift(docs, min_count=2, k=10).count() == 1
+    )  # only (a,b) has support ≥ 2
+
+
+def test_sorted_neighborhood_equals_global_rank_semantics(spark):
+    # Names chosen so candidate pairs straddle 2-char prefix buckets
+    # ("apple" vs "aqple": buckets 'ap' / 'aq') — the hierarchical rank
+    # must still see them as adjacent.
+    names = ["apple", "aqple", "banana", "bananb", "cherry", "cherrz"]
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {
+        (r["name_a"], r["name_b"]): (r["rank_gap"], r["distance"])
+        for r in sorted_neighborhood_pairs(
+            df, "p_name", window=2, max_distance=1
+        ).collect()
+    }
+    # Global sorted order = the list above; gap-1 neighbors at distance 1.
+    assert got[("apple", "aqple")] == (1, 1)
+    assert got[("banana", "bananb")] == (1, 1)
+    assert got[("cherry", "cherrz")] == (1, 1)
+    assert ("aqple", "banana") not in got  # distance > 1
+
+
+def test_sorted_neighborhood_window_bounds(spark):
+    # With window=5 every pair of the 4 identical-prefix names is a
+    # candidate; max_distance=9 keeps them all → C(4,2) pairs.
+    names = ["aa1", "aa2", "aa3", "aa4"]
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    out = sorted_neighborhood_pairs(df, "p_name", window=5, max_distance=9)
+    assert out.count() == 6
+    gaps = {r["rank_gap"] for r in out.collect()}
+    assert gaps == {1, 2, 3}
