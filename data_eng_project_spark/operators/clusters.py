@@ -308,3 +308,66 @@ def bfs_hops(
         dist = dist.union(new).localCheckpoint(eager=False)
         frontier = new
     return dist
+
+
+def common_neighbor_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-edge common-neighbor count and neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| over the undirected pair graph — the
+    classic link-prediction / edge-strength score: a near-dup pair whose
+    endpoints share most of their neighbors sits inside a dense dup
+    family (trustworthy edge), while a pair with no shared neighbors is
+    a lone bridge between otherwise-unrelated documents — the edge a
+    curator inspects before transitively collapsing two clusters.
+
+    N(x) is the raw adjacency set (a ∈ N(b) and b ∈ N(a), no self
+    loops), so |N(a)∪N(b)| = deg(a) + deg(b) − common. Enumeration is
+    two equi-joins of the edge list against the symmetrized adjacency
+    (wedge counting on the pair's endpoints) — candidates only from
+    actual adjacency, never a cross join; fan-out is bounded by the max
+    cluster size exactly like triangle_stats.
+
+    Returns (id_a, id_b, common_neighbors, neighbor_jaccard) for every
+    input edge (zero-common edges included).
+    """
+    e = edges.select(src_col, dst_col).distinct().localCheckpoint()
+    sym = e.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(e.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        e.join(
+            sym.select(F.col("src").alias(src_col), F.col("dst").alias("_w1")),
+            src_col,
+        )
+        .join(
+            sym.select(
+                F.col("src").alias(dst_col), F.col("dst").alias("_w1")
+            ),
+            [dst_col, "_w1"],
+        )
+        .groupBy(src_col, dst_col)
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    out = (
+        e.join(wedges, [src_col, dst_col], "left")
+        .join(deg.select(F.col("src").alias(src_col), F.col("deg").alias("_da")), src_col)
+        .join(deg.select(F.col("src").alias(dst_col), F.col("deg").alias("_db")), dst_col)
+    )
+    cn = F.coalesce("cn", F.lit(0))
+    return out.select(
+        src_col,
+        dst_col,
+        cn.cast("bigint").alias("common_neighbors"),
+        (
+            F.round(
+                cn.cast("double")
+                / (F.col("_da") + F.col("_db") - cn).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("neighbor_jaccard"),
+    )

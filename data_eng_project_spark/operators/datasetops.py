@@ -665,6 +665,36 @@ def shuffle_order(
     )
 
 
+def global_sorted_rank(
+    df: DataFrame,
+    col: str,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Distributed equivalent of ``row_number() OVER (ORDER BY col)``
+    over DISTINCT values of ``col`` (1-based), without funneling the
+    table through one partition (the zipWithIndex trap): values bucket
+    by their ``prefix_len``-char prefix — string prefix order is
+    consistent with full lexicographic order, so bucket blocks are
+    contiguous rank ranges — rank within each bucket via a distributed
+    window, then add bucket base offsets from a prefix sum over the
+    dimension-sized bucket table (the only single-partition window runs
+    on |buckets| rows; same hierarchy as shuffle_order's md5 buckets,
+    but ORDER-ALIGNED). Returns (col, rnk)."""
+    vals = df.select(F.col(col).alias("name")).distinct()
+    a = vals.select("name", F.substring("name", 1, prefix_len).alias("_bkt"))
+    rn = F.row_number().over(Window.partitionBy("_bkt").orderBy("name"))
+    ranked = a.select("name", "_bkt", rn.alias("_rn"))
+    sizes = a.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    off = F.sum("_n").over(
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select("_bkt", F.coalesce(off, F.lit(0)).alias("_off"))
+    return ranked.join(F.broadcast(offsets), "_bkt").select(
+        F.col("name").alias(col),
+        (F.col("_off") + F.col("_rn")).cast("bigint").alias("rnk"),
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     name_col: str,
@@ -698,19 +728,8 @@ def sorted_neighborhood_pairs(
     Returns (name_a, name_b, rank_gap, distance) with name_a the
     lower-ranked (lexicographically smaller) name.
     """
-    names = df.select(F.col(name_col).alias("name")).distinct()
-    a = names.select(
-        "name", F.substring("name", 1, prefix_len).alias("_bkt")
-    )
-    rn = F.row_number().over(Window.partitionBy("_bkt").orderBy("name"))
-    ranked = a.select("name", "_bkt", rn.alias("_rn"))
-    sizes = a.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
-    off = F.sum("_n").over(
-        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sizes.select("_bkt", F.coalesce(off, F.lit(0)).alias("_off"))
-    g = ranked.join(F.broadcast(offsets), "_bkt").select(
-        "name", (F.col("_off") + F.col("_rn")).cast("bigint").alias("rnk")
+    g = global_sorted_rank(
+        df.select(F.col(name_col).alias("name")), "name", prefix_len=prefix_len
     )
     gaps = F.explode(
         F.sequence(F.lit(1), F.lit(int(window)))
@@ -732,4 +751,69 @@ def sorted_neighborhood_pairs(
             "rank_gap",
             F.col("distance").cast("bigint").alias("distance"),
         )
+    )
+
+
+def er_entity_groups(
+    df: DataFrame,
+    name_col: str,
+    window: int = 5,
+    max_distance: int = 3,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """End-to-end entity resolution over a name registry: union the
+    candidates of BOTH blocking passes (token inverted index +
+    sorted neighborhood — production ER always runs several passes,
+    since each blocking strategy has a blind spot), verify with exact
+    Levenshtein ≤ ``max_distance``, then collapse the match graph into
+    entities with connected components; every name (including
+    singletons) is labeled with its entity's canonical — the
+    lexicographically smallest member.
+
+    Scale design: both blocking passes are equi-join shaped (see
+    fuzzy_name_pairs / sorted_neighborhood_pairs); the component step
+    runs on integer node ids from global_sorted_rank, whose
+    ORDER-ALIGNED property makes "min rank in component" and
+    "lexicographically min name" the same element — so the canonical
+    label needs one rank→name join, not a per-component min-over-
+    strings aggregate.
+
+    Returns (name, entity, is_canonical).
+    """
+    from data_eng_project_spark.operators.clusters import connected_components
+
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    tok_pairs = fuzzy_name_pairs(df, name_col, max_distance=max_distance)
+    snm_pairs = sorted_neighborhood_pairs(
+        df, name_col, window=window, max_distance=max_distance,
+        prefix_len=prefix_len,
+    )
+    matches = (
+        tok_pairs.select("name_a", "name_b")
+        .union(snm_pairs.select("name_a", "name_b"))
+        .distinct()
+    )
+    ranks = global_sorted_rank(names, "name", prefix_len=prefix_len)
+    e = (
+        matches.join(
+            ranks.select(F.col("name").alias("name_a"), F.col("rnk").alias("id_a")),
+            "name_a",
+        )
+        .join(
+            ranks.select(F.col("name").alias("name_b"), F.col("rnk").alias("id_b")),
+            "name_b",
+        )
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(e)
+    assigned = ranks.join(comps, ranks["rnk"] == comps["id"], "left").select(
+        "name", F.coalesce("comp", F.col("rnk")).alias("_ent_rnk")
+    )
+    back = ranks.select(
+        F.col("rnk").alias("_ent_rnk"), F.col("name").alias("entity")
+    )
+    return assigned.join(back, "_ent_rnk").select(
+        "name",
+        "entity",
+        (F.col("name") == F.col("entity")).alias("is_canonical"),
     )

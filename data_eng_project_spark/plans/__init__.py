@@ -68,11 +68,14 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      and the two layout-audit queries added after this window froze
 #      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
 #      rank/interleave replays, plans/layout.py),
-#      and the four round-5 late additions (dup_graph_bfs_hops —
+#      and the seven round-5 late additions (dup_graph_bfs_hops —
 #      recursive BFS-walk oracle; holt_linear_event_trend — recursive
 #      Holt recurrence oracle; collocation_lift_scores — PMI-argument
 #      lift with exact count arithmetic; er_sorted_neighborhood —
-#      global-rank window replay) —
+#      global-rank window replay; xcorr_event_types — exact
+#      sufficient-statistics lagged correlation; dup_graph_common_
+#      neighbors — wedge-count edge scores; er_entity_groups —
+#      two-pass blocking union + component closure) —
 #      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.

@@ -19,12 +19,14 @@ from pyspark.sql import functions as F
 from data_eng_project_spark.operators import dedup as D
 from data_eng_project_spark.operators.clusters import (
     bfs_hops,
+    common_neighbor_stats,
     pagerank,
     triangle_stats,
 )
 from data_eng_project_spark.operators.datasetops import (
     chunk_documents,
     cluster_representatives,
+    er_entity_groups,
     fuzzy_name_pairs,
     groupwise_ols,
     incremental_join_view_merge,
@@ -825,4 +827,132 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return sorted_neighborhood_pairs(
         part, "p_name", window=_SNM_WINDOW, max_distance=_SNM_MAX_DIST
+    )
+
+
+@register(
+    "dup_graph_common_neighbors",
+    # N(x) is the raw adjacency set (a ∈ N(b), b ∈ N(a), no self
+    # loops), so |N(a)∪N(b)| = deg(a)+deg(b)−common; wedge counting is
+    # two adjacency joins. LEFT JOIN keeps zero-common edges. The +0.0
+    # collapses IEEE −0.0 (possible only at jaccard 0, where round is
+    # exact, but the guard costs nothing and matches the operator).
+    oracle=f"""
+        WITH {_NGRAM_CTES},
+        e AS (SELECT id_a, id_b FROM pairs),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM e
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM e
+        ),
+        deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+        cn AS (
+            SELECT e.id_a, e.id_b, count(*) AS c
+            FROM e
+            JOIN sym s1 ON s1.src = e.id_a
+            JOIN sym s2 ON s2.src = e.id_b AND s2.dst = s1.dst
+            GROUP BY e.id_a, e.id_b
+        )
+        SELECT e.id_a, e.id_b,
+               CAST(coalesce(cn.c, 0) AS BIGINT) AS common_neighbors,
+               round(CAST(coalesce(cn.c, 0) AS DOUBLE)
+                     / CAST(da.deg + db.deg - coalesce(cn.c, 0) AS DOUBLE),
+                     6) + 0.0 AS neighbor_jaccard
+        FROM e
+        LEFT JOIN cn ON cn.id_a = e.id_a AND cn.id_b = e.id_b
+        JOIN deg da ON da.id = e.id_a
+        JOIN deg db ON db.id = e.id_b
+    """,
+    tags=("datasetops", "graph", "link-prediction"),
+)
+def dup_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-strength scores for the near-dup pair graph: per pair, the
+    common-neighbor count and neighborhood Jaccard — high means the
+    edge sits inside a dense dup family, zero means a lone bridge
+    between otherwise-unrelated documents (the edge a curator inspects
+    before transitively collapsing two clusters; triangles score NODES,
+    this scores EDGES). Wedge counting via two equi-joins over the
+    STAGED pair graph (pipelines/staging.py) — see
+    operators/clusters.common_neighbor_stats."""
+    prepare(spark)
+    from data_eng_project_spark.pipelines.staging import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
+    return common_neighbor_stats(pairs)
+
+
+_ER_WINDOW, _ER_MAX_DIST = 5, 3
+
+
+@register(
+    "er_entity_groups",
+    # The oracle unions both blocking passes' candidates, verifies with
+    # the same Levenshtein budget, and closes the match graph with the
+    # recursive reachability pattern (_COMPONENT_CTES shape, over names
+    # directly — least() on VARCHAR is the lexicographic canonical);
+    # singletons label themselves via the LEFT JOIN coalesce. The
+    # operator's integer-rank components agree because
+    # global_sorted_rank is order-aligned: min rank ⇔ min name.
+    oracle=f"""
+        WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        toks AS (
+            SELECT DISTINCT name,
+                   unnest(string_split_regex(trim(name), '\\s+')) AS tok
+            FROM names
+        ),
+        tb AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+        ),
+        r AS (
+            SELECT name, row_number() OVER (ORDER BY name) AS rnk
+            FROM names
+        ),
+        sn AS (
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM r a JOIN r b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_ER_WINDOW}
+        ),
+        cand AS (
+            SELECT name_a, name_b FROM tb
+            UNION
+            SELECT name_a, name_b FROM sn
+        ),
+        matches AS (
+            SELECT name_a, name_b FROM cand
+            WHERE levenshtein(name_a, name_b) <= {_ER_MAX_DIST}
+        ),
+        msym AS (
+            SELECT name_a AS src, name_b AS dst FROM matches
+            UNION
+            SELECT name_b AS src, name_a AS dst FROM matches
+        ),
+        mreach AS (
+            SELECT src, dst FROM msym
+            UNION
+            SELECT q.src, s.dst FROM mreach q JOIN msym s ON q.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS name, least(src, min(dst)) AS entity
+            FROM mreach GROUP BY src
+        )
+        SELECT n.name, coalesce(c.entity, n.name) AS entity,
+               coalesce(c.entity, n.name) = n.name AS is_canonical
+        FROM names n LEFT JOIN comp c ON c.name = n.name
+    """,
+    tags=("datasetops", "entity-resolution", "graph"),
+)
+def er_entity_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part-name registry: union
+    of BOTH blocking passes (token inverted index + sorted
+    neighborhood), exact Levenshtein ≤ 3 verification, connected
+    components over the match graph, every name labeled with its
+    entity's lexicographically-smallest member (singletons label
+    themselves) — the full dedup-a-reference-registry pipeline, built
+    from the same blocking operators registered individually
+    (operators/datasetops.er_entity_groups)."""
+    prepare(spark)
+    part = load_table(spark, sf_dir, "part")
+    return er_entity_groups(
+        part, "p_name", window=_ER_WINDOW, max_distance=_ER_MAX_DIST
     )

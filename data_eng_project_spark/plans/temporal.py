@@ -745,3 +745,113 @@ def holt_linear_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         "forecast_next",
     )
+
+
+_XCORR_MAX_LAG, _XCORR_MIN_N = 6, 24
+
+
+@register(
+    "xcorr_event_types",
+    # Pearson correlation from EXACT integer sufficient statistics
+    # (hourly counts are BIGINTs; their sums and product sums are exact
+    # on both engines), with the closed form evaluated in double as the
+    # SAME expression tree on both sides — the groupwise_ols recipe
+    # applied to lagged series pairs. sqrt() is IEEE correctly-rounded
+    # (unlike ln), so it is safe in an exact-match oracle; the +0.0
+    # collapses a −0.0 rounding of a tiny negative correlation. The
+    # variance guard runs in exact BIGINT arithmetic.
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+                   count(*) AS c
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), lags AS (
+            SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag
+        ), j AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   l.lag, a.c AS ca, b.c AS cb
+            FROM h a
+            CROSS JOIN lags l
+            JOIN h b ON b.hr = a.hr + l.lag
+            WHERE a.event_type <> b.event_type
+        ), s AS (
+            SELECT type_a, type_b, lag,
+                   count(*) AS n,
+                   CAST(sum(ca) AS BIGINT) AS sx,
+                   CAST(sum(cb) AS BIGINT) AS sy,
+                   CAST(sum(ca * ca) AS BIGINT) AS sxx,
+                   CAST(sum(cb * cb) AS BIGINT) AS syy,
+                   CAST(sum(ca * cb) AS BIGINT) AS sxy
+            FROM j GROUP BY type_a, type_b, lag
+        )
+        SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag_hours,
+               CAST(n AS BIGINT) AS n_hours,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) + 0.0 AS xcorr
+        FROM s
+        WHERE n >= {_XCORR_MIN_N}
+          AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("temporal", "xcorr", "diagnostics"),
+)
+def xcorr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between every ordered pair of DISTINCT
+    event types' hourly count series (lags 0–6 h, hours where both
+    series have events): does activity of type A lead activity of
+    type B? — the companion diagnostic to acf_event_counts (which
+    correlates a series with itself). One word-count-shaped hourly
+    aggregate, a 7-way lag explode, an equi-join on the integer hour,
+    then a |types|²×7-cardinality sufficient-statistics aggregate — the
+    corr never sees raw events, and every sum it consumes is an exact
+    BIGINT."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    hr = F.floor(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000)
+    ).cast("bigint")
+    h = events.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lag = F.explode(F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG))).alias("lag")
+    probes = h.select(
+        F.col("event_type").alias("type_a"), "hr", F.col("c").alias("ca"), lag
+    ).select("type_a", (F.col("hr") + F.col("lag")).alias("hr"), "ca", "lag")
+    j = probes.join(
+        h.select(F.col("event_type").alias("type_b"), "hr", F.col("c").alias("cb")),
+        "hr",
+    ).filter(F.col("type_a") != F.col("type_b"))
+    s = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sx"),
+        F.sum("cb").alias("sy"),
+        F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    corr = (dn * dsxy - dsx * dsy) / (
+        F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy)
+    )
+    return (
+        s.filter(
+            (F.col("n") >= _XCORR_MIN_N)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("bigint").alias("lag_hours"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            (F.round(corr, 6) + F.lit(0.0)).alias("xcorr"),
+        )
+    )

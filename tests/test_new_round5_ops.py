@@ -136,3 +136,80 @@ def test_sorted_neighborhood_window_bounds(spark):
     assert out.count() == 6
     gaps = {r["rank_gap"] for r in out.collect()}
     assert gaps == {1, 2, 3}
+
+
+def test_common_neighbor_stats_hand_graph(spark):
+    from data_eng_project_spark.operators.clusters import common_neighbor_stats
+
+    # Square 1-2-3-4-1 plus diagonal 1-3: edge (1,3) has common {2,4};
+    # edge (1,2) has common {3}; edge (2,3) has common {1}.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["neighbor_jaccard"])
+        for r in common_neighbor_stats(edges).collect()
+    }
+    # deg: 1→3, 2→2, 3→3, 4→2.
+    assert got[(1, 3)] == (2, round(2 / (3 + 3 - 2), 6))
+    assert got[(1, 2)] == (1, round(1 / (3 + 2 - 1), 6))
+    assert got[(2, 3)] == (1, round(1 / (2 + 3 - 1), 6))
+    # Edge (3,4): N(3)={1,2,4}, N(4)={1,3} → common {1}.
+    assert got[(3, 4)] == (1, round(1 / (3 + 2 - 1), 6))
+    assert len(got) == 5
+
+
+def test_common_neighbor_stats_zero_common_edge_kept(spark):
+    from data_eng_project_spark.operators.clusters import common_neighbor_stats
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    [r] = common_neighbor_stats(edges).collect()
+    assert (r["common_neighbors"], r["neighbor_jaccard"]) == (0, 0.0)
+
+
+def test_global_sorted_rank_equals_global_row_number(spark):
+    import random
+
+    from data_eng_project_spark.operators.datasetops import global_sorted_rank
+
+    rng = random.Random(7)
+    vals = list(
+        {
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6)))
+            for _ in range(300)
+        }
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r["v"]: r["rnk"] for r in global_sorted_rank(df, "v").collect()
+    }
+    expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == expected
+
+
+def test_er_entity_groups_unions_both_blocking_passes(spark):
+    from data_eng_project_spark.operators.datasetops import er_entity_groups
+
+    # "zed rock" vs "zed sock": shares token "zed" (token blocking) but
+    # distance 1; "aaaa" vs "aaab": no shared token, sort-adjacent
+    # (neighborhood blocking). "unrelated" matches nothing.
+    names = ["zed rock", "zed sock", "aaaa", "aaab", "unrelated"]
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {
+        r["name"]: (r["entity"], r["is_canonical"])
+        for r in er_entity_groups(df, "p_name", max_distance=1).collect()
+    }
+    assert got["zed rock"] == ("zed rock", True)
+    assert got["zed sock"] == ("zed rock", False)
+    assert got["aaaa"] == ("aaaa", True)
+    assert got["aaab"] == ("aaaa", False)
+    assert got["unrelated"] == ("unrelated", True)  # singleton
+
+def test_er_entity_groups_transitive_chain_collapses(spark):
+    from data_eng_project_spark.operators.datasetops import er_entity_groups
+
+    # aab—aac—aad chain (each step distance 1): one entity, canonical aab.
+    names = ["aab", "aac", "aad"]
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {r["name"]: r["entity"] for r in er_entity_groups(df, "p_name", max_distance=1).collect()}
+    assert got == {"aab": "aab", "aac": "aab", "aad": "aab"}
