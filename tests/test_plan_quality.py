@@ -350,3 +350,51 @@ def test_zorder_pruning_ratio_no_python_no_cartesian(spark):
     plan = _plan(spark, "zorder_pruning_ratio")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collocation_lift_no_cartesian_no_python(spark):
+    """The PMI-lift query's only cross join must be the 1-row totals
+    broadcast; the count attaches are equi-joins and everything stays
+    JVM-side."""
+    plan = _plan(spark, "collocation_lift_scores")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_er_sorted_neighborhood_rank_join_is_equi(spark):
+    """The windowed blocking must compile to an equi-join on the global
+    rank (rank-arithmetic), never an inequality/nested-loop join, and
+    stay JVM-side."""
+    plan = _plan(spark, "er_sorted_neighborhood")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_xcorr_sufficient_stats_single_hourly_agg(spark):
+    """The lagged correlation aggregates hourly counts once, lag-explodes
+    the tiny hourly table, equi-joins on the integer hour, and reduces to
+    sufficient statistics — no cartesian, no Python, partial aggs on."""
+    plan = _plan(spark, "xcorr_event_types")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dup_graph_common_neighbors_equi_joins_only(spark):
+    """Wedge counting must be adjacency equi-joins over the staged pair
+    parquet — no cartesian, no Python."""
+    plan = _plan(spark, "dup_graph_common_neighbors")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_holt_series_build_is_partial_agg(spark):
+    """The Holt query's series build must partial-aggregate (map-side
+    combine) before the per-key recurrence; the only Python node is the
+    Arrow applyInPandas recurrence itself."""
+    plan = _plan(spark, "holt_linear_event_trend")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+    assert "FlatMapGroupsInPandas" in plan  # the Arrow recurrence node
+    assert plan.count("HashAggregate") >= 2
