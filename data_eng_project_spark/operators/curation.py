@@ -1068,16 +1068,18 @@ def collocation_lift(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-    bc = (
+    bc_all = (
         toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
     )
+    bc = bc_all.filter(F.col("n_pair") >= min_count)
+    # Totals re-aggregate the two count tables (vocab-sized), not the
+    # corpus — and because bc_all/uni appear twice with identical
+    # subplans, AQE's ReuseExchange serves the second read from the
+    # first's shuffle output instead of re-tokenizing the corpus.
     totals = uni.agg(F.sum("c").cast("double").alias("n_uni")).crossJoin(
-        toks.select(F.explode(bigrams).alias("b")).agg(
-            F.count(F.lit(1)).cast("double").alias("n_big")
-        )
+        bc_all.agg(F.sum("n_pair").cast("double").alias("n_big"))
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
