@@ -817,3 +817,114 @@ def er_entity_groups(
         "entity",
         (F.col("name") == F.col("entity")).alias("is_canonical"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    strata_col: str,
+    id_col: str,
+    k_per_stratum: int = 10,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    stratum, by priority sampling (Duffield–Lund–Thorup): each row gets
+    priority w/u for a uniform u derived from the engine's one md5
+    id-hash (functions/hashing.md5_bucket recipe), and the k
+    highest-priority rows win. Complements pps_systematic_sample: PPS
+    picks by cumulative-weight position (systematic, order-coupled),
+    priority sampling is order-free and without-replacement by
+    construction — the estimator-friendly choice for "give me k docs
+    biased toward token-heavy ones" eval draws.
+
+    Cross-engine determinism: u's numerator is the first-8-hex md5
+    integer (exact BIGINT on both engines), and the priority double is
+    computed with the same expression tree, so both engines produce
+    bit-identical doubles and therefore identical top-k frontiers; ties
+    (h collisions) break on id. No RNG state, reproducible on any
+    cluster size.
+
+    Scale: one map pass + one per-stratum top-k window (shuffle on the
+    stratum key) — same shape as any grouped top-k; k is a constant, so
+    the window never materializes more than the stratum's rows once.
+
+    Returns (stratum, id, weight, priority) for the winners.
+    """
+    from data_eng_project_spark.functions.hashing import md5_full_bucket_int
+
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    h = md5_full_bucket_int(id_col)
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        w.alias("wt"),
+        h.alias("_h"),
+    )
+    pri = (
+        base.withColumn(
+            "priority",
+            F.col("wt").cast("double")
+            * F.lit(4294967296.0)
+            / (F.col("_h").cast("double") + F.lit(1.0)),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("stratum").orderBy(
+            F.col("priority").desc(), F.col("id").asc()
+        )
+    )
+    return (
+        pri.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= int(k_per_stratum))
+        .select(
+            "stratum",
+            "id",
+            F.col("wt").cast("bigint").alias("weight"),
+            (F.round("priority", 6) + F.lit(0.0)).alias("priority"),
+        )
+    )
+
+
+def exact_quota_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    eval_per_mille: int = 100,
+) -> DataFrame:
+    """Stratified train/eval assignment with an EXACT per-stratum quota:
+    rows are ranked inside their stratum by the md5 id-hash (a fixed
+    pseudo-random order — same recipe as shuffle_order) and the first
+    ⌊n·quota⌋ become eval. A hash-threshold split (dataset_split_profile)
+    only hits the quota in expectation; when the contract is "exactly
+    10% of every source goes to eval", the rank is what enforces it.
+
+    Pure integer arithmetic (rank·1000 ≤ n·quota) — no float boundary,
+    identical on any engine. Scale: one per-stratum window (shuffle on
+    the stratum key) + a dimension-sized count broadcast; nothing
+    global, nothing single-partition.
+
+    Returns (id, stratum, stratum_rank, split).
+    """
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("stratum").orderBy("_k", "id")
+    )
+    sizes = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        base.withColumn("_rn", rn)
+        .join(F.broadcast(sizes), "stratum")
+        .select(
+            "id",
+            "stratum",
+            F.col("_rn").cast("bigint").alias("stratum_rank"),
+            F.when(
+                F.col("_rn") * 1000 <= F.col("_n") * int(eval_per_mille),
+                F.lit("eval"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -68,14 +68,16 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      and the two layout-audit queries added after this window froze
 #      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
 #      rank/interleave replays, plans/layout.py),
-#      and the seven round-5 late additions (dup_graph_bfs_hops —
+#      and the nine round-5 late additions (dup_graph_bfs_hops —
 #      recursive BFS-walk oracle; holt_linear_event_trend — recursive
 #      Holt recurrence oracle; collocation_lift_scores — PMI-argument
 #      lift with exact count arithmetic; er_sorted_neighborhood —
 #      global-rank window replay; xcorr_event_types — exact
 #      sufficient-statistics lagged correlation; dup_graph_common_
 #      neighbors — wedge-count edge scores; er_entity_groups —
-#      two-pass blocking union + component closure) —
+#      two-pass blocking union + component closure;
+#      priority_sample_by_source — DLT priority sampling on the md5
+#      hash; split_exact_quota — rank-enforced per-stratum quota) —
 #      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.

@@ -27,10 +27,12 @@ from data_eng_project_spark.operators.datasetops import (
     chunk_documents,
     cluster_representatives,
     er_entity_groups,
+    exact_quota_split,
     fuzzy_name_pairs,
     groupwise_ols,
     incremental_join_view_merge,
     pps_systematic_sample,
+    priority_sample,
     quantile_normalize,
     snapshot_diff,
     sorted_neighborhood_pairs,
@@ -955,4 +957,98 @@ def er_entity_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return er_entity_groups(
         part, "p_name", window=_ER_WINDOW, max_distance=_ER_MAX_DIST
+    )
+
+
+_PRIORITY_K = 10
+
+
+@register(
+    "priority_sample_by_source",
+    # u's numerator is the exact first-8-hex md5 BIGINT on both engines
+    # (functions/hashing.md5_full_bucket_int recipe); the priority
+    # double w·2^32/(h+1) is the same expression tree on both sides, so
+    # the descending order — and therefore the top-k frontier — is
+    # engine-independent; h-collision ties break on id.
+    oracle=f"""
+        WITH b AS (
+            SELECT source AS stratum, doc_id AS id,
+                   greatest(n_chars, 1) AS wt,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents
+        ), p AS (
+            SELECT stratum, id, wt,
+                   CAST(wt AS DOUBLE) * 4294967296.0
+                       / (CAST(h AS DOUBLE) + 1.0) AS priority
+            FROM b
+        ), r AS (
+            SELECT stratum, id, wt, priority,
+                   row_number() OVER (
+                       PARTITION BY stratum ORDER BY priority DESC, id
+                   ) AS rn
+            FROM p
+        )
+        SELECT stratum, id, CAST(wt AS BIGINT) AS weight,
+               round(priority, 6) + 0.0 AS priority
+        FROM r WHERE rn <= {_PRIORITY_K}
+    """,
+    tags=("datasetops", "sampling", "priority"),
+)
+def priority_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the 10
+    highest-priority documents per source under Duffield–Lund–Thorup
+    priority sampling (priority = weight/u, u from the engine's one md5
+    id-hash) — the order-free companion to pps_sample_by_source for
+    fixed-budget eval draws biased toward token-heavy documents. No
+    RNG, reproducible on any cluster size
+    (operators/datasetops.priority_sample)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, weight_col="n_chars", strata_col="source", id_col="doc_id",
+        k_per_stratum=_PRIORITY_K,
+    )
+
+
+_EVAL_PER_MILLE = 100
+
+
+@register(
+    "split_exact_quota",
+    oracle=f"""
+        WITH b AS (
+            SELECT source AS stratum, doc_id AS id,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ), r AS (
+            SELECT stratum, id,
+                   row_number() OVER (
+                       PARTITION BY stratum ORDER BY k, id
+                   ) AS rn
+            FROM b
+        ), s AS (
+            SELECT stratum, count(*) AS n FROM b GROUP BY stratum
+        )
+        SELECT r.id, r.stratum,
+               CAST(r.rn AS BIGINT) AS stratum_rank,
+               CASE WHEN r.rn * 1000 <= s.n * {_EVAL_PER_MILLE}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM r JOIN s USING (stratum)
+    """,
+    tags=("datasetops", "splits", "governance"),
+)
+def split_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with an EXACT ⌊10%⌋-per-source eval quota: docs
+    rank inside their source by the md5 id-hash (fixed pseudo-random
+    order) and the first ⌊n/10⌋ become eval — the contract a
+    hash-threshold split (dataset_split_profile) only meets in
+    expectation. Pure integer quota arithmetic, one per-stratum window
+    + a dimension-sized count broadcast
+    (operators/datasetops.exact_quota_split)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_quota_split(
+        docs, strata_col="source", id_col="doc_id",
+        eval_per_mille=_EVAL_PER_MILLE,
     )

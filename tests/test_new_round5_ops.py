@@ -213,3 +213,81 @@ def test_er_entity_groups_transitive_chain_collapses(spark):
     df = spark.createDataFrame([(n,) for n in names], ["p_name"])
     got = {r["name"]: r["entity"] for r in er_entity_groups(df, "p_name", max_distance=1).collect()}
     assert got == {"aab": "aab", "aac": "aab", "aad": "aab"}
+
+
+def test_priority_sample_is_without_replacement_top_k(spark):
+    from data_eng_project_spark.functions.hashing import md5_full_bucket_int
+    from data_eng_project_spark.operators.datasetops import priority_sample
+
+    df = spark.range(100).select(
+        F.lit("s").alias("src"), F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    out = priority_sample(df, "w", "src", "id", k_per_stratum=10).collect()
+    assert len(out) == 10
+    assert len({r["id"] for r in out}) == 10  # without replacement
+    # Winners are exactly the brute-force top-10 by w*2^32/(h+1).
+    hs = {
+        r["id"]: r["h"]
+        for r in spark.range(100)
+        .select("id", md5_full_bucket_int("id").alias("h"))
+        .collect()
+    }
+    pri = {i: float((i % 7 + 1)) * 4294967296.0 / (hs[i] + 1.0) for i in range(100)}
+    expected = set(sorted(pri, key=lambda i: (-pri[i], i))[:10])
+    assert {r["id"] for r in out} == expected
+
+
+def test_priority_sample_heavier_weight_wins_more(spark):
+    from data_eng_project_spark.operators.datasetops import priority_sample
+
+    # 500 rows, weight 1 vs weight 100 on even ids: the heavy half must
+    # dominate the sample (probabilistic in design, deterministic here
+    # because the hash is fixed).
+    df = spark.range(500).select(
+        F.lit("s").alias("src"),
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 100).otherwise(1).alias("w"),
+    )
+    out = priority_sample(df, "w", "src", "id", k_per_stratum=50).collect()
+    heavy = sum(1 for r in out if r["id"] % 2 == 0)
+    assert heavy >= 45  # ~1% odds per slot for a weight-1 row
+
+
+def test_exact_quota_split_hits_quota_exactly(spark):
+    from data_eng_project_spark.operators.datasetops import exact_quota_split
+
+    # Strata of size 40 and 7: eval counts must be exactly 4 and 0
+    # (floor(0.1·n)), regardless of hash luck.
+    rows = [("a", i) for i in range(40)] + [("b", 1000 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, ["src", "id"])
+    out = exact_quota_split(df, "src", "id", eval_per_mille=100).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r)
+    assert sum(1 for r in by["a"] if r["split"] == "eval") == 4
+    assert sum(1 for r in by["b"] if r["split"] == "eval") == 0
+    # Ranks are a permutation of 1..n within each stratum.
+    assert sorted(r["stratum_rank"] for r in by["a"]) == list(range(1, 41))
+
+
+def test_exact_quota_split_eval_set_is_hash_stable(spark):
+    from data_eng_project_spark.operators.datasetops import exact_quota_split
+
+    # Adding rows to a stratum may grow the eval set but must keep the
+    # RANK ORDER of surviving ids stable (hash order is per-id, fixed).
+    rows1 = [("a", i) for i in range(20)]
+    rows2 = [("a", i) for i in range(30)]
+    r1 = {
+        r["id"]: r["stratum_rank"]
+        for r in exact_quota_split(
+            spark.createDataFrame(rows1, ["src", "id"]), "src", "id"
+        ).collect()
+    }
+    r2 = {
+        r["id"]: r["stratum_rank"]
+        for r in exact_quota_split(
+            spark.createDataFrame(rows2, ["src", "id"]), "src", "id"
+        ).collect()
+    }
+    common = sorted(r1, key=r1.get)
+    assert common == sorted(common, key=r2.get)  # same relative order
