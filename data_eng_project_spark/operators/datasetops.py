@@ -909,8 +909,13 @@ def exact_quota_split(
         F.col(id_col).alias("id"),
         F.md5(F.col(id_col).cast("string")).alias("_k"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("stratum").orderBy("_k", "id")
+    # row_number() is IntegerType: the quota product must run in BIGINT
+    # or rn·1000 silently wraps past ~2.1M rows per stratum under the
+    # session's non-ANSI mode (the groupwise_ols overflow class).
+    rn = (
+        F.row_number()
+        .over(Window.partitionBy("stratum").orderBy("_k", "id"))
+        .cast("bigint")
     )
     sizes = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("_n"))
     return (
@@ -919,7 +924,7 @@ def exact_quota_split(
         .select(
             "id",
             "stratum",
-            F.col("_rn").cast("bigint").alias("stratum_rank"),
+            F.col("_rn").alias("stratum_rank"),
             F.when(
                 F.col("_rn") * 1000 <= F.col("_n") * int(eval_per_mille),
                 F.lit("eval"),
