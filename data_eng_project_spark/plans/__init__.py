@@ -77,7 +77,8 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      neighbors — wedge-count edge scores; er_entity_groups —
 #      two-pass blocking union + component closure;
 #      priority_sample_by_source — DLT priority sampling on the md5
-#      hash; split_exact_quota — rank-enforced per-stratum quota) —
+#      hash; split_exact_quota — rank-enforced per-stratum quota;
+#      join_fanout_hotspots — exact pre-join skew diagnostics) —
 #      all oracle-backed, never graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.

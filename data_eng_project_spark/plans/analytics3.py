@@ -633,3 +633,72 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
+
+
+_FANOUT_TOP_K = 20
+
+
+@register(
+    "join_fanout_hotspots",
+    # Exact per-key join-cardinality diagnostics: both sides reduce to
+    # (key, count) first, so the "join" here is count-table-sized, never
+    # the M×N row explosion it predicts. sum(fanout) is HUGEINT on the
+    # DuckDB side — cast to DOUBLE inside the totals CTE so the output
+    # stays driver-hash-safe; the share division uses the same tree on
+    # both engines.
+    oracle=f"""
+        WITH l AS (
+            SELECT user_id AS k, count(*) AS cl FROM events GROUP BY user_id
+        ), r AS (
+            SELECT o_custkey AS k, count(*) AS cr FROM orders GROUP BY o_custkey
+        ), j AS (
+            SELECT l.k, cl, cr, cl * cr AS fanout FROM l JOIN r USING (k)
+        ), t AS (
+            SELECT CAST(sum(fanout) AS DOUBLE) AS total FROM j
+        )
+        SELECT k AS user_id,
+               CAST(cl AS BIGINT) AS n_events,
+               CAST(cr AS BIGINT) AS n_orders,
+               CAST(fanout AS BIGINT) AS fanout,
+               round(CAST(fanout AS DOUBLE) / t.total, 6) AS output_share
+        FROM j CROSS JOIN t
+        ORDER BY fanout DESC, k
+        LIMIT {_FANOUT_TOP_K}
+    """,
+    tags=("analytics", "skew", "diagnostics"),
+)
+def join_fanout_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew diagnostic: for the M×N events⋈orders user
+    join, the 20 keys with the largest per-key output fanout (n_events ×
+    n_orders) and their exact share of the join's output rows — what an
+    operator reads to decide between AQE skew splitting, salting
+    (operators/skew.py), or filtering a pathological key BEFORE paying
+    for the join. Both sides reduce to word-count-shaped (key, count)
+    aggregates, so the diagnostic joins two count tables and top-k's via
+    TakeOrdered — cost is linear in the inputs and independent of the
+    predicted fanout."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    left = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    right = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    j = left.join(right, "k").withColumn("fanout", F.col("cl") * F.col("cr"))
+    total = j.agg(F.sum("fanout").cast("double").alias("total"))
+    return (
+        j.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").alias("user_id"),
+            F.col("cl").cast("bigint").alias("n_events"),
+            F.col("cr").cast("bigint").alias("n_orders"),
+            F.col("fanout").cast("bigint").alias("fanout"),
+            F.round(F.col("fanout").cast("double") / F.col("total"), 6).alias(
+                "output_share"
+            ),
+        )
+        .orderBy(F.col("fanout").desc(), F.col("user_id").asc())
+        .limit(_FANOUT_TOP_K)
+    )

@@ -398,3 +398,12 @@ def test_holt_series_build_is_partial_agg(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
     assert "FlatMapGroupsInPandas" in plan  # the Arrow recurrence node
     assert plan.count("HashAggregate") >= 2
+
+
+def test_join_fanout_hotspots_counts_before_join(spark):
+    """The skew diagnostic must reduce both sides to (key,count) BEFORE
+    joining (aggregate below the join) and top-k via TakeOrdered."""
+    plan = _plan(spark, "join_fanout_hotspots")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on both sides
