@@ -68,7 +68,7 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      and the two layout-audit queries added after this window froze
 #      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
 #      rank/interleave replays, plans/layout.py),
-#      and the nine round-5 late additions (dup_graph_bfs_hops —
+#      and the ten round-5 late additions (dup_graph_bfs_hops —
 #      recursive BFS-walk oracle; holt_linear_event_trend — recursive
 #      Holt recurrence oracle; collocation_lift_scores — PMI-argument
 #      lift with exact count arithmetic; er_sorted_neighborhood —
