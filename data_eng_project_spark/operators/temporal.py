@@ -626,3 +626,21 @@ def holt_linear_per_key(
         .groupBy(key_col)
         .applyInPandas(holt, schema=schema)
     )
+
+
+def negate_rollup_state(state: DataFrame) -> DataFrame:
+    """Retraction form of a rollup state: every accumulator negated, so
+    merging it subtracts the contribution of the rows it was built from.
+    This is the CDC-delete / update-before half of incremental view
+    maintenance — counts and decimal sums form an abelian group, so a
+    state built from the deleted rows, negated, composes with
+    merge_rollup_states exactly like an insert batch does. Groups whose
+    rows are ALL retracted cancel to n_events = 0 (and an exactly-zero
+    decimal sum); the serving projection drops them, which is precisely
+    what a full recompute over the post-delete table produces."""
+    return state.select(
+        "window_start",
+        "event_type",
+        (-F.col("n_events")).alias("n_events"),
+        (-F.col("_sum_dec")).alias("_sum_dec"),
+    )

@@ -855,3 +855,76 @@ def xcorr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(corr, 6) + F.lit(0.0)).alias("xcorr"),
         )
     )
+
+
+@register(
+    "rollup_retraction_merge",
+    oracle="""
+        WITH post AS (
+            SELECT ts, event_type,
+                   CASE WHEN event_id % 89 = 0
+                        THEN CAST(value AS DECIMAL(28,6))
+                             + CAST(5.0 AS DECIMAL(28,6))
+                        ELSE CAST(value AS DECIMAL(28,6)) END AS v
+            FROM events
+            WHERE event_id % 97 >= 5
+        )
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(CAST(sum(v) AS DOUBLE), 6) AS total_value
+        FROM post
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("temporal", "streaming", "cdc", "retraction"),
+)
+def rollup_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance under a CDC batch WITH DELETES —
+    the retraction case incremental_rollup_merge (append-only) doesn't
+    cover. A deterministic CDC batch is derived from events (event_id %
+    97 < 5 → DELETE; event_id % 89 == 0 → UPDATE value += 5), and the
+    serving rollup is produced purely from rollup-sized deltas: the
+    delete rows' state NEGATED (operators/temporal.negate_rollup_state —
+    counts/decimal sums form a group, so retraction = merging the
+    inverse) plus a +5-per-updated-row sum delta with a zero count
+    delta. The oracle is a ONE-SHOT recompute over the post-CDC table,
+    so the grade proves the algebraic maintenance path lands exactly
+    where a full rebuild would — at delta cost: history events are never
+    rescanned, only hour×type state reshuffles (same contract as
+    merge_rollup_states).
+
+    NULL discipline: updated rows with a NULL value stay NULL after
+    ``NULL + 5`` in the oracle, so the Spark delta adds 5 only where
+    value IS NOT NULL; fully-retracted groups cancel to n_events = 0 and
+    are dropped, exactly as a recompute omits them."""
+    from data_eng_project_spark.operators.temporal import (
+        finalize_rollup,
+        hourly_rollup_state,
+        merge_rollup_states,
+        negate_rollup_state,
+    )
+
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(28,6)"
+    is_del = F.col("event_id") % 97 < 5
+    is_upd = F.col("event_id") % 89 == 0
+
+    base = hourly_rollup_state(events)
+    del_retract = negate_rollup_state(hourly_rollup_state(events.filter(is_del)))
+    upd_delta = (
+        events.filter(is_upd & ~is_del)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("value").isNotNull(), F.lit(5.0).cast(dec)).otherwise(
+                    F.lit(0.0).cast(dec)
+                )
+            ).alias("_sum_dec"),
+        )
+    )
+    merged = merge_rollup_states(base, del_retract, upd_delta)
+    return finalize_rollup(merged.filter(F.col("n_events") > 0))

@@ -432,3 +432,17 @@ def test_session_path_trigrams_single_window_exchange(spark):
     window_exchanges = [k for k in keys if "user_id" in k and "step" not in k]
     assert len(window_exchanges) == 1, keys
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_retraction_merge_shuffles_on_rollup_keys_only(spark):
+    """The maintenance path must stay delta-shaped: every exchange is on
+    the rollup key (window_start/event_type) or an AQE coalesce of it —
+    no row-level join back to events, no cartesian, no Python."""
+    import re
+
+    plan = _plan(spark, "rollup_retraction_merge")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        # the hour bucket appears pre-aliased as _groupingexpression
+        assert ("window_start" in k or "_groupingexpression" in k) and "event_type" in k, k
