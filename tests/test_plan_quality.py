@@ -446,3 +446,13 @@ def test_rollup_retraction_merge_shuffles_on_rollup_keys_only(spark):
     for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         # the hour bucket appears pre-aliased as _groupingexpression
         assert ("window_start" in k or "_groupingexpression" in k) and "event_type" in k, k
+
+
+def test_text_quality_evaluates_tokenizer_once(spark):
+    """n_words feeds five output positions; `when`-branch references are
+    excluded from codegen subexpression elimination, so without the
+    two-step projection in operators/textops.quality_score the regex
+    split re-runs at every reference (measured 0.82 s vs 0.29 s at
+    sf0.1). The executed plan must carry exactly ONE split(trim(...))."""
+    plan = _plan(spark, "text_quality_scores")
+    assert plan.count("split(trim(") == 1, plan.count("split(trim(")
