@@ -84,8 +84,11 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      iterations; session_path_trigrams — in-session path n-grams
 #      on one shared user_id exchange; rollup_retraction_merge —
 #      CDC-delete retractions as negated rollup state, graded
-#      against a one-shot post-CDC recompute) — all oracle-backed,
-#      never graded.
+#      against a one-shot post-CDC recompute;
+#      interpolate_user_values — bracketing-window linear
+#      interpolation; vocab_growth_curve — Heaps curve via the
+#      first-occurrence identity) — all oracle-backed, never
+#      graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
 #   3. The last ~15 never-graded queries are rows-only by NATURE

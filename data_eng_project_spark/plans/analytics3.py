@@ -702,3 +702,108 @@ def join_fanout_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fanout").desc(), F.col("user_id").asc())
         .limit(_FANOUT_TOP_K)
     )
+
+
+@register(
+    "interpolate_user_values",
+    oracle="""
+        WITH g AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS t_us,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+            FROM events
+        ), w AS (
+            SELECT event_id, user_id, gappy, t_us,
+                   last_value(gappy IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN gappy IS NOT NULL THEN t_us END
+                              IGNORE NULLS) OVER wp AS pt,
+                   first_value(gappy IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN gappy IS NOT NULL THEN t_us END
+                               IGNORE NULLS) OVER wn AS nt
+            FROM g
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, (gappy IS NULL) AS was_gap,
+               round(COALESCE(gappy,
+                   CASE WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN nt = pt THEN pv
+                        ELSE pv + (nv - pv)
+                             * (CAST(t_us - pt AS DOUBLE)
+                                / CAST(nt - pt AS DOUBLE)) END), 6)
+                   + 0.0 AS filled_value
+        FROM w
+    """,
+    tags=("analytics", "timeseries", "interpolation", "gapfill"),
+)
+def interpolate_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a sparse sensor stream — the step past
+    locf_user_values (constant fill): every 5th reading is
+    deterministically dropped, then reconstructed from the bracketing
+    non-null observations, weighted by time position
+    ``v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)``. Edge
+    semantics: leading gaps take the next observation, trailing gaps
+    carry the last one, duplicate-timestamp brackets fall back to the
+    previous value (guards the zero division identically on both
+    engines).
+
+    Shape: four IGNORE-NULLS running values (prev/next value + their
+    µs timestamps) over ONE (user, ts) window partitioning — a single
+    shuffle, no self-join against the observation table; the interp
+    expression is plain IEEE double arithmetic in the same tree the
+    oracle evaluates."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("gappy"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_nonnull = F.when(F.col("gappy").isNotNull(), F.col("t_us"))
+    w = g.select(
+        "event_id",
+        "user_id",
+        "gappy",
+        "t_us",
+        F.last("gappy", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_nonnull, ignorenulls=True).over(wp).alias("pt"),
+        F.first("gappy", ignorenulls=True).over(wn).alias("nv"),
+        F.first(t_nonnull, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t_us") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("gappy").isNull().alias("was_gap"),
+        (F.round(F.coalesce(F.col("gappy"), interp), 6) + F.lit(0.0)).alias(
+            "filled_value"
+        ),
+    )

@@ -591,3 +591,94 @@ def collocation_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return collocation_lift(docs, min_count=_COLLOC_MIN_COUNT, k=_COLLOC_K)
+
+
+@register(
+    "vocab_growth_curve",
+    # Heaps-law curve: cumulative distinct vocabulary vs cumulative
+    # tokens as the corpus is ingested in 10 deterministic md5 batches.
+    # The oracle uses the same first-occurrence derivation (min batch
+    # per word) — both engines agree the naive form is equivalent:
+    # "distinct words in batches 0..d" == "words whose FIRST batch ≤ d".
+    oracle="""
+        WITH d AS (
+            SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10 AS batch,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), tok_per_batch AS (
+            SELECT batch, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+            FROM d GROUP BY batch
+        ), first_seen AS (
+            SELECT w, min(batch) AS first_batch
+            FROM (SELECT batch, unnest(toks) AS w FROM d) u
+            GROUP BY w
+        ), new_per_batch AS (
+            SELECT first_batch AS batch, CAST(count(*) AS BIGINT) AS new_words
+            FROM first_seen GROUP BY first_batch
+        )
+        SELECT t.batch,
+               t.n_tokens,
+               CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               COALESCE(n.new_words, 0) AS new_words,
+               CAST(sum(COALESCE(n.new_words, 0)) OVER w AS BIGINT) AS cum_vocab
+        FROM tok_per_batch t LEFT JOIN new_per_batch n ON n.batch = t.batch
+        WINDOW w AS (ORDER BY t.batch ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("curation", "corpus-stats", "vocabulary", "heaps"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: ingest the corpus in 10
+    deterministic md5 batches and report, per batch, token volume and
+    the NEW distinct words it contributes, plus both cumulants — the
+    table a data buyer reads to see whether more of the same source
+    still buys vocabulary coverage.
+
+    Scale design — the first-occurrence trick: "cumulative distinct
+    words through batch d" would naively be 10 distinct-counts over
+    growing prefixes (10 corpus scans, each a corpus-wide distinct).
+    Instead each word is aggregated ONCE to its minimum batch
+    (first occurrence); counting words per first-batch and prefix-
+    summing over the 10-row batch table yields the identical curve from
+    two narrow corpus scans (a per-batch token count and the single
+    word-keyed min-batch aggregate) instead of ten distinct-scans. The
+    only window runs on 10 rows. The oracle derives the same identity
+    in SQL."""
+    from data_eng_project_spark.functions.hashing import md5_bucket
+    from data_eng_project_spark.functions.text import letter_tokens
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        md5_bucket("doc_id", 10).alias("batch"),
+        letter_tokens("text").alias("_toks"),
+    )
+    tok_per_batch = d.groupBy("batch").agg(
+        F.sum(F.size("_toks")).cast("bigint").alias("n_tokens")
+    )
+    first_seen = (
+        d.select("batch", F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("batch").alias("batch"))
+    )
+    new_per_batch = first_seen.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_words")
+    )
+    w = Window.orderBy(F.col("batch").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = tok_per_batch.join(new_per_batch, "batch", "left").select(
+        "batch",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0).cast("bigint")).alias("new_words"),
+    )
+    return joined.select(
+        "batch",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        "new_words",
+        F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+    )

@@ -456,3 +456,24 @@ def test_text_quality_evaluates_tokenizer_once(spark):
     sf0.1). The executed plan must carry exactly ONE split(trim(...))."""
     plan = _plan(spark, "text_quality_scores")
     assert plan.count("split(trim(") == 1, plan.count("split(trim(")
+
+
+def test_interpolate_single_window_exchange_no_join(spark):
+    """Linear interpolation must come from IGNORE-NULLS windows over ONE
+    user_id exchange — never a self-join against the observations."""
+    import re
+
+    plan = _plan(spark, "interpolate_user_values")
+    assert plan.count("FileScan parquet") == 1
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, keys
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_growth_is_first_occurrence_not_prefix_rescans(spark):
+    """The Heaps curve must be built from the first-occurrence identity
+    (two narrow scans + a word-keyed aggregate), not ten growing-prefix
+    distinct scans."""
+    plan = _plan(spark, "vocab_growth_curve")
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
