@@ -390,44 +390,48 @@ def kmeans_lloyd(
 
     Cross-engine exactness (the property that lets a DuckDB oracle
     grade an *iterative ML fit* bit-for-bit): every distance is
-    accumulated in DECIMAL(38,12) from per-dimension double terms
+    accumulated in exact decimals from per-dimension double terms
     ``(v_i − c_i)²`` — decimal addition is exact and associative, so
-    partition order cannot perturb the argmin frontier — and every centroid
-    component is landed as ``round(double(Σv)/n, 9)``, one IEEE
-    division + one decimal rounding, the same expression tree the
-    oracle runs. Ties in the argmin break on cluster id; iteration
-    count is a constant, so both engines walk the identical trajectory.
+    neither partition order nor fold-vs-aggregate evaluation can
+    perturb the argmin frontier — and every centroid component is
+    landed as ``round(double(Σv)/n, 9)``, one IEEE division + one
+    decimal rounding, the same expression tree the oracle runs. Ties
+    in the argmin break on cluster id; iteration count is a constant,
+    so both engines walk the identical trajectory. The oracle's
+    exploded SQL (rows × k × dim joins, SUM over DECIMAL(38,12)) and
+    this operator's per-row fold produce identical decimals — pinned by
+    the oracle parity itself and by an explicit fold-vs-groupBy-sum
+    equality test.
 
-    Shape: the assignment join is written in the oracle-checkable
-    exploded form (rows × k × dim) like embedding_covariance — at 100 TB
-    the same argmin comes from a broadcast of the k×dim centroid array
-    into a per-row codegen fold (operators/similarity's blocked-GEMM
-    shape) with identical decimal terms; the exploded twin is what makes
-    the fit gradeable. Per iteration: one broadcast equi-join on the
-    dimension index + two key-hashed aggregations; centroids (k×dim
-    rows) stay dimension-sized, the input long form is checkpointed
-    once and re-scanned ``iters`` times (Lloyd's unavoidable passes).
-    Empty clusters keep their previous centroid (standard Lloyd fix,
-    mirrored in SQL with a COALESCE join).
+    Shape (the 100 TB argument): assignment is a ZERO-shuffle map — the
+    k×dim centroid table collapses to ONE broadcast row of k
+    (cluster, vector) structs, and each input row takes an
+    ``array_min`` over a per-centroid decimal fold (transform +
+    aggregate, the blocked-GEMM discipline of operators/similarity).
+    Decimal-fold detail: the accumulator is DECIMAL(30,12) with the
+    merge result cast back — Spark's p+1 promotion would otherwise clip
+    the scale to (38,11) and diverge from SUM; the headroom cast is
+    lossless for |d2| < 10^18. The only per-iteration shuffle is the
+    centroid recompute (a (cluster, dim)-keyed aggregate over the
+    posexploded assignment); the input arrays are checkpointed once and
+    re-scanned ``iters`` times (Lloyd's unavoidable passes). Empty
+    clusters keep their previous centroid (standard Lloyd fix, mirrored
+    in SQL with a COALESCE join).
 
     Returns (id, cluster 1..k, dist2) for the FINAL assignment, dist2
     rounded 6 dp.
     """
     from data_eng_project_spark.functions.hashing import md5_full_bucket_int
 
-    xl = (
+    xv = (
         emb.select(
             F.col(id_col).alias("_vid"),
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p", "_vi"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
         )
-        .select("_vid", (F.col("_p") + 1).cast("int").alias("_i"), "_vi")
         .localCheckpoint()
     )
     seed_ids = (
-        emb.select(
-            F.col(id_col).alias("_vid"),
-            md5_full_bucket_int(id_col).alias("_h"),
-        )
+        xv.select("_vid", md5_full_bucket_int("_vid").alias("_h"))
         .orderBy("_h", "_vid")
         .limit(int(k))
     )
@@ -435,36 +439,64 @@ def kmeans_lloyd(
     seed_rank = F.row_number().over(Window.orderBy("_h", "_vid"))
     seeds = seed_ids.select("_vid", seed_rank.alias("_cl"))
     cent = (
-        seeds.join(xl, "_vid")
-        .select("_cl", "_i", F.col("_vi").alias("_ci"))
+        seeds.join(xv, "_vid")
+        .select(
+            "_cl",
+            F.posexplode("_v").alias("_p", "_ci"),
+        )
+        .select("_cl", (F.col("_p") + 1).cast("int").alias("_i"), "_ci")
         .localCheckpoint()
     )
 
-    _dec = "decimal(38,12)"
+    _acc, _term, _out = "decimal(30,12)", "decimal(20,12)", "decimal(38,12)"
+
+    def _one_row_centroids(c: DataFrame) -> DataFrame:
+        """k×dim long form → ONE row holding k (cluster, vector) structs,
+        ordered by cluster id — the broadcast payload of the assignment."""
+        per_cl = c.groupBy("_cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_ci"))),
+                lambda s: s["_ci"],
+            ).alias("_c")
+        )
+        return per_cl.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("_cl", "_c"))).alias("_cents")
+        )
+
+    def _d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast(_acc),
+            lambda acc, t: (acc + t.cast(_term)).cast(_acc),
+        ).cast(_out)
+
     assign = None
     for _t in range(int(iters)):
-        d2 = (
-            xl.join(F.broadcast(cent), "_i")
-            .groupBy("_vid", "_cl")
-            .agg(
-                F.sum(
-                    ((F.col("_vi") - F.col("_ci")) * (F.col("_vi") - F.col("_ci"))).cast(_dec)
-                ).alias("_d2")
-            )
+        scored = xv.crossJoin(F.broadcast(_one_row_centroids(cent))).select(
+            "_vid",
+            F.array_min(
+                F.transform(
+                    "_cents",
+                    lambda s: F.struct(
+                        _d2(F.col("_v"), s["_c"]).alias("_d2"),
+                        s["_cl"].alias("_cl"),
+                    ),
+                )
+            ).alias("_best"),
         )
-        assign = (
-            d2.groupBy("_vid")
-            .agg(F.min(F.struct("_d2", "_cl")).alias("_best"))
-            .select("_vid", F.col("_best._cl").alias("_cl"), F.col("_best._d2").alias("_d2"))
+        assign = scored.select(
+            "_vid", F.col("_best._cl").alias("_cl"), F.col("_best._d2").alias("_d2")
         )
         if _t == int(iters) - 1:
             break
         means = (
-            assign.join(xl, "_vid")
+            assign.join(xv, "_vid")
+            .select("_cl", F.posexplode("_v").alias("_p", "_vi"))
+            .select("_cl", (F.col("_p") + 1).cast("int").alias("_i"), "_vi")
             .groupBy("_cl", "_i")
             .agg(
                 F.round(
-                    F.sum(F.col("_vi").cast(_dec)).cast("double")
+                    F.sum(F.col("_vi").cast(_out)).cast("double")
                     / F.count(F.lit(1)),
                     9,
                 ).alias("_cm")

@@ -409,13 +409,17 @@ def test_join_fanout_hotspots_counts_before_join(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final on both sides
 
 
-def test_kmeans_broadcasts_centroids_no_cartesian(spark):
-    """The Lloyd assignment join must be a broadcast equi-join on the
-    dimension index (centroids are k×dim rows), never a cartesian; and
-    the whole fit stays JVM-side."""
+def test_kmeans_assignment_is_shuffle_free_broadcast_fold(spark):
+    """Lloyd assignment must be the zero-shuffle form: ONE single-row
+    broadcast of the k centroid vectors (a BroadcastNestedLoopJoin
+    against a constant-size one-row frame — the bounds-broadcast
+    pattern) feeding a per-row array_min over decimal folds. The only
+    hash exchange in the visible plan is the (cluster, dim) centroid
+    recompute; the fit stays JVM-side."""
     plan = _plan(spark, "kmeans_embedding_clusters")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # one-row centroid attach
+    assert plan.count("Exchange hashpartitioning") <= 1  # centroid recompute only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
