@@ -1732,3 +1732,217 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_s", 6).alias("rrf_score"),
         )
     )
+
+
+# (bands, rows) splits of the 64-hash MinHash signature that
+# dedup_minhash_lsh could run with. Capture probability of a pair with
+# similarity s under banding is 1 − (1 − s^r)^b; both powers have small
+# FIXED integer exponents, so they are expanded as repeated squaring —
+# plain IEEE multiplication both engines evaluate identically, no
+# libm pow() (same discipline as the un-logged collocation lift).
+_BAND_CONFIGS = ((32, 2), (16, 4), (8, 8))
+
+
+def _pow_sql(expr: str, n: int) -> str:
+    """x^n (n a power of two) as repeated squaring, inline SQL."""
+    out = expr
+    while n > 1:
+        out = f"(({out}) * ({out}))"
+        n //= 2
+    return out
+
+
+def _band_capture_term_sql(b: int, r: int) -> str:
+    """One config's capture-expectation aggregate column."""
+    sr = _pow_sql("jaccard", r)
+    p = f"1.0 - {_pow_sql(f'1.0 - {sr}', b)}"
+    return f"sum(CAST({p} AS DECIMAL(38,12))) AS cap_{b}_{r}"
+
+
+def _band_select_sql(b: int, r: int) -> str:
+    return f"""
+        SELECT {b} AS bands, {r} AS rows_per_band, sim_bucket, n_pairs,
+               round(CAST(cap_{b}_{r} AS DOUBLE), 6) AS expected_captured,
+               round(CAST(cap_{b}_{r} AS DOUBLE) / n_pairs, 6) AS capture_rate
+        FROM agg"""
+
+
+@register(
+    "minhash_band_planning",
+    oracle=f"""WITH {_NGRAM_CTES}, agg AS (
+        SELECT CAST(floor(jaccard * 20) AS INT) AS sim_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               {", ".join(_band_capture_term_sql(b, r) for b, r in _BAND_CONFIGS)}
+        FROM pairs GROUP BY CAST(floor(jaccard * 20) AS INT)
+    ) """
+    + " UNION ALL ".join(_band_select_sql(b, r) for b, r in _BAND_CONFIGS),
+    tags=("dedup", "minhash", "lsh", "planning"),
+)
+def minhash_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design report: for each candidate (bands, rows)
+    split of the 64-hash signature and each 0.05-wide TRUE-similarity
+    bucket of the corpus's exact near-dup pairs, the expected number of
+    pairs the banded index would surface (Σ 1 − (1 − s^r)^b) and the
+    capture rate — the table that picks dedup_minhash_lsh's operating
+    point from measured data instead of folklore. Exponents are fixed
+    small integers, expanded as repeated squaring (pure IEEE multiply,
+    no libm pow), and expectations accumulate in DECIMAL(38,12) so the
+    sum is order-free; the pair similarities come from the same exact
+    inverted-index jaccard the dedup path certifies.
+
+    Scale: one exact-pairs computation (candidates track the answer, see
+    ngram_jaccard_pairs) + a |configs|×|buckets| aggregate; the config
+    fan-out multiplies the PAIR table (answer-sized), never the corpus."""
+    prepare(spark)
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+    ).select("jaccard")
+
+    def _pow(col, n):
+        out = col
+        while n > 1:
+            out = out * out
+            n //= 2
+        return out
+
+    # ONE aggregate pass computes every config's expectation column —
+    # the corpus-scale pair computation runs once, not per config; the
+    # config unpivot below touches only the ≤|buckets| aggregate rows.
+    agg = pairs.groupBy(
+        F.floor(F.col("jaccard") * 20).cast("int").alias("sim_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.sum(
+                (
+                    F.lit(1.0)
+                    - _pow(F.lit(1.0) - _pow(F.col("jaccard"), r), b)
+                ).cast("decimal(38,12)")
+            ).alias(f"cap_{b}_{r}")
+            for b, r in _BAND_CONFIGS
+        ],
+    )
+    # Unpivot by exploding an array of per-config structs — one plan,
+    # no union branches, so the pair computation physically runs once
+    # (a union of three selects over the same agg lineage re-executed
+    # the corpus pass per branch; exchange reuse does not reach through
+    # the operator's cached-set scans).
+    melted = agg.select(
+        "sim_bucket",
+        "n_pairs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bands"),
+                        F.lit(r).alias("rows_per_band"),
+                        F.round(F.col(f"cap_{b}_{r}").cast("double"), 6).alias(
+                            "expected_captured"
+                        ),
+                        F.round(
+                            F.col(f"cap_{b}_{r}").cast("double")
+                            / F.col("n_pairs"),
+                            6,
+                        ).alias("capture_rate"),
+                    )
+                    for b, r in _BAND_CONFIGS
+                ]
+            )
+        ).alias("_e"),
+    )
+    return melted.select(
+        F.col("_e.bands").alias("bands"),
+        F.col("_e.rows_per_band").alias("rows_per_band"),
+        "sim_bucket",
+        "n_pairs",
+        F.col("_e.expected_captured").alias("expected_captured"),
+        F.col("_e.capture_rate").alias("capture_rate"),
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+        WITH comps AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 9) AS c
+            FROM comps GROUP BY label, dim
+        ), pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(CAST(a.c * b.c AS DECIMAL(38,12))) AS dot,
+                   sum(CAST(a.c * a.c AS DECIMAL(38,12))) AS na,
+                   sum(CAST(b.c * b.c AS DECIMAL(38,12))) AS nb
+            FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT label_a, label_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                     6) + 0.0 AS cosine
+        FROM pairs
+    """,
+    tags=("similarity", "embedding", "centroids", "crossclass"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-class embedding centroids — the
+    cross-class proximity matrix a curation owner reads before merging
+    near-identical classes or weighting a mixture (two classes whose
+    centroids sit at cosine ≥0.9 are candidates for consolidation; the
+    complementary single-class table is label_centroids).
+
+    Exactness: centroid components land as round(double(Σv)/n, 9)
+    (decimal-exact sums, one IEEE division — the kmeans recipe); dot
+    products and norms re-accumulate in DECIMAL(38,12); sqrt is IEEE
+    correctly-rounded, so the cosine tree is bit-identical on both
+    engines. Shape: one (label, dim)-keyed aggregate over the corpus,
+    then a |labels|²×dim pair join over the dimension-sized centroid
+    table — the heavy pass never exceeds one shuffle."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,12)"
+    cent = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("_p", "v"))
+        .groupBy("label", (F.col("_p") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(dec)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("c")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast(dec)).alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast(dec)).alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast(dec)).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        (
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cosine"),
+    )

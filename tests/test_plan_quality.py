@@ -481,3 +481,24 @@ def test_vocab_growth_is_first_occurrence_not_prefix_rescans(spark):
     plan = _plan(spark, "vocab_growth_curve")
     assert plan.count("FileScan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_band_planning_computes_pairs_once(spark):
+    """All three config expectations are columns of ONE aggregate pass,
+    unpivoted by exploding per-config structs — a single linear plan. A
+    union of per-config selects would re-execute the corpus-scale pair
+    computation per branch (measured: 3× the FileScans; exchange reuse
+    does not reach through the operator's cached-set scans), so the
+    executed plan must contain NO Union at all."""
+    df = REGISTRY["minhash_band_planning"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan
+
+
+def test_label_centroid_similarity_single_corpus_shuffle(spark):
+    """The corpus-scale pass is the (label, dim) centroid aggregate; the
+    pair join runs on the dimension-sized centroid table."""
+    plan = _plan(spark, "label_centroid_similarity")
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
