@@ -90,7 +90,9 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      first-occurrence identity; minhash_band_planning — LSH
 #      S-curve capture expectations by repeated squaring, one
 #      aggregate pass; label_centroid_similarity — cross-class
-#      centroid cosine matrix) — all oracle-backed, never graded.
+#      centroid cosine matrix; table_checksum_buckets — order-free
+#      anti-entropy bucket checksums) — all oracle-backed, never
+#      graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
 #   3. The last ~15 never-graded queries are rows-only by NATURE

@@ -1128,3 +1128,78 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_paths"),
         F.count_distinct(F.col("user_id"), F.col("session_id")).alias("n_sessions"),
     )
+
+
+@register(
+    "table_checksum_buckets",
+    oracle="""
+        WITH r AS (
+            SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 32 AS bucket,
+                   CAST(concat('0x', substr(md5(
+                       concat_ws(chr(31),
+                           COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+                           COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+                           COALESCE(o_orderstatus, '<NULL>'),
+                           COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                         AS VARCHAR), '<NULL>'),
+                           COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR),
+                                    '<NULL>'),
+                           COALESCE(o_orderpriority, '<NULL>'))), 1, 8))
+                        AS BIGINT) AS h
+            FROM orders
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+        FROM r GROUP BY bucket
+    """,
+    tags=("datasetops", "integrity", "checksum", "anti-entropy"),
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-bucket table checksums — the anti-entropy /
+    replication-validation primitive: two clusters (or a table and its
+    migrated copy) agree iff every bucket's (n_rows, checksum) row
+    matches, and a divergence is localized to 1/32nd of the key space
+    without comparing rows. Content hashing covers EVERY column through
+    a canonical null-safe string (unit-separator concat; the double
+    price pinned through DECIMAL(12,2) and the timestamp through µs
+    epoch so both engines render identical bytes — the F3 record-id
+    discipline). Checksums are sums of per-row md5 ints reduced mod a
+    prime: addition is commutative, so partitioning/order never matters,
+    and the sum accumulates in DECIMAL(38,0) before the mod so no engine
+    wraps at BIGINT range (DuckDB's HUGEINT sum mirrors it exactly).
+    One scan, one bucket-keyed aggregate — scale-free."""
+    from data_eng_project_spark.functions.hashing import (
+        md5_bucket,
+        md5_full_bucket_int,
+    )
+
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    sep = F.lit("\x1f")
+    null = F.lit("<NULL>")
+
+    def s(c):
+        return F.coalesce(c.cast("string"), null)
+
+    repr_ = F.concat_ws(
+        "\x1f",
+        s(F.col("o_orderkey")),
+        s(F.col("o_custkey")),
+        s(F.col("o_orderstatus")),
+        s(F.col("o_totalprice").cast("decimal(12,2)")),
+        # NTZ → TZ cast is the identity under the UTC session pin
+        s(F.unix_micros(F.col("o_orderdate").cast("timestamp"))),
+        s(F.col("o_orderpriority")),
+    )
+    r = orders.select(
+        md5_bucket("o_orderkey", 32).alias("bucket"),
+        md5_full_bucket_int(repr_).alias("h"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(1000000007))
+        .cast("bigint")
+        .alias("checksum"),
+    )

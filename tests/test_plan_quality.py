@@ -502,3 +502,12 @@ def test_label_centroid_similarity_single_corpus_shuffle(spark):
     pair join runs on the dimension-sized centroid table."""
     plan = _plan(spark, "label_centroid_similarity")
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_table_checksum_single_scan_single_exchange(spark):
+    """Anti-entropy checksums: one scan, one bucket-keyed aggregate —
+    the primitive must stay scale-free."""
+    plan = _plan(spark, "table_checksum_buckets")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
