@@ -45,18 +45,33 @@ def dq_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"_v_{i}")
         )
     wide = df.agg(*aggs)
-    rows = None
-    for i, name in enumerate(rules):
-        one = wide.select(
+    # Unpivot by exploding per-rule structs from the ONE aggregate row —
+    # a union of per-rule selects over the same agg lineage re-executed
+    # the fact scan once PER RULE in the physical plan (measured: 14
+    # FileScans for a 7-rule report, zero exchange reuse), which breaks
+    # the one-pass contract this module exists for. The explode keeps
+    # the plan linear: one scan, one aggregate, rule fan-out on 1 row.
+    entries = [
+        F.struct(
             F.lit(name).alias("rule"),
-            F.col("_n").cast("bigint").alias("n_rows"),
-            F.coalesce(F.col(f"_v_{i}"), F.lit(0)).alias("n_violations"),
-            F.coalesce(
-                F.round(F.col(f"_v_{i}") / F.col("_n"), 6), F.lit(0.0)
-            ).alias("violation_rate"),
+            F.coalesce(F.col(f"_v_{i}"), F.lit(0)).cast("bigint").alias(
+                "n_violations"
+            ),
         )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+        for i, name in enumerate(rules)
+    ]
+    melted = wide.select(
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.explode(F.array(*entries)).alias("_e"),
+    )
+    return melted.select(
+        F.col("_e.rule").alias("rule"),
+        "n_rows",
+        F.col("_e.n_violations").alias("n_violations"),
+        F.coalesce(
+            F.round(F.col("_e.n_violations") / F.col("n_rows"), 6), F.lit(0.0)
+        ).alias("violation_rate"),
+    )
 
 
 def dq_orphan_count(

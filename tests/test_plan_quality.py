@@ -511,3 +511,15 @@ def test_table_checksum_single_scan_single_exchange(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_dq_report_rules_share_one_scan(spark):
+    """dq_report's per-rule fan-out must stay an explode over the single
+    conditional-aggregate row: with the union-of-selects form each rule
+    branch re-scanned the fact table (14 FileScans for this report; the
+    explode form executes 8 — the rules aggregate, the referential
+    totals, and the anti-join sides)."""
+    df = REGISTRY["data_quality_report"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 8, plan.count("FileScan parquet")
