@@ -183,45 +183,74 @@ def zorder_pruning_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     zf = zorder_frame(li, "l_partkey", "l_suppkey", bits=_BITS, keep_ranks=True)
 
-    def _file_stats(file_col) -> DataFrame:
-        return zf.groupBy(file_col.alias("file_id")).agg(
-            F.min("_arank").alias("famin"),
-            F.max("_arank").alias("famax"),
-            F.min("_brank").alias("fbmin"),
-            F.max("_brank").alias("fbmax"),
-        )
-
-    def _scan_counts(files: DataFrame, layout: str) -> DataFrame:
-        box = (
-            (F.col("famax") >= _LO)
-            & (F.col("famin") <= _HI)
-            & (F.col("fbmax") >= _LO)
-            & (F.col("fbmin") <= _HI)
-        )
-        b_only = (F.col("fbmax") >= _LO) & (F.col("fbmin") <= _HI)
-        agg = files.agg(
-            F.count(F.lit(1)).cast("long").alias("files_total"),
-            F.coalesce(
-                F.sum(F.when(box, 1).otherwise(0)), F.lit(0)
-            ).cast("long").alias("scan_box"),
-            F.coalesce(
-                F.sum(F.when(b_only, 1).otherwise(0)), F.lit(0)
-            ).cast("long").alias("scan_b"),
-        )
-        return agg.select(
-            F.lit(layout).alias("layout"),
-            F.lit("ab_box").alias("predicate"),
-            F.col("files_total"),
-            F.col("scan_box").alias("files_scanned"),
-        ).unionByName(
-            agg.select(
-                F.lit(layout).alias("layout"),
-                F.lit("b_only").alias("predicate"),
-                F.col("files_total"),
-                F.col("scan_b").alias("files_scanned"),
+    # Single corpus pass for BOTH layouts and BOTH predicates: each row
+    # explodes into its (layout, file_id) pair memberships, ONE grouped
+    # aggregate builds every file's footer stats, a |layouts|-row
+    # conditional aggregate computes the two predicates' scan counts,
+    # and the predicate fan-out is an explode over those rows. The
+    # previous union-of-selects form re-executed the rank/Z-interleave
+    # lineage once per branch — four corpus passes for a four-row answer
+    # (the dq_report finding, same class).
+    pairs = zf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("_z"), 2 * _BITS - 6).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("sort_a").alias("layout"),
+                    F.shiftright(F.col("_arank"), _BITS - 6).alias("file_id"),
+                ),
             )
-        )
-
-    zfiles = _file_stats(F.shiftright(F.col("_z"), 2 * _BITS - 6))
-    afiles = _file_stats(F.shiftright(F.col("_arank"), _BITS - 6))
-    return _scan_counts(zfiles, "zorder").unionByName(_scan_counts(afiles, "sort_a"))
+        ).alias("_lf"),
+        "_arank",
+        "_brank",
+    )
+    files = pairs.groupBy(
+        F.col("_lf.layout").alias("layout"),
+        F.col("_lf.file_id").alias("file_id"),
+    ).agg(
+        F.min("_arank").alias("famin"),
+        F.max("_arank").alias("famax"),
+        F.min("_brank").alias("fbmin"),
+        F.max("_brank").alias("fbmax"),
+    )
+    box = (
+        (F.col("famax") >= _LO)
+        & (F.col("famin") <= _HI)
+        & (F.col("fbmax") >= _LO)
+        & (F.col("fbmin") <= _HI)
+    )
+    b_only = (F.col("fbmax") >= _LO) & (F.col("fbmin") <= _HI)
+    per_layout = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.coalesce(F.sum(F.when(box, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("scan_box"),
+        F.coalesce(F.sum(F.when(b_only, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("scan_b"),
+    )
+    melted = per_layout.select(
+        "layout",
+        "files_total",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ab_box").alias("predicate"),
+                    F.col("scan_box").alias("files_scanned"),
+                ),
+                F.struct(
+                    F.lit("b_only").alias("predicate"),
+                    F.col("scan_b").alias("files_scanned"),
+                ),
+            )
+        ).alias("_e"),
+    )
+    return melted.select(
+        "layout",
+        F.col("_e.predicate").alias("predicate"),
+        "files_total",
+        F.col("_e.files_scanned").alias("files_scanned"),
+    )

@@ -523,3 +523,15 @@ def test_dq_report_rules_share_one_scan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 8, plan.count("FileScan parquet")
+
+
+def test_zorder_pruning_single_pass_no_union(spark):
+    """Both layouts and both predicates must come from ONE pass over the
+    ranked frame (explode into (layout, file) memberships + one grouped
+    aggregate + a predicate explode) — the union form re-executed the
+    rank/Z-interleave lineage per branch."""
+    df = REGISTRY["zorder_pruning_ratio"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("FileScan parquet") <= 4
