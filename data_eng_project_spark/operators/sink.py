@@ -506,3 +506,11 @@ def optimize_table(
         df.coalesce(num_files).write.mode("overwrite").parquet(tmp)
     _swap_directories(path, tmp)
     return len(files_before), len(_parquet_files_recursive(path))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (full-refresh semantics by default) — the interchange
+    counterpart of write_full_refresh for consumers standardized on the
+    Hive/ORC toolchain. Columnar, footer-statistics-bearing, and read
+    back by read_orc with pushdown intact."""
+    df.write.mode(mode).orc(path)

@@ -95,3 +95,15 @@ def read_parquet_evolving(
     return spark.read.option("mergeSchema", merge_schema).parquet(
         *(path if isinstance(path, list) else [path])
     )
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — the columnar interchange format Hive-lineage lakes
+    still publish alongside parquet. Spark's native vectorized ORC
+    reader gives the same pushdown/pruning surface as parquet
+    (PushedFilters + ReadSchema in the plan), so the engine can sit on
+    top of an existing ORC lake without a conversion pass; the
+    round-trip contract (schema and values preserved through
+    write_orc → read_orc) is pinned by tests/test_sources_and_sink.py.
+    """
+    return spark.read.orc(*(path if isinstance(path, list) else [path]))

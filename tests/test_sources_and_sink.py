@@ -393,3 +393,30 @@ def test_jdbc_cycle_guarded_cause_chain():
     node = _FakeJavaExc(message="boom")
     node._cause = node  # cycle
     assert not _jdbc_error_is_table_missing(_FakePy4JError(node), "t")
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """write_orc → read_orc is lossless for the engine's column types,
+    and the ORC scan carries pushdown like parquet (filter reaches the
+    scan, unused columns pruned)."""
+    from data_eng_project_spark.operators.sink import write_orc
+    from data_eng_project_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    plan = (
+        back.filter("o_orderkey < 100")
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LessThan(o_orderkey,100)" in plan  # pushdown reaches the ORC scan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderpriority" not in read  # pruning holds
