@@ -335,3 +335,120 @@ def test_kmeans_is_deterministic_across_partitionings(spark):
         for r in kmeans_lloyd(emb.repartition(13), k=8, iters=3).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------- continuation queries
+
+
+def test_interpolation_recovers_linear_series_exactly(spark):
+    """On a perfectly linear series, time-weighted interpolation must
+    reconstruct every dropped point exactly (up to the 6-dp rounding):
+    the interp formula is exact for affine functions of time."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=7 * i), 3.5 * i + 10.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("gappy"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_nonnull = F.when(F.col("gappy").isNotNull(), F.col("t_us"))
+    w = g.select(
+        "event_id",
+        F.col("value").alias("truth"),
+        F.last("gappy", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_nonnull, ignorenulls=True).over(wp).alias("pt"),
+        F.first("gappy", ignorenulls=True).over(wn).alias("nv"),
+        F.first(t_nonnull, ignorenulls=True).over(wn).alias("nt"),
+        "gappy",
+        "t_us",
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t_us") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    out = w.select(
+        "event_id",
+        "truth",
+        F.round(F.coalesce("gappy", interp), 6).alias("filled"),
+    ).collect()
+    # Interior dropped points sit between two observations -> exact
+    # (row 0 is a leading gap: NOCB gives the next value, not the truth).
+    for r in out:
+        if r["event_id"] == 0:
+            continue
+        assert abs(r["filled"] - r["truth"]) < 1e-6, r
+
+
+def test_vocab_growth_cumulants_match_direct_counts(spark):
+    from data_eng_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["vocab_growth_curve"].fn(spark, "/root/testdata/sf0.001").collect()
+    rows.sort(key=lambda r: r["batch"])
+    # Cumulants re-derive from the per-batch columns...
+    tok, voc = 0, 0
+    for r in rows:
+        tok += r["n_tokens"]
+        voc += r["new_words"]
+        assert r["cum_tokens"] == tok
+        assert r["cum_vocab"] == voc
+    # ...and the final vocabulary equals a direct corpus-wide distinct.
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.functions.text import letter_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = (
+        docs.select(F.explode(letter_tokens("text")).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_vocab"] == direct
+
+
+def test_band_planning_capture_monotone_in_bands(spark):
+    """For a fixed signature budget b*r = 64, more bands (shorter rows)
+    can only raise the capture probability of any pair: 1-(1-s^r)^b is
+    increasing in b and decreasing in r on 0<s<1. Check per bucket."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["minhash_band_planning"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["sim_bucket"], {})[r["bands"]] = r["capture_rate"]
+    for bucket, rates in by_bucket.items():
+        assert rates[32] >= rates[16] >= rates[8], (bucket, rates)
+        for v in rates.values():
+            assert 0.0 <= v <= 1.0
