@@ -95,11 +95,39 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      graded.
 #   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
 #      q14/q16/q17/q20/q21) and window/scalar suites.
-#   3. The last ~15 never-graded queries are rows-only by NATURE
+#   3. The last ~12 never-graded queries are rows-only by NATURE
 #      (xxhash sketches, PCA/FFT/DCT internals, zlib byte outputs,
 #      stateful streaming probes, BPE encode) — give them in-window
 #      rows-only driver rows (spark_rows recorded, err:no_oracle
 #      expected and documented) last, since each burns an oracle slot.
+#
+# CONCRETE r6 window (computed from CERTIFICATION.md at end of r5):
+# all 26 never-graded oracle-backed queries outside the r5 window —
+#   join_fanout_hotspots, interpolate_user_values,
+#   collocation_lift_scores, vocab_growth_curve, similarity_ann_lsh,
+#   multimodal_audio_spectrum, minhash_band_planning,
+#   label_centroid_similarity, dup_graph_bfs_hops,
+#   er_sorted_neighborhood, dup_graph_common_neighbors,
+#   er_entity_groups, priority_sample_by_source, split_exact_quota,
+#   session_path_trigrams, table_checksum_buckets,
+#   multimodal_resize_raw, multimodal_phash_dups,
+#   streaming_heavy_hitters, video_scene_cuts, zorder_layout_stats,
+#   zorder_pruning_ratio, kmeans_embedding_clusters,
+#   holt_linear_event_trend, xcorr_event_types, rollup_retraction_merge
+# plus 24 of the 27 r1-only re-certs —
+#   window_rank_events, moving_avg_user_value, set_ops_intersect,
+#   set_ops_except, distinct_aggregates, scalar_kitchen_sink,
+#   array_functions, cube_order_summary, semi_join_exists,
+#   scalar_subquery_above_avg, null_handling_scalars,
+#   percentile_price_quartiles, pivot_status_by_priority,
+#   unpivot_status_counts, q4_priority_order_counts,
+#   q12_shipmode_severity, q14_promo_revenue_pct, nation_market_share,
+#   q2_max_order_per_customer, top_supplier_per_nation,
+#   q13_order_count_distribution, q16_parts_never_ordered,
+#   q17_small_quantity_revenue, q20_top_part_family_suppliers
+# (r7 takes the remaining 3 re-certs — full_outer_activity_
+# reconciliation, events_hourly_gapfill, q21_sole_late_suppliers —
+# plus the 12 rows-only in-window rows-only passes).
 _GRADED_WINDOW = [
     # Behavioral / statistical analytics (plans/analytics5.py)
     "cusum_changepoints",
