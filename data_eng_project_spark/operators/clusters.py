@@ -423,6 +423,8 @@ def kmeans_lloyd(
     """
     from data_eng_project_spark.functions.hashing import md5_full_bucket_int
 
+    if int(iters) < 1 or int(k) < 1:
+        raise ValueError(f"kmeans_lloyd needs iters >= 1 and k >= 1, got {iters=}, {k=}")
     xv = (
         emb.select(
             F.col(id_col).alias("_vid"),
