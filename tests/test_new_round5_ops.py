@@ -452,3 +452,40 @@ def test_band_planning_capture_monotone_in_bands(spark):
         assert rates[32] >= rates[16] >= rates[8], (bucket, rates)
         for v in rates.values():
             assert 0.0 <= v <= 1.0
+
+
+def test_kmeans_fold_matches_groupby_decimal_sums(spark):
+    """The assignment fold (DECIMAL(30,12) accumulator, merge result
+    cast back) must equal the exploded groupBy SUM(DECIMAL(38,12)) for
+    every (vector, centroid) pair — the exactness bridge between the
+    operator's zero-shuffle form and the oracle's exploded SQL. Spark's
+    p+1 decimal promotion clips a (38,12) accumulator to scale 11,
+    which is why the headroom type exists (operators/clusters.
+    kmeans_lloyd docstring)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("c"),
+    ).limit(8)
+    j = x.crossJoin(F.broadcast(c))
+    acc_t, term_t, out_t = "decimal(30,12)", "decimal(20,12)", "decimal(38,12)"
+    fold = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast(acc_t),
+        lambda acc, t: (acc + t.cast(term_t)).cast(acc_t),
+    ).cast(out_t)
+    fr = {
+        (r["vec_id"], r["cid"]): r["d"]
+        for r in j.select("vec_id", "cid", fold.alias("d")).collect()
+    }
+    e = j.select(
+        "vec_id",
+        "cid",
+        F.explode(F.zip_with("v", "c", lambda a, b: (a - b) * (a - b))).alias("t"),
+    )
+    gb = e.groupBy("vec_id", "cid").agg(F.sum(F.col("t").cast(out_t)).alias("d"))
+    for r in gb.collect():
+        assert fr[(r["vec_id"], r["cid"])] == r["d"]
