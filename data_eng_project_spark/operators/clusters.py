@@ -411,7 +411,9 @@ def kmeans_lloyd(
     Decimal-fold detail: the accumulator is DECIMAL(30,12) with the
     merge result cast back — Spark's p+1 promotion would otherwise clip
     the scale to (38,11) and diverge from SUM; the headroom cast is
-    lossless for |d2| < 10^18. The only per-iteration shuffle is the
+    lossless for |d2| < 10^18, and each squared term is cast to
+    DECIMAL(37,12) (NULL-overflow only at (v_i−c_i)² ≥ 1e25 — see the
+    inline note at the type constants). The only per-iteration shuffle is the
     centroid recompute (a (cluster, dim)-keyed aggregate over the
     posexploded assignment); the input arrays are checkpointed once and
     re-scanned ``iters`` times (Lloyd's unavoidable passes). Empty
@@ -450,7 +452,15 @@ def kmeans_lloyd(
         .localCheckpoint()
     )
 
-    _acc, _term, _out = "decimal(30,12)", "decimal(20,12)", "decimal(38,12)"
+    # Term precision is (37,12), NOT (38,12): the fold's merge is
+    # acc(30,12) + term, and Spark's decimal-addition promotion
+    # max(p1-s1, p2-s2) + max(s1,s2) + 1 hits 39 for a (38,12) term,
+    # clipping the result scale to 11 dp and silently rounding — while
+    # (37,12) lands exactly on (38,12), lossless. 25 integer digits
+    # put the per-term overflow→NULL bound at (v_i−c_i)² ≥ 1e25
+    # (|v_i−c_i| ≥ ~3.2e12; the previous (20,12) term overflowed at
+    # 1e8, within reach of real embedding magnitudes — r5 ADVICE).
+    _acc, _term, _out = "decimal(30,12)", "decimal(37,12)", "decimal(38,12)"
 
     def _one_row_centroids(c: DataFrame) -> DataFrame:
         """k×dim long form → ONE row holding k (cluster, vector) structs,

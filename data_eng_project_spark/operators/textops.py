@@ -51,17 +51,22 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     pipeline; thresholds are the caller's policy."""
     t = F.col(text_col)
     padded = padded_for_counting(t)
-    # Count NON-EMPTY tokens: split(trim(''), '\\s+') yields [''], so an
+    # Count NON-EMPTY tokens: split('', '\\s+') yields [''], so an
     # empty/whitespace-only doc otherwise reports n_words=1 and a
     # fabricated mean_word_len — and would survive a "min 1 word"
     # filter (r5 review). Such docs report 0 words and NULL ratios.
-    # Expressed WITHOUT a higher-order filter: trimmed \s+ tokens can
-    # only contain an empty string when the whole text is empty (lead/
-    # trail whitespace is trimmed, interior \s+ runs collapse), so a
-    # length guard is exactly equivalent and stays in whole-stage
-    # codegen (ArrayFilter is a CodegenFallback node).
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(text_col))
+    # Expressed WITHOUT a higher-order filter: both the guard and the
+    # split run over a REGEX-trimmed column (trim() strips only ASCII
+    # spaces, so 'hello\n' / '\t' would otherwise keep edge empty
+    # tokens and diverge from the oracle's filtered count — r5 ADVICE).
+    # After regex-trimming, \s+ tokens can only contain an empty string
+    # when the whole text is empty (edge whitespace of every class is
+    # gone, interior \s+ runs collapse), so the length guard is exactly
+    # equivalent to the filtered count and stays in whole-stage codegen
+    # (ArrayFilter is a CodegenFallback node).
+    rt = F.regexp_replace(t, r"(^\s+)|(\s+$)", "")
+    n_words = F.when(F.length(rt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(rt, r"\s+"))
     )
     stop_hits = None
     for w in EN_STOPWORDS:

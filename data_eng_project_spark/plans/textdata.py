@@ -1744,7 +1744,14 @@ _BAND_CONFIGS = ((32, 2), (16, 4), (8, 8))
 
 
 def _pow_sql(expr: str, n: int) -> str:
-    """x^n (n a power of two) as repeated squaring, inline SQL."""
+    """x^n (n a power of two) as repeated squaring, inline SQL.
+
+    Repeated squaring is only x^n when n is a power of two (n=3 would
+    silently compute x^2 — self-consistent cross-engine but wrong vs
+    the documented 1-(1-s^r)^b formula), so non-power-of-two configs
+    are rejected here rather than miscomputed (r5 ADVICE)."""
+    if n < 1 or (n & (n - 1)) != 0:
+        raise ValueError(f"_pow_sql: exponent must be a power of two, got {n}")
     out = expr
     while n > 1:
         out = f"(({out}) * ({out}))"
@@ -1803,6 +1810,10 @@ def minhash_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("jaccard")
 
     def _pow(col, n):
+        # Same power-of-two contract as _pow_sql (repeated squaring is
+        # x^n only for power-of-two n) — reject, don't miscompute.
+        if n < 1 or (n & (n - 1)) != 0:
+            raise ValueError(f"_pow: exponent must be a power of two, got {n}")
         out = col
         while n > 1:
             out = out * out

@@ -471,7 +471,7 @@ def test_kmeans_fold_matches_groupby_decimal_sums(spark):
         F.col("embedding").cast("array<double>").alias("c"),
     ).limit(8)
     j = x.crossJoin(F.broadcast(c))
-    acc_t, term_t, out_t = "decimal(30,12)", "decimal(20,12)", "decimal(38,12)"
+    acc_t, term_t, out_t = "decimal(30,12)", "decimal(37,12)", "decimal(38,12)"
     fold = F.aggregate(
         F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast(acc_t),
@@ -489,3 +489,43 @@ def test_kmeans_fold_matches_groupby_decimal_sums(spark):
     gb = e.groupBy("vec_id", "cid").agg(F.sum(F.col("t").cast(out_t)).alias("d"))
     for r in gb.collect():
         assert fr[(r["vec_id"], r["cid"])] == r["d"]
+
+
+def test_kmeans_survives_large_magnitude_embeddings(spark):
+    """Regression (r5 ADVICE): a squared per-dimension difference of
+    ~1e10 overflowed the old DECIMAL(20,12) term cast to NULL in
+    non-ANSI mode, and the NULL _d2 struct sorted FIRST in array_min —
+    silently mis-assigning the row. With DECIMAL(37,12) terms the
+    vector must land with its obvious nearest seed and a non-NULL
+    dist2."""
+    from data_eng_project_spark.operators.clusters import kmeans_lloyd
+
+    # Two tight groups separated by ~2e5 per dimension: any cross-group
+    # distance term is ~4e10 >= 1e8, the old overflow bound.
+    rows = [(f"v{i}", [float(i), float(i)]) for i in range(4)]
+    rows += [(f"w{i}", [2.0e5 + i, 2.0e5 + i]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    # 4 iterations: both md5-rank seeds may draw from one group, and
+    # Lloyd then needs assign→update→assign to settle on group means.
+    out = {r["id"]: r for r in kmeans_lloyd(emb, k=2, iters=4).collect()}
+    assert all(r["dist2"] is not None for r in out.values())
+    low = {out[f"v{i}"]["cluster"] for i in range(4)}
+    high = {out[f"w{i}"]["cluster"] for i in range(4)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    # Within-group dist2 stays group-sized; a mis-assignment across the
+    # 2e5 gap would show up as ~8e10.
+    assert all(r["dist2"] < 1.0e3 for r in out.values())
+
+
+def test_band_planning_pow_rejects_non_power_of_two():
+    """Regression (r5 ADVICE): repeated squaring computes x^n only for
+    power-of-two n — a (bands=21, rows=3) config must raise, not
+    silently evaluate x^2 on both engines."""
+    import pytest as _pytest
+
+    from data_eng_project_spark.plans.textdata import _pow_sql
+
+    assert _pow_sql("x", 4) == "((((x) * (x))) * (((x) * (x))))"
+    for bad in (0, 3, 6, 12):
+        with _pytest.raises(ValueError):
+            _pow_sql("x", bad)

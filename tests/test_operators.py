@@ -1819,6 +1819,35 @@ def test_quality_score_empty_doc_reports_zero_words(spark):
     assert rows[2]["n_words"] == 3
 
 
+def test_quality_score_edge_tabs_and_newlines(spark):
+    """Regression (r5 ADVICE): trim() strips only ASCII spaces, so the
+    old length guard let 'hello\\n' count 2 words and '\\t' count 2 —
+    diverging from the oracle's filtered token count. n_words must be
+    the NON-EMPTY whitespace-token count for every whitespace class."""
+    from data_eng_project_spark.operators.textops import quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello\n"),
+            (2, "\t"),
+            (3, "\n\t  \r\n"),
+            (4, "\ta\tb\nc\r\n"),
+            (5, "plain"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert rows[1]["n_words"] == 1
+    assert rows[2]["n_words"] == 0
+    assert rows[2]["mean_word_len"] is None
+    assert rows[3]["n_words"] == 0
+    assert rows[4]["n_words"] == 3
+    assert rows[5]["n_words"] == 1
+    # mean_word_len keeps the RAW char length numerator (oracle twin):
+    # 'hello\n' is 6 chars over 1 word.
+    assert rows[1]["mean_word_len"] == 6.0
+
+
 def test_blocked_pairs_no_duplicates_with_empty_blocks(spark):
     """Regression (r5 review): with more blocks than occupied hash
     slots, a (i, j) group whose j-block is empty must NOT re-emit block
