@@ -42,150 +42,80 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-5 rotation (VERDICT r4 task 1 — second certification round):
-# every slot goes to a query with NO green driver CORRECTNESS row. That
-# is the 42 remaining never-graded oracle-backed queries, plus 7
-# upgraded from rows-only to oracle-backed this round (contract-style
-# oracles: approx_price_quartiles GK rank guarantee,
-# minhash_accuracy_report exact-count+recall contract, and five
-# multimodal queries whose deterministic generators are replayed
-# closed-form in SQL — incl. the VERDICT-r4 item-7 video variant), plus
-# approx_distinct_users (the repo's only non-green latest-status row,
-# r1 err:no_oracle — now carrying an HLL tolerance-contract oracle).
-# Cumulative driver-certified coverage after this window: 207/225.
-# Round-4's 50 green queries (flagship trio etc.) stay covered by
-# tests/test_oracle_parity.py + tools/driver_audit.py every session.
+# Round-6 rotation (VERDICT r5 task 1 — close the certification
+# ledger): the 26 never-graded oracle-backed queries left after the r5
+# window (late r5 additions: multimodal/ANN/zorder conversions, ER
+# family, BFS hops, Holt, k-means, retraction rollup, …) plus 24 of
+# the 27 re-certs whose only driver row is round 1 (TPC-H tranche and
+# window/scalar suites). A green CORRECTNESS_r06 on this window makes
+# cumulative driver-certified coverage 245/245 oracle-backed queries —
+# zero evidence debt. Earlier rounds' queries stay covered every
+# session by tests/test_oracle_parity.py + tools/driver_audit.py.
 #
-# Round-6 queue, in priority order:
-#   1. The six conversions that landed after this window filled —
-#      video_scene_cuts (closed-form multi-scene replay),
-#      streaming_heavy_hitters (exact-top-20 + MG bound contract),
-#      multimodal_resize_raw (IEEE-exact SQL bilinear kernel),
-#      multimodal_audio_spectrum (naive-DFT spectrum replay),
-#      multimodal_phash_dups (sha256-pixel + bilinear + DCT + median
-#      + Hamming full-pipeline replay),
-#      similarity_ann_lsh (LCG-hyperplane + band-arithmetic replay),
-#      and the two layout-audit queries added after this window froze
-#      (zorder_layout_stats, zorder_pruning_ratio — integer-exact
-#      rank/interleave replays, plans/layout.py),
-#      and the ten round-5 late additions (dup_graph_bfs_hops —
-#      recursive BFS-walk oracle; holt_linear_event_trend — recursive
-#      Holt recurrence oracle; collocation_lift_scores — PMI-argument
-#      lift with exact count arithmetic; er_sorted_neighborhood —
-#      global-rank window replay; xcorr_event_types — exact
-#      sufficient-statistics lagged correlation; dup_graph_common_
-#      neighbors — wedge-count edge scores; er_entity_groups —
-#      two-pass blocking union + component closure;
-#      priority_sample_by_source — DLT priority sampling on the md5
-#      hash; split_exact_quota — rank-enforced per-stratum quota;
-#      join_fanout_hotspots — exact pre-join skew diagnostics),
-#      and the two continuation-session additions (kmeans_embedding_
-#      clusters — deterministic Lloyd fit, 3 unrolled-CTE oracle
-#      iterations; session_path_trigrams — in-session path n-grams
-#      on one shared user_id exchange; rollup_retraction_merge —
-#      CDC-delete retractions as negated rollup state, graded
-#      against a one-shot post-CDC recompute;
-#      interpolate_user_values — bracketing-window linear
-#      interpolation; vocab_growth_curve — Heaps curve via the
-#      first-occurrence identity; minhash_band_planning — LSH
-#      S-curve capture expectations by repeated squaring, one
-#      aggregate pass; label_centroid_similarity — cross-class
-#      centroid cosine matrix; table_checksum_buckets — order-free
-#      anti-entropy bucket checksums) — all oracle-backed, never
-#      graded.
-#   2. Re-certification of the r1-only TPC-H tranche (q2/q4/q12/q13/
-#      q14/q16/q17/q20/q21) and window/scalar suites.
-#   3. The last ~12 never-graded queries are rows-only by NATURE
-#      (xxhash sketches, PCA/FFT/DCT internals, zlib byte outputs,
-#      stateful streaming probes, BPE encode) — give them in-window
-#      rows-only driver rows (spark_rows recorded, err:no_oracle
-#      expected and documented) last, since each burns an oracle slot.
-#
-# CONCRETE r6 window (computed from CERTIFICATION.md at end of r5):
-# all 26 never-graded oracle-backed queries outside the r5 window —
-#   join_fanout_hotspots, interpolate_user_values,
-#   collocation_lift_scores, vocab_growth_curve, similarity_ann_lsh,
-#   multimodal_audio_spectrum, minhash_band_planning,
-#   label_centroid_similarity, dup_graph_bfs_hops,
-#   er_sorted_neighborhood, dup_graph_common_neighbors,
-#   er_entity_groups, priority_sample_by_source, split_exact_quota,
-#   session_path_trigrams, table_checksum_buckets,
-#   multimodal_resize_raw, multimodal_phash_dups,
-#   streaming_heavy_hitters, video_scene_cuts, zorder_layout_stats,
-#   zorder_pruning_ratio, kmeans_embedding_clusters,
-#   holt_linear_event_trend, xcorr_event_types, rollup_retraction_merge
-# plus 24 of the 27 r1-only re-certs —
-#   window_rank_events, moving_avg_user_value, set_ops_intersect,
-#   set_ops_except, distinct_aggregates, scalar_kitchen_sink,
-#   array_functions, cube_order_summary, semi_join_exists,
-#   scalar_subquery_above_avg, null_handling_scalars,
-#   percentile_price_quartiles, pivot_status_by_priority,
-#   unpivot_status_counts, q4_priority_order_counts,
-#   q12_shipmode_severity, q14_promo_revenue_pct, nation_market_share,
-#   q2_max_order_per_customer, top_supplier_per_nation,
-#   q13_order_count_distribution, q16_parts_never_ordered,
-#   q17_small_quantity_revenue, q20_top_part_family_suppliers
-# (r7 takes the remaining 3 re-certs — full_outer_activity_
-# reconciliation, events_hourly_gapfill, q21_sole_late_suppliers —
-# plus the 12 rows-only in-window rows-only passes).
+# Round-7 queue:
+#   1. The remaining 3 r1-only re-certs — full_outer_activity_
+#      reconciliation, events_hourly_gapfill, q21_sole_late_suppliers.
+#   2. Any queries converted from rows-only to oracle-backed during
+#      round 6 (see QUERIES.md for the rows-only set).
+#   3. The ~12 queries that are rows-only by NATURE (xxhash sketches,
+#      PCA/FFT/DCT internals, zlib byte outputs, stateful streaming
+#      probes, BPE encode) — give them in-window rows-only driver rows
+#      (spark_rows recorded, err:no_oracle expected and documented)
+#      last, since each burns an oracle slot.
 _GRADED_WINDOW = [
-    # Behavioral / statistical analytics (plans/analytics5.py)
-    "cusum_changepoints",
-    "attribution_last_touch",
-    "attribution_first_touch",
-    "attribution_time_decay",
-    "mad_outlier_summary",
-    "log_histogram_quantiles",
-    "benford_price_digits",
-    "chisq_source_lang_independence",
-    "grouped_value_quartiles",
-    "rfm_segments",
-    "funnel_time_to_convert",
-    "new_vs_returning_hourly",
-    "order_lead_time_quartiles",
-    "part_supplier_hhi",
-    "weekly_growth_rates",
-    "clv_cohort_curves",
-    "discount_band_effects",
-    "supplier_ship_delay",
-    "order_status_mix_monthly",
-    "per_user_value_trend",
-    "event_transition_matrix",
-    "hour_of_week_profile",
-    "seasonal_anomaly_events",
-    "acf_event_counts",
-    "time_weighted_avg_user",
-    "events_hourly_ohlc",
-    "event_debounce_summary",
-    # Dataset ops / curation / privacy
-    "export_shard_manifest",
-    "chunk_assembly_plan",
-    "pps_sample_by_source",
-    "quality_quantile_normalize",
-    "catalog_manifest",
-    "bloom_join_prune_stats",
-    "kanonymize_customer_release",
-    "ldiversity_check",
-    "embedding_covariance",
-    "hard_negative_mining",
-    "bpe_pair_counts",
-    "bpe_word_frequencies",
-    # Upgraded-from-rows-only in r4 (graph/recurrence oracles).
-    # pagerank_dup_docs' DuckDB side replays the pair CTE + 10 unrolled
-    # matvecs (~30 s at sf0.01) — the window's one slow slot.
-    "knn_label_propagation",
-    "ewma_user_values",
-    "pagerank_dup_docs",
-    # Upgraded-from-rows-only this round (contract / closed-form
-    # generator-replay oracles — see each registration)
-    "approx_distinct_users",
-    "approx_price_quartiles",
-    "minhash_accuracy_report",
-    "multimodal_media_meta",
-    "multimodal_frame_samples",
-    "multimodal_image_resize",
-    "multimodal_video_frames_raw",
-    "multimodal_audio_features",
+    # --- Round-6 rotation (VERDICT r5 task 1 — close the ledger). ---
+    # The 26 never-graded oracle-backed queries outside the r5 window:
+    "join_fanout_hotspots",
+    "interpolate_user_values",
+    "collocation_lift_scores",
+    "vocab_growth_curve",
+    "similarity_ann_lsh",
+    "multimodal_audio_spectrum",
+    "minhash_band_planning",
+    "label_centroid_similarity",
+    "dup_graph_bfs_hops",
+    "er_sorted_neighborhood",
+    "dup_graph_common_neighbors",
+    "er_entity_groups",
+    "priority_sample_by_source",
+    "split_exact_quota",
+    "session_path_trigrams",
+    "table_checksum_buckets",
+    "multimodal_resize_raw",
+    "multimodal_phash_dups",
+    "streaming_heavy_hitters",
+    "video_scene_cuts",
+    "zorder_layout_stats",
+    "zorder_pruning_ratio",
+    "kmeans_embedding_clusters",
+    "holt_linear_event_trend",
+    "xcorr_event_types",
+    "rollup_retraction_merge",
+    # 24 of the 27 re-certs whose only driver row is round 1:
+    "window_rank_events",
+    "moving_avg_user_value",
+    "set_ops_intersect",
+    "set_ops_except",
+    "distinct_aggregates",
+    "scalar_kitchen_sink",
+    "array_functions",
+    "cube_order_summary",
+    "semi_join_exists",
+    "scalar_subquery_above_avg",
+    "null_handling_scalars",
+    "percentile_price_quartiles",
+    "pivot_status_by_priority",
+    "unpivot_status_counts",
+    "q4_priority_order_counts",
+    "q12_shipmode_severity",
+    "q14_promo_revenue_pct",
+    "nation_market_share",
+    "q2_max_order_per_customer",
+    "top_supplier_per_nation",
+    "q13_order_count_distribution",
+    "q16_parts_never_ordered",
+    "q17_small_quantity_revenue",
+    "q20_top_part_family_suppliers",
 ]
 
 
