@@ -760,3 +760,126 @@ def test_chunk_documents_drops_null_text(spark):
     ids = {r["id"] for r in out}
     assert ids == {1, 3}
     assert all(r["n_chunk_tokens"] > 0 and r["chunk_hash"] is not None for r in out)
+
+
+# ------------------------------------------- distributed rank / cumsum
+
+
+def test_distributed_order_rank_equals_global_row_number(spark):
+    """The bucketed rank must equal row_number() OVER (ORDER BY v, id)
+    exactly — for ANY percentile-cut placement — including heavy ties
+    and with a deliberately tiny bucket count forcing multi-row
+    buckets."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    rows = [(f"id{i:03d}", (i * 7919) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, v long").repartition(7)
+    got = {
+        r["id"]: r["_grank"]
+        for r in distributed_order_rank(df, "v", ["id"], n_buckets=5).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_order_rank_descending(spark):
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    rows = [(f"id{i:03d}", float((i * 31) % 17) / 3.0) for i in range(150)]
+    df = spark.createDataFrame(rows, "id string, v double")
+    got = {
+        r["id"]: r["_grank"]
+        for r in distributed_order_rank(
+            df, "v", ["id"], descending=True, n_buckets=8
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy(F.col("v").desc(), "id")).alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_cumsum_matches_global_window_decimal_exact(spark):
+    """Running decimal sum must be bit-identical to the partitionless
+    window form — including the (37,s) headroom cast (a (38,s)+(38,s)
+    addition would clip the scale by one digit)."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_cumsum
+
+    rows = [(f"c{i:03d}", i % 23, f"{(i * 97) % 1000}.{i % 100:02d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id string, k long, amt string").select(
+        "id", "k", F.col("amt").cast("decimal(28,6)").alias("amt")
+    )
+    out = distributed_order_cumsum(
+        df, "k", ["id"], "amt", descending=True, n_buckets=6
+    )
+    got = {(r["id"]): (r["_grank"], str(r["_gcum"])) for r in out.collect()}
+    w = Window.orderBy(F.col("k").desc(), "id")
+    want = {
+        r["id"]: (r["rn"], str(r["cs"]))
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    # decimal running sums equal value-for-value (compare as Decimal,
+    # not string: the window form types (38,6), the distributed form
+    # (38,6) after the headroom addition — same digits either way)
+    from decimal import Decimal
+
+    for k in want:
+        assert Decimal(got[k][1]) == Decimal(want[k][1]), k
+
+
+def test_rfm_distributed_ntile_matches_exact_ntile(spark):
+    """rfm_segments' rank-arithmetic quintiles must reproduce ntile(5)
+    row-for-row on sizes that exercise both bucket-size branches
+    (n mod 5 != 0)."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    for n in (7, 23, 100, 101, 104):
+        rows = [(f"c{i:03d}", (i * 37) % 19) for i in range(n)]
+        df = spark.createDataFrame(rows, "custkey string, v long")
+        ranked = distributed_order_rank(df, "v", ["custkey"], out_col="_r")
+        n1 = df.agg(F.count(F.lit(1)).alias("_n"))
+        tile = F.when(
+            F.col("_r") <= F.expr("(_n % 5) * ((_n div 5) + 1)"),
+            F.expr("((_r - 1) div ((_n div 5) + 1)) + 1"),
+        ).otherwise(
+            F.expr(
+                "(_n % 5) + ((_r - (_n % 5) * ((_n div 5) + 1) - 1)"
+                " div (_n div 5)) + 1"
+            )
+        )
+        got = {
+            r["custkey"]: r["t"]
+            for r in ranked.join(F.broadcast(n1))
+            .select("custkey", tile.cast("int").alias("t"))
+            .collect()
+        }
+        want = {
+            r["custkey"]: r["t"]
+            for r in df.select(
+                "custkey",
+                F.ntile(5).over(Window.orderBy("v", "custkey")).alias("t"),
+            ).collect()
+        }
+        assert got == want, n

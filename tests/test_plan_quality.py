@@ -457,9 +457,13 @@ def test_text_quality_evaluates_tokenizer_once(spark):
     excluded from codegen subexpression elimination, so without the
     two-step projection in operators/textops.quality_score the regex
     split re-runs at every reference (measured 0.82 s vs 0.29 s at
-    sf0.1). The executed plan must carry exactly ONE split(trim(...))."""
+    sf0.1). The executed plan must carry exactly ONE split over the
+    regex-trimmed text (the guard+split base after the r5 ADVICE
+    whitespace-class fix)."""
     plan = _plan(spark, "text_quality_scores")
-    assert plan.count("split(trim(") == 1, plan.count("split(trim(")
+    assert plan.count("split(regexp_replace(") == 1, plan.count(
+        "split(regexp_replace("
+    )
 
 
 def test_interpolate_single_window_exchange_no_join(spark):
@@ -535,3 +539,66 @@ def test_zorder_pruning_single_pass_no_union(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert plan.count("FileScan parquet") <= 4
+
+
+# --------------------------------------------------------------------------
+# Registry-wide partitionless-window gate (r5 VERDICT item 3): a Window
+# with no PARTITION BY moves every input row to ONE task — a global ORDER
+# BY range-partitions, a global window does not — so over a fact-sized
+# frame it is a 100×-scale-up killer. Every query plan must be free of
+# partitionless Window nodes unless the windowed frame is bounded BY
+# CONSTRUCTION (not merely "dimension-sized today").
+#
+# Allowlist rationale (each windowed frame and its hard bound):
+#   log_histogram_quantiles — (decimal-magnitude, two-lead-digit) buckets:
+#       ≤ 19 magnitudes × 90 lead pairs by the digit arithmetic itself.
+#   nation_market_share    — the 25-row TPC-H nation enum aggregate.
+#   quality_retention_curve — fixed 0.05-wide stopword-ratio bands: ≤ 21.
+#   source_token_gini      — the per-source rollup; sources are a fixed
+#       catalog enum in this data model (cardinality of a config list).
+#   vocab_growth_curve     — the 10-row md5 ingest-batch table (constant).
+# Customer/document/candidate rollups do NOT qualify (they scale with the
+# business) — rfm_segments, pareto_customer_revenue, rrf_hybrid_search and
+# quality_quantile_normalize were rewritten onto the distributed
+# bucketed-rank/cumsum helpers for exactly that reason.
+_PARTITIONLESS_WINDOW_ALLOWLIST = {
+    "log_histogram_quantiles",
+    "nation_market_share",
+    "quality_retention_curve",
+    "source_token_gini",
+    "vocab_growth_curve",
+}
+
+
+def _walk_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def _partitionless_windows(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return sum(
+        1
+        for n in _walk_logical(plan)
+        if n.getClass().getSimpleName() in ("Window", "WindowGroupLimit")
+        and n.partitionSpec().isEmpty()
+    )
+
+
+def test_no_partitionless_windows_registry_wide(spark):
+    """Every registered query's optimized plan is free of partitionless
+    Window nodes, except the bounded-by-construction allowlist above.
+    Allowlist entries must also keep USING theirs (stale entries get
+    removed so the list cannot rot into a blanket waiver)."""
+    violations = {}
+    stale = []
+    for name, spec in REGISTRY.items():
+        n = _partitionless_windows(spec.fn(spark, SF))
+        if n and name not in _PARTITIONLESS_WINDOW_ALLOWLIST:
+            violations[name] = n
+        if not n and name in _PARTITIONLESS_WINDOW_ALLOWLIST:
+            stale.append(name)
+    assert not violations, f"partitionless windows over non-allowlisted frames: {violations}"
+    assert not stale, f"stale allowlist entries (no longer any partitionless window): {stale}"
