@@ -371,19 +371,29 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash long): sign-aggregated token-hash bits.
 
-    Implementation: explode tokens, one xxhash64 per token, then ``bits``
-    conditional-sum aggregates (+1/-1 per bit) and bit reassembly. The
-    wide agg stays in one shuffle; 64 sums per group is cheap for codegen.
+    Implementation: explode tokens, one md5 per token split into two
+    32-bit halves (the engine's one hash — and, unlike xxhash64,
+    replayable in ANSI SQL, which is what lets dedup_simhash carry a
+    full DuckDB oracle: bit b of the token hash is
+    ``(lo >> b) & 1`` for b < 32 and ``(hi >> (b-32)) & 1`` above),
+    then ``bits`` conditional-sum aggregates (+1/-1 per bit) and bit
+    reassembly. The wide agg stays in one shuffle; 64 sums per group is
+    cheap for codegen.
     """
+    m = F.md5(F.col("tok"))
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("_hi", F.conv(F.substring(m, 1, 8), 16, 10).cast("long"))
+        .withColumn("_lo", F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
     )
+
+    def _hbit(b: int):
+        h = F.col("_lo") if b < 32 else F.col("_hi")
+        return F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
+
     sums = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_b{b}")
+            F.sum(F.when(_hbit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
             for b in range(bits)
         ]
     )

@@ -353,7 +353,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # sketch-based; Hamming-verified in tests/
+    # Full deterministic replay (r5 VERDICT item 4 — converted from
+    # rows-only): the token hash is md5 split into two 32-bit halves
+    # (operators/dedup.simhash), so the oracle recomputes every
+    # per-(doc, bit) ±1 sign sum, assembles each fingerprint as a
+    # 64-char bitstring, and verifies Hamming ≤ 3 with bit_count(xor)
+    # over ALL pairs — the O(n²) oracle baseline for the operator's
+    # pigeonhole band join (which examines only band-collision
+    # candidates; the 4-band split is exact for Hamming ≤ 3, so the two
+    # must agree pair-for-pair).
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+                   CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            )
+        ), sgn AS (
+            SELECT doc_id, b,
+                   CASE WHEN sum(CASE WHEN
+                       ((CASE WHEN b < 32 THEN h_lo >> b
+                              ELSE h_hi >> (b - 32) END) & 1) = 1
+                       THEN 1 ELSE -1 END) > 0
+                   THEN 1 ELSE 0 END AS bit
+            FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b)
+            GROUP BY doc_id, b
+        ), fp AS (
+            SELECT doc_id,
+                   CAST(string_agg(CAST(bit AS VARCHAR), '' ORDER BY b DESC)
+                        AS BIT) AS s
+            FROM sgn GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, c.s)) AS INT) AS hamming
+        FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.s, c.s)) <= 3
+    """,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
