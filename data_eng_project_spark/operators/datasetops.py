@@ -228,7 +228,11 @@ def snapshot_diff(
 
 
 def _bucket_base_offsets(
-    sizes: DataFrame, bucket_col: str, n_col: str, out_col: str = "_off"
+    sizes: DataFrame,
+    bucket_col: str,
+    n_col: str,
+    out_col: str = "_off",
+    more: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Exclusive prefix sums over a dimension-sized bucket-size table
     WITHOUT a partitionless window and WITHOUT an inequality join (a
@@ -240,35 +244,51 @@ def _bucket_base_offsets(
     bucketed-rank plan free of partitionless WindowExec AND nested-loop
     joins, so the registry-wide gates can stay strict.
 
-    Decimal detail: the fold accumulates in (30,s) with (37,s) term
+    ``more`` adds further (value_col, out_col) prefix sums computed in
+    the SAME one-row pass, so callers needing several offsets (count +
+    value total in distributed_order_cumsum) evaluate the sizes lineage
+    once.
+
+    Decimal detail: each fold accumulates in (30,s) with (37,s) term
     casts and a merge cast back — the kmeans_lloyd headroom discipline —
     because a (38,s)+(38,s) addition would clip the scale by a digit;
     lossless while prefix totals < 1e(30-s)."""
     from pyspark.sql.types import DecimalType
 
-    ntype = sizes.schema[n_col].dataType
-    if isinstance(ntype, DecimalType):
-        acc_t, term_t = f"decimal(30,{ntype.scale})", f"decimal(37,{ntype.scale})"
-    else:
-        acc_t, term_t = "bigint", "bigint"
+    cols = [(n_col, out_col), *(more or [])]
+
+    def _types(c: str) -> tuple[str, str]:
+        t = sizes.schema[c].dataType
+        if isinstance(t, DecimalType):
+            return f"decimal(30,{t.scale})", f"decimal(37,{t.scale})"
+        return "bigint", "bigint"
+
     one = sizes.agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col(bucket_col).alias("_b"), F.col(n_col).alias("_n"))
+                F.struct(
+                    F.col(bucket_col).alias("_b"),
+                    *[F.col(c).alias(f"_v{i}") for i, (c, _) in enumerate(cols)],
+                )
             )
         ).alias("_a")
     )
-    entry = lambda s: F.struct(  # noqa: E731
-        s["_b"].alias(bucket_col),
-        F.aggregate(
+
+    def _fold(s, i: int, c: str):
+        acc_t, term_t = _types(c)
+        return F.aggregate(
             F.filter(F.col("_a"), lambda t: t["_b"] < s["_b"]),
             F.lit(0).cast(acc_t),
-            lambda acc, t: (acc + t["_n"].cast(term_t)).cast(acc_t),
-        ).alias(out_col),
+            lambda acc, t: (acc + t[f"_v{i}"].cast(term_t)).cast(acc_t),
+        )
+
+    entry = lambda s: F.struct(  # noqa: E731
+        s["_b"].alias(bucket_col),
+        *[_fold(s, i, c).alias(o) for i, (c, o) in enumerate(cols)],
     )
     return one.select(
         F.explode(F.transform(F.col("_a"), entry)).alias("_s")
-    ).select(f"_s.{bucket_col}", f"_s.{out_col}")
+    ).select(f"_s.{bucket_col}", *[f"_s.{o}" for _, o in cols])
 
 
 def _bucketed_by_order(
@@ -288,7 +308,14 @@ def _bucketed_by_order(
     exact for ANY cut choice, which is what lets an approximate
     percentile sketch steer an exact answer. Heavily repeated values
     share a bucket by necessity (ties must stay contiguous); that skew
-    is inherent to ordering, not to this plan."""
+    is inherent to ordering, not to this plan.
+
+    NULL order values sort first under Spark ASC and last under DESC,
+    so a NULL image is pinned to bucket 0 ascending and to the LAST
+    bucket descending (the strict-filter count would otherwise drop
+    NULLs into bucket 0 in both directions and misplace them for
+    descending orders); the within-bucket window's own NULL placement
+    then finishes the job."""
     img = F.col(order_col).cast("double") if image is None else image
     if descending:
         img = -img
@@ -296,12 +323,11 @@ def _bucketed_by_order(
     cuts = df.agg(
         F.percentile_approx(img, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
     )
-    return df.join(F.broadcast(cuts)).withColumn(
-        "_bkt",
-        F.coalesce(
-            F.size(F.filter(F.col("_cuts"), lambda c: c < img)), F.lit(0)
-        ),
-    ).drop("_cuts")
+    null_bkt = F.coalesce(F.size("_cuts"), F.lit(0)) if descending else F.lit(0)
+    bkt = F.when(img.isNull(), null_bkt).otherwise(
+        F.coalesce(F.size(F.filter(F.col("_cuts"), lambda c: c < img)), F.lit(0))
+    )
+    return df.join(F.broadcast(cuts)).withColumn("_bkt", bkt).drop("_cuts")
 
 
 def _order_spec(order_col: str, tiebreak_cols: list[str], descending: bool):
@@ -329,8 +355,8 @@ def distributed_order_rank(
     percentile buckets (_bucketed_by_order), within-bucket ranks from a
     distributed window (partitioned by bucket), bucket base offsets
     from an exclusive prefix sum over the ≤``n_buckets``-row size table
-    computed as a broadcast triangular self-join — no partitionless
-    window anywhere in the plan.
+    computed as one-row array arithmetic (_bucket_base_offsets) — no
+    partitionless window, no nested-loop join anywhere in the plan.
 
     ``image`` defaults to ``CAST(order_col AS DOUBLE)``; pass an
     explicit monotone expression for non-castable types (e.g.
@@ -399,9 +425,7 @@ def distributed_order_cumsum(
     sizes = b.groupBy("_bkt").agg(
         F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_vtot")
     )
-    n_off = _bucket_base_offsets(sizes, "_bkt", "_n")
-    v_off = _bucket_base_offsets(sizes, "_bkt", "_vtot", out_col="_voff")
-    offsets = n_off.join(v_off, "_bkt")
+    offsets = _bucket_base_offsets(sizes, "_bkt", "_n", more=[("_vtot", "_voff")])
     return (
         ranked.join(F.broadcast(offsets), "_bkt")
         .withColumn(rank_col, (F.col("_off") + F.col("_rnk")).cast("bigint"))

@@ -883,3 +883,31 @@ def test_rfm_distributed_ntile_matches_exact_ntile(spark):
             ).collect()
         }
         assert got == want, n
+
+
+def test_distributed_order_rank_null_values_both_directions(spark):
+    """NULL order values sort FIRST under Spark ASC and LAST under DESC;
+    the bucketing must pin a NULL image to the matching end bucket (the
+    strict cut-count would otherwise drop NULLs into bucket 0 for
+    descending orders too, misplacing them — r6 self-review)."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    rows = [(f"id{i:03d}", None if i % 9 == 0 else float(i % 11)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id string, v double")
+    for desc in (False, True):
+        got = {
+            r["id"]: r["_grank"]
+            for r in distributed_order_rank(
+                df, "v", ["id"], descending=desc, n_buckets=4
+            ).collect()
+        }
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(order, "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want, f"descending={desc}"
