@@ -64,27 +64,35 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # gone, interior \s+ runs collapse), so the length guard is exactly
     # equivalent to the filtered count and stays in whole-stage codegen
     # (ArrayFilter is a CodegenFallback node).
-    rt = F.regexp_replace(t, r"(^\s+)|(\s+$)", "")
-    n_words = F.when(F.length(rt) == 0, F.lit(0)).otherwise(
-        F.size(F.split(rt, r"\s+"))
-    )
     stop_hits = None
     for w in EN_STOPWORDS:
         cnt = substr_count(padded, f" {w} ")
         stop_hits = cnt if stop_hits is None else stop_hits + cnt
-    # Two-step projection, deliberately: n_words feeds five output
-    # positions, and expressions referenced from a `when` branch are
-    # excluded from codegen subexpression elimination (conditional
-    # evaluation), so a single Project re-runs the regex split at every
-    # reference — measured 0.82 s vs 0.29 s at sf0.1 for this query.
-    # The intermediate Project pins ONE evaluation; CollapseProject
-    # cannot merge it back because n_words is non-cheap and
-    # multi-referenced (r5 continuation perf finding, plan-gated).
-    staged = df.select(
+    # THREE-step projection, deliberately: expressions referenced from a
+    # `when` branch are excluded from codegen subexpression elimination
+    # (conditional evaluation), so any non-cheap expression multiply
+    # referenced through `when` re-runs per reference per row — measured
+    # 0.82 s vs 0.29 s at sf0.1 for this query (r5), and the r6 ADVICE
+    # regex-trim reintroduced the same class (the trimmed column feeds
+    # both the guard and the split: 2× regexp_replace per row, ~2× wall
+    # in-bench). Each stage pins ONE evaluation; CollapseProject cannot
+    # merge a stage back because its pinned column is non-cheap and
+    # multi-referenced (Spark 3.3+ rule).
+    pre = df.select(
         F.col(id_col),
         F.length(t).alias("n_chars_measured"),
-        n_words.alias("n_words"),
+        F.regexp_replace(t, r"(^\s+)|(\s+$)", "").alias("_rt"),
         stop_hits.alias("_stop_hits"),
+    )
+    rtc = F.col("_rt")
+    n_words = F.when(F.length(rtc) == 0, F.lit(0)).otherwise(
+        F.size(F.split(rtc, r"\s+"))
+    )
+    staged = pre.select(
+        F.col(id_col),
+        "n_chars_measured",
+        n_words.alias("n_words"),
+        "_stop_hits",
     )
     nw = F.col("n_words")
     return staged.select(

@@ -457,13 +457,16 @@ def test_text_quality_evaluates_tokenizer_once(spark):
     excluded from codegen subexpression elimination, so without the
     two-step projection in operators/textops.quality_score the regex
     split re-runs at every reference (measured 0.82 s vs 0.29 s at
-    sf0.1). The executed plan must carry exactly ONE split over the
-    regex-trimmed text (the guard+split base after the r5 ADVICE
-    whitespace-class fix)."""
+    sf0.1; the r6 regex-trim briefly reintroduced the class as 2×
+    regexp_replace per row). No Project line may evaluate the regex
+    trim or the split more than once — each is pinned in its own
+    projection stage, referenced downstream only as an attribute."""
     plan = _plan(spark, "text_quality_scores")
-    assert plan.count("split(regexp_replace(") == 1, plan.count(
-        "split(regexp_replace("
-    )
+    rr_counts = [ln.count("regexp_replace(") for ln in plan.splitlines()]
+    sp_counts = [ln.count("split(") for ln in plan.splitlines()]
+    assert max(rr_counts) == 1, max(rr_counts)
+    assert max(sp_counts) == 1, max(sp_counts)
+    assert sum(1 for c in rr_counts if c) >= 1 and sum(1 for c in sp_counts if c) >= 1
 
 
 def test_interpolate_single_window_exchange_no_join(spark):
