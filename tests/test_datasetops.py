@@ -911,3 +911,39 @@ def test_distributed_order_rank_null_values_both_directions(spark):
             ).collect()
         }
         assert got == want, f"descending={desc}"
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.sampled_from([2, 3, 7, 64]),
+    st.booleans(),
+)
+@settings(max_examples=6, deadline=None)
+def test_distributed_rank_property_vs_window(spark, vals, n_buckets, desc):
+    """Property: for ANY value multiset (heavy ties, NULLs), any bucket
+    count, and either direction, distributed_order_rank equals the
+    partitionless row_number window exactly."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    rows = [(f"id{i:03d}", None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id string, v double")
+    got = {
+        r["id"]: r["_grank"]
+        for r in distributed_order_rank(
+            df, "v", ["id"], descending=desc, n_buckets=n_buckets
+        ).collect()
+    }
+    order = F.col("v").desc() if desc else F.col("v").asc()
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(order, "id")).alias("rn")
+        ).collect()
+    }
+    assert got == want
