@@ -55,8 +55,14 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # Round-7 queue:
 #   1. The remaining 3 r1-only re-certs — full_outer_activity_
 #      reconciliation, events_hourly_gapfill, q21_sole_late_suppliers.
-#   2. Any queries converted from rows-only to oracle-backed during
-#      round 6 (see QUERIES.md for the rows-only set).
+#   2. dedup_simhash — converted rows-only → full md5-bit-arithmetic
+#      replay oracle in round 6 (after this window froze); its last
+#      driver row predates the oracle, so give it an oracle-graded
+#      slot. Also re-cert the four queries rewritten onto the
+#      distributed rank/cumsum helpers whose driver rows predate the
+#      rewrite (quality_quantile_normalize, rfm_segments,
+#      pareto_customer_revenue, rrf_hybrid_search — all strict-mirror
+#      green post-rewrite, AUDIT_r06).
 #   3. The ~12 queries that are rows-only by NATURE (xxhash sketches,
 #      PCA/FFT/DCT internals, zlib byte outputs, stateful streaming
 #      probes, BPE encode) — give them in-window rows-only driver rows
