@@ -233,6 +233,7 @@ def _bucket_base_offsets(
     n_col: str,
     out_col: str = "_off",
     more: list[tuple[str, str]] | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exclusive prefix sums over a dimension-sized bucket-size table
     WITHOUT a partitionless window and WITHOUT an inequality join (a
@@ -249,6 +250,11 @@ def _bucket_base_offsets(
     value total in distributed_order_cumsum) evaluate the sizes lineage
     once.
 
+    ``group_cols`` computes independent prefix sums per group (one
+    array-of-structs row PER GROUP via groupBy(...).collect_list —
+    |groups|×|buckets| total offset rows, still dimension-sized for the
+    bounded-cardinality groups this serves).
+
     Decimal detail: each fold accumulates in (30,s) with (37,s) term
     casts and a merge cast back — the kmeans_lloyd headroom discipline —
     because a (38,s)+(38,s) addition would clip the scale by a digit;
@@ -256,6 +262,7 @@ def _bucket_base_offsets(
     from pyspark.sql.types import DecimalType
 
     cols = [(n_col, out_col), *(more or [])]
+    groups = group_cols or []
 
     def _types(c: str) -> tuple[str, str]:
         t = sizes.schema[c].dataType
@@ -263,16 +270,15 @@ def _bucket_base_offsets(
             return f"decimal(30,{t.scale})", f"decimal(37,{t.scale})"
         return "bigint", "bigint"
 
-    one = sizes.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(bucket_col).alias("_b"),
-                    *[F.col(c).alias(f"_v{i}") for i, (c, _) in enumerate(cols)],
-                )
+    collected = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(bucket_col).alias("_b"),
+                *[F.col(c).alias(f"_v{i}") for i, (c, _) in enumerate(cols)],
             )
-        ).alias("_a")
-    )
+        )
+    ).alias("_a")
+    one = sizes.groupBy(*groups).agg(collected) if groups else sizes.agg(collected)
 
     def _fold(s, i: int, c: str):
         acc_t, term_t = _types(c)
@@ -287,8 +293,9 @@ def _bucket_base_offsets(
         *[_fold(s, i, c).alias(o) for i, (c, o) in enumerate(cols)],
     )
     return one.select(
-        F.explode(F.transform(F.col("_a"), entry)).alias("_s")
-    ).select(f"_s.{bucket_col}", *[f"_s.{o}" for _, o in cols])
+        *groups,
+        F.explode(F.transform(F.col("_a"), entry)).alias("_s"),
+    ).select(*groups, f"_s.{bucket_col}", *[f"_s.{o}" for _, o in cols])
 
 
 def _bucketed_by_order(
@@ -344,11 +351,14 @@ def distributed_order_rank(
     descending: bool = False,
     n_buckets: int = 64,
     out_col: str = "_grank",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``row_number() OVER (ORDER BY order_col [DESC], *tiebreak_cols)``
-    without funneling the table through one partition (the global-window
-    trap: unlike a global ORDER BY, which range-partitions, a
-    partitionless window moves EVERY row to a single task).
+    """``row_number() OVER ([PARTITION BY *partition_cols] ORDER BY
+    order_col [DESC], *tiebreak_cols)`` without funneling a partition
+    through one task (the global-window trap: unlike a global ORDER BY,
+    which range-partitions, a partitionless window moves EVERY row to a
+    single task — and a LOW-CARDINALITY partition key over fact rows is
+    the same problem per group).
 
     Mechanics (the bucketed rank + cumulative-offset pattern of
     global_sorted_rank, generalized to any ordering): order-aligned
@@ -358,24 +368,91 @@ def distributed_order_rank(
     computed as one-row array arithmetic (_bucket_base_offsets) — no
     partitionless window, no nested-loop join anywhere in the plan.
 
+    With ``partition_cols``, the window partitions on
+    (*partition_cols, bucket) and offsets are per-group (grouped
+    _bucket_base_offsets). Cuts stay GLOBAL — a bucket that is a
+    monotone function of ``order_col`` alone is order-aligned inside
+    every group, so per-group ranks are exact for any cut placement;
+    the trade is balance, not correctness (a group concentrated in one
+    global bucket still occupies one task — acceptable when groups
+    share a value distribution, the low-cardinality-key case this
+    serves).
+
+    Empty ``tiebreak_cols`` is allowed: ranks among equal
+    ``order_col`` values are then arbitrary (as with any
+    non-total-ordered row_number) but the VALUE at any given rank is
+    deterministic, because ties share a bucket by construction.
+
     ``image`` defaults to ``CAST(order_col AS DOUBLE)``; pass an
     explicit monotone expression for non-castable types (e.g.
     ``F.unix_date`` for dates). Monotone-non-strict is fine: image ties
     merge buckets, never reorder them.
     """
+    parts = partition_cols or []
     b = _bucketed_by_order(
         df, order_col, image=image, descending=descending, n_buckets=n_buckets
     )
     rn = F.row_number().over(
-        Window.partitionBy("_bkt").orderBy(*_order_spec(order_col, tiebreak_cols, descending))
+        Window.partitionBy(*parts, "_bkt").orderBy(
+            *_order_spec(order_col, tiebreak_cols, descending)
+        )
     )
     ranked = b.withColumn("_rnk", rn)
-    sizes = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
-    offsets = _bucket_base_offsets(sizes, "_bkt", "_n")
+    sizes = b.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = _bucket_base_offsets(sizes, "_bkt", "_n", group_cols=parts)
     return (
-        ranked.join(F.broadcast(offsets), "_bkt")
+        ranked.join(F.broadcast(offsets), [*parts, "_bkt"])
         .withColumn(out_col, (F.col("_off") + F.col("_rnk")).cast("bigint"))
         .drop("_bkt", "_rnk", "_off")
+    )
+
+
+def distributed_rank_select(
+    df: DataFrame,
+    order_col: str,
+    partition_cols: list[str],
+    targets: DataFrame,
+    target_col: str = "_target",
+    *,
+    image=None,
+    n_buckets: int = 64,
+    out_col: str = "_selected",
+) -> DataFrame:
+    """The VALUE at ascending rank ``target_col`` (1-based) of
+    ``order_col`` within each group — exact median/quantile selection —
+    WITHOUT sorting whole groups: order-aligned percentile buckets,
+    per-(group, bucket) counts, exclusive offsets (grouped one-row
+    arithmetic), then the one bucket per group that contains the target
+    rank is sorted — 1/n_buckets of the group instead of all of it,
+    which is what makes exact rank selection viable when the group key
+    has LOW cardinality (a per-group window would funnel each group
+    through one task; WindowGroupLimit cannot help a mid-rank
+    predicate). Ties share a bucket by construction, so the selected
+    value is deterministic with no tie-break column (tied ranks are
+    arbitrary; the value at any rank is not). ``targets`` holds one row
+    per group: (*partition_cols, target_col); groups whose target is
+    out of range select nothing.
+
+    Returns (*partition_cols, out_col)."""
+    parts = list(partition_cols)
+    b = _bucketed_by_order(df, order_col, image=image, n_buckets=n_buckets)
+    sizes = b.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = _bucket_base_offsets(sizes, "_bkt", "_n", group_cols=parts)
+    t = F.col(target_col)
+    sel = (
+        sizes.join(offsets, [*parts, "_bkt"])
+        .join(targets, parts)
+        .filter((F.col("_off") < t) & (t <= F.col("_off") + F.col("_n")))
+        .select(*parts, "_bkt", "_off", t.alias("_t"))
+    )
+    cand = b.join(F.broadcast(sel), [*parts, "_bkt"])
+    rn = F.row_number().over(
+        Window.partitionBy(*parts, "_bkt").orderBy(F.col(order_col).asc())
+    )
+    return (
+        cand.withColumn("_rn", rn)
+        .filter(F.col("_off") + F.col("_rn") == F.col("_t"))
+        .select(*parts, F.col(order_col).alias(out_col))
     )
 
 

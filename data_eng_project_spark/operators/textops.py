@@ -226,10 +226,17 @@ def kmv_distinct_ngrams(
     oracle. Exact distinct count and relative error ride along for
     honesty.
 
-    Scale: distinct (source, shingle) is one word-count-shaped shuffle;
-    the rank window sorts per source (spill-safe). At extreme per-source
-    cardinality, replace the window with a two-phase partial min-k
-    (per-partition top-k then merge) — same estimator, same output.
+    Scale: distinct (source, shingle) is one word-count-shaped shuffle.
+    The k-th-minimum extraction is written as ``rank ≤ k`` THEN pick
+    rank = k, not ``max(when(rank == k))`` over the full ranked stream:
+    the ≤-form compiles to partial + final WindowGroupLimitExec (each
+    input partition forwards only its own k smallest hashes per
+    source), so the per-source sort never sees more than k·partitions
+    rows — a rank-equality predicate alone defeats that rewrite and
+    funnels every source's full distinct-shingle set through one task
+    (r6 self-review; plan-gated). The exact distinct count moves to a
+    plain partial-aggregable groupBy joined back on the source
+    dimension.
     """
     from pyspark.sql import Window
 
@@ -244,16 +251,22 @@ def kmv_distinct_ngrams(
         )
         .distinct()
         .select("source", F.md5("shingle").alias("h"))
+        # Two consumers (exact count + k-th minimum) share the
+        # distinct's shuffle output via AQE ReusedExchange (verified in
+        # the executed plan) — the tokenize/distinct lineage runs once
+        # with no checkpoint materialization.
+    )
+    counts = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_distinct")
     )
     w = Window.partitionBy("source").orderBy("h")
-    per_source = (
+    kth = (
         sh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
         .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact_distinct"),
-            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_kth"),
-        )
+        .agg(F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_kth"))
     )
+    per_source = counts.join(kth, "source")
     # greatest(u, 1): a k-th hash whose first 8 hex digits are all zero
     # would make U_(k) = 0 and the estimate divide to NULL; clamping to
     # the smallest representable prefix caps the estimate at (k-1)·2^32

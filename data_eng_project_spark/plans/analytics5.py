@@ -842,30 +842,57 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank selections ((n+1) div 2, lower median) rather than float
     interpolation, so the chosen values are bit-identical across
     engines; the 3·1.4826·MAD fence then needs only deterministic
-    double arithmetic. Two rank windows per type (spill-safe sorts
-    partitioned on the group key), one conditional aggregate."""
+    double arithmetic.
+
+    Scale (r6 self-review — the low-cardinality-partition-key variant
+    of the partitionless-window trap): a per-event_type rank window
+    over RAW values funnels each type's full value set through one
+    task, and WindowGroupLimit cannot help a mid-rank (median)
+    predicate. The events value domain is 2-decimal and range-bounded,
+    so each exact median is selected from a VALUE HISTOGRAM: one
+    partial-aggregable (type, value)-count shuffle, then the rank walk
+    runs over histogram rows — bounded by the value DOMAIN, not the
+    corpus (the PSI-bucket pattern). |A−med| of a bounded 2-dp domain
+    is itself domain-bounded, so the MAD reuses the same selection.
+    Exact, same oracle, no whole-type sort anywhere. For unbounded
+    continuous domains the engine's general form is
+    operators/datasetops.distributed_rank_select (sort only the one
+    percentile bucket containing the target rank)."""
     prepare(spark)
     v = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
+        .localCheckpoint(eager=False)
     )
-    wr = Window.partitionBy("event_type").orderBy("value")
-    wn = Window.partitionBy("event_type")
-    ranked = v.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    targets = v.groupBy("event_type").agg(
+        F.expr("(count(1) + 1) div 2").alias("_target")
     )
-    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("value").alias("med")
-    )
-    dev = v.join(med, on="event_type").withColumn(
+
+    def _median_hist(df, col, out):
+        hist = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.withColumn("_cum", F.sum("_c").over(w))
+        return (
+            cum.join(F.broadcast(targets), "event_type")
+            .filter(
+                (F.col("_cum") - F.col("_c") < F.col("_target"))
+                & (F.col("_target") <= F.col("_cum"))
+            )
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _median_hist(v, "value", "med")
+    dev = v.join(F.broadcast(med), on="event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
     )
-    dranked = dev.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
-    ).withColumn("n", F.count(F.lit(1)).over(wn))
-    mad = dranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("med").alias("_med"), F.col("d").alias("mad")
+    mad = _median_hist(dev.select("event_type", "d"), "d", "mad").join(
+        F.broadcast(med.select("event_type", F.col("med").alias("_med"))),
+        "event_type",
     )
     return (
         dev.join(mad, on="event_type")

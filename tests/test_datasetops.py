@@ -947,3 +947,35 @@ def test_distributed_rank_property_vs_window(spark, vals, n_buckets, desc):
         ).collect()
     }
     assert got == want
+
+
+def test_distributed_rank_select_matches_window_selection(spark):
+    """The bucket-pruned rank selection (sort only the one bucket that
+    contains the target rank) must pick exactly the value row_number
+    selection picks, per group — including heavy ties and targets at
+    the group edges (rank 1 and rank n)."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_rank_select
+
+    rows = [(f"g{i % 3}", float((i * 17) % 13)) for i in range(250)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    sizes = df.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
+    for target_expr in ("(_n + 1) div 2", "1", "_n"):
+        targets = sizes.select(
+            "grp", F.expr(target_expr).cast("bigint").alias("_target")
+        )
+        got = {
+            r["grp"]: r["_selected"]
+            for r in distributed_rank_select(
+                df, "v", ["grp"], targets, n_buckets=4
+            ).collect()
+        }
+        ranked = df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("v"))
+        ).join(targets, "grp")
+        want = {
+            r["grp"]: r["v"]
+            for r in ranked.filter(F.col("rn") == F.col("_target")).collect()
+        }
+        assert got == want, target_expr

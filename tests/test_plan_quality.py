@@ -627,3 +627,41 @@ def test_registry_wide_plan_invariants(spark):
     assert not stale, f"stale allowlist entries: {stale}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
+
+
+def test_topk_windows_compile_to_group_limit(spark):
+    """Per-group top-k rank filters must trigger WindowGroupLimitExec
+    (partial+final), so each input partition forwards only its own k
+    rows per group and a low-cardinality group key never funnels the
+    full group through one task. A rank-EQUALITY predicate alone
+    defeats the rewrite (the r6 kmv_distinct_ngrams finding — filter
+    rank <= k first, then pick rank == k)."""
+    for q in ("window_rank_events", "kmv_distinct_ngrams", "kmv_source_similarity"):
+        plan = _plan(spark, q)
+        assert plan.count("WindowGroupLimit") >= 2, q
+
+
+def _windows_over_unaggregated(df):
+    """Window nodes in the optimized plan whose input subtree contains
+    NO Aggregate — i.e. windows running over raw (fact-sized) rows."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = 0
+    for n in _walk_logical(plan):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        has_agg = any(
+            c.getClass().getSimpleName() == "Aggregate"
+            for c in _walk_logical(n)
+        )
+        if not has_agg:
+            bad += 1
+    return bad
+
+
+def test_mad_medians_select_from_value_histograms(spark):
+    """mad_outlier_summary's exact medians must come from domain-bounded
+    value histograms: every Window in its plan runs over an AGGREGATED
+    (histogram) frame, never the raw per-type value stream (the
+    low-cardinality-partition-key variant of the global-window trap)."""
+    df = REGISTRY["mad_outlier_summary"].fn(spark, SF)
+    assert _windows_over_unaggregated(df) == 0
