@@ -37,10 +37,12 @@ def pps_systematic_sample(
     probability is proportional to weight, the classic PPS systematic
     design (Madow 1949).
 
-    Scale: one partitioned cumulative-sum window per stratum plus a
-    broadcastable per-stratum total — no global sort, no RNG state.
-    A stratum's rows shuffle once on the stratum key; skewed strata are
-    AQE's problem, not a correctness issue.
+    Scale: the per-stratum cumulative sum goes through
+    distributed_order_cumsum (grouped-bucketed — a stratum is a SOURCE,
+    a handful of values over the whole corpus, so a plain per-stratum
+    window would funnel each source through one task; r6 sweep) plus a
+    broadcastable per-stratum total — no global sort, no RNG state, no
+    one-task groups.
 
     Certainty units: a row whose weight exceeds total/k crosses more
     than one pick boundary but is emitted ONCE (a document cannot be
@@ -57,12 +59,10 @@ def pps_systematic_sample(
     base = df.select(
         F.col(strata_col).alias("stratum"), F.col(id_col).alias("id"), w.alias("wt")
     )
-    win = (
-        Window.partitionBy("stratum")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = base.withColumn("cum", F.sum("wt").over(win))
+    cum = distributed_order_cumsum(
+        base, "id", [], "wt", partition_cols=["stratum"],
+        rank_col="_pps_rn", cum_col="cum",
+    ).drop("_pps_rn")
     totals = base.groupBy("stratum").agg(F.sum("wt").alias("total"))
     j = cum.join(F.broadcast(totals), "stratum")
     picked = j.filter(
@@ -322,8 +322,37 @@ def _bucketed_by_order(
     bucket descending (the strict-filter count would otherwise drop
     NULLs into bucket 0 in both directions and misplace them for
     descending orders); the within-bucket window's own NULL placement
-    then finishes the job."""
-    img = F.col(order_col).cast("double") if image is None else image
+    then finishes the job.
+
+    Default images by type: numerics cast to double; strings use the
+    numeric value of their 4-byte UTF-8 prefix (Spark compares strings
+    by UTF-8 bytes, so the prefix is order-aligned — non-strict, which
+    is all bucketing needs); dates/timestamps go through day numbers
+    (day truncation of a timestamp is monotone). Pass ``image`` to
+    override."""
+    if image is None:
+        from pyspark.sql import types as T
+
+        dt = df.schema[order_col].dataType
+        col = F.col(order_col)
+        if isinstance(dt, T.StringType):
+            # Left-justified 4-byte prefix value: rpad the hex to 8
+            # digits so 'b' (0x62000000) stays above 'aa' (0x61610000)
+            # — raw variable-length ints would invert short-vs-long
+            # prefixes. Order-aligned because Spark compares strings
+            # by their UTF-8 bytes.
+            image = F.conv(
+                F.rpad(F.hex(F.substring(col.cast("binary"), 1, 4)), 8, "0"),
+                16,
+                10,
+            ).cast("double")
+        elif isinstance(dt, T.DateType):
+            image = F.unix_date(col).cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            image = F.unix_date(col.cast("date")).cast("double")
+        else:
+            image = col.cast("double")
+    img = image
     if descending:
         img = -img
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -467,26 +496,31 @@ def distributed_order_cumsum(
     n_buckets: int = 64,
     rank_col: str = "_grank",
     cum_col: str = "_gcum",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Global rank AND running sum of ``value_col`` over
-    ``ORDER BY order_col [DESC], *tiebreak_cols`` — the distributed twin
-    of ``row_number() OVER w`` + ``sum(v) OVER (w ROWS UNBOUNDED
-    PRECEDING)`` with no partitionless window: within-bucket rank and
-    running sum from a bucket-partitioned window, plus per-bucket base
-    offsets (row count and value total) from the broadcast triangular
-    prefix sum. Exactness requires an order-insensitive sum type —
-    decimal or integer ``value_col``, not double. For a decimal value
-    the two addends (bucket base + within-bucket running sum, both
-    SUM-typed at (38,s)) are first cast to (37,s): Spark's decimal
-    addition promotes max(p1-s1,p2-s2)+s+1, so (38,s)+(38,s) would hit
-    39 and silently clip the scale by one digit — (37,s)+(37,s) lands
-    exactly on (38,s), lossless while totals < 1e(37-s)."""
+    """Rank AND running sum of ``value_col`` over ``[PARTITION BY
+    *partition_cols] ORDER BY order_col [DESC], *tiebreak_cols`` — the
+    distributed twin of ``row_number() OVER w`` + ``sum(v) OVER (w ROWS
+    UNBOUNDED PRECEDING)`` with no partitionless (or one-task-per-group)
+    window: within-bucket rank and running sum from a bucket-partitioned
+    window, plus per-bucket base offsets (row count and value total)
+    from the one-row-array prefix sum (grouped when ``partition_cols``
+    is given — global cuts stay order-aligned inside every group, see
+    distributed_order_rank). Exactness requires an order-insensitive
+    sum type — decimal or integer ``value_col``, not double. For a
+    decimal value the two addends (bucket base + within-bucket running
+    sum, both SUM-typed at (38,s)) are first cast to (37,s): Spark's
+    decimal addition promotes max(p1-s1,p2-s2)+s+1, so (38,s)+(38,s)
+    would hit 39 and silently clip the scale by one digit —
+    (37,s)+(37,s) lands exactly on (38,s), lossless while totals
+    < 1e(37-s)."""
     from pyspark.sql.types import DecimalType
 
+    parts = partition_cols or []
     b = _bucketed_by_order(
         df, order_col, image=image, descending=descending, n_buckets=n_buckets
     )
-    w = Window.partitionBy("_bkt").orderBy(
+    w = Window.partitionBy(*parts, "_bkt").orderBy(
         *_order_spec(order_col, tiebreak_cols, descending)
     )
     vtype = b.schema[value_col].dataType
@@ -499,12 +533,14 @@ def distributed_order_cumsum(
         "_csum",
         _t(F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))),
     )
-    sizes = b.groupBy("_bkt").agg(
+    sizes = b.groupBy(*parts, "_bkt").agg(
         F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_vtot")
     )
-    offsets = _bucket_base_offsets(sizes, "_bkt", "_n", more=[("_vtot", "_voff")])
+    offsets = _bucket_base_offsets(
+        sizes, "_bkt", "_n", more=[("_vtot", "_voff")], group_cols=parts
+    )
     return (
-        ranked.join(F.broadcast(offsets), "_bkt")
+        ranked.join(F.broadcast(offsets), [*parts, "_bkt"])
         .withColumn(rank_col, (F.col("_off") + F.col("_rnk")).cast("bigint"))
         .withColumn(
             cum_col,
@@ -532,9 +568,12 @@ def quantile_normalize(
     no floating-point percent_rank anywhere, so the oracle matches
     exactly. A single-row stratum maps to the global median.
 
-    Scale: the per-stratum rank window has bounded partitions; the
-    global curve ranks via distributed_order_rank (bucketed rank +
-    cumulative offsets — no partitionless window anywhere, r5 VERDICT),
+    Scale: BOTH ranks go through distributed_order_rank (bucketed rank
+    + cumulative offsets): the global curve has no partitionless window
+    (r5 VERDICT), and the per-stratum rank is grouped-bucketed — a
+    stratum is a SOURCE, a handful of values over the whole corpus, so
+    a plain per-stratum window would funnel each source through one
+    task (r6 sweep of low-cardinality partition keys). The lookup is
     then an equi-join on the integer target rank. The curve could
     additionally be down-sampled to fixed quantile knots at 100 TB
     (same join shape, 1000 knots instead of N rows).
@@ -544,8 +583,9 @@ def quantile_normalize(
         F.col(strata_col).alias("stratum"),
         F.col(score_col).cast("bigint").alias("score"),
     )
-    stratum_w = Window.partitionBy("stratum").orderBy("score", "id")
-    ranked = s.withColumn("src_rank", F.row_number().over(stratum_w))
+    ranked = distributed_order_rank(
+        s, "score", ["id"], partition_cols=["stratum"], out_col="src_rank"
+    )
     n_per = s.groupBy("stratum").agg(F.count("*").alias("n_s"))
     # Total N as a 1-row aggregate broadcast into the plan — no eager
     # driver-side count(), the whole query stays one lazy DAG.
