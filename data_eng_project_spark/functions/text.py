@@ -61,7 +61,17 @@ def padded_for_counting(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text → array<string>."""
+    """Whitespace tokenization of trimmed text → array<string>.
+
+    Cross-engine caveat (documented corpus assumption): Java's ``\\s``
+    is ``[ \\t\\n\\x0B\\f\\r]`` while DuckDB's RE2 ``\\s`` excludes
+    vertical tab ``\\x0B``, so a document containing a vertical tab
+    would tokenize differently in the DuckDB oracle twins. The test
+    corpora contain no ``\\x0B`` (asserted in
+    tests/test_oracle_parity.py), and any real corpus fed to the
+    oracle-compared paths must be normalized first (or this split and
+    every oracle changed to the explicit class ``[ \\t\\n\\f\\r]+`` in
+    lockstep)."""
     return F.split(F.trim(_c(col)), r"\s+")
 
 

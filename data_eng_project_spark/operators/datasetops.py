@@ -268,6 +268,17 @@ def _bucket_base_offsets(
         t = sizes.schema[c].dataType
         if isinstance(t, DecimalType):
             return f"decimal(30,{t.scale})", f"decimal(37,{t.scale})"
+        from pyspark.sql.types import DoubleType, FloatType
+
+        if isinstance(t, (DoubleType, FloatType)):
+            # The documented contract is order-insensitive (decimal or
+            # integer) prefix sums; a silent bigint cast would truncate
+            # fractional values instead of enforcing it.
+            raise TypeError(
+                f"_bucket_base_offsets: column {c!r} is {t.simpleString()}; "
+                "cast to DECIMAL first — float prefix sums are "
+                "order-sensitive and the bigint fold would truncate"
+            )
         return "bigint", "bigint"
 
     collected = F.array_sort(
@@ -360,7 +371,19 @@ def _bucketed_by_order(
         F.percentile_approx(img, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
     )
     null_bkt = F.coalesce(F.size("_cuts"), F.lit(0)) if descending else F.lit(0)
-    bkt = F.when(img.isNull(), null_bkt).otherwise(
+    bkt = F.when(img.isNull(), null_bkt)
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(df.select(img.alias("_i")).schema[0].dataType, (DoubleType, FloatType)):
+        # NaN sorts LAST under Spark ASC (above every double) and FIRST
+        # under DESC, but the strict-filter count would drop it into
+        # bucket 0 either way — correct for descending (img is already
+        # negated, -NaN is NaN, and DESC puts NaN first), wrong for
+        # ascending. Pin it to the end bucket explicitly, mirroring the
+        # NULL pin above.
+        nan_bkt = F.lit(0) if descending else F.coalesce(F.size("_cuts"), F.lit(0))
+        bkt = bkt.when(F.isnan(img), nan_bkt)
+    bkt = bkt.otherwise(
         F.coalesce(F.size(F.filter(F.col("_cuts"), lambda c: c < img)), F.lit(0))
     )
     return df.join(F.broadcast(cuts)).withColumn("_bkt", bkt).drop("_cuts")
@@ -959,8 +982,9 @@ def shuffle_order(
     one of ``n_buckets`` buckets, rows are ranked *within* their bucket
     (distributed window, one shuffle on the bucket key), and bucket
     base offsets come from an exclusive prefix sum over the
-    n_buckets-row size table (a broadcast triangular self-join — no
-    partitionless window anywhere in the plan). The
+    n_buckets-row size table (one-row array prefix sum,
+    _bucket_base_offsets — no partitionless window anywhere in the
+    plan). The
     within-bucket sort key is md5(id), so the full ordering is a fixed
     pseudo-random permutation reproducible on any engine, any cluster
     size, any input partitioning.
@@ -998,8 +1022,8 @@ def global_sorted_rank(
     consistent with full lexicographic order, so bucket blocks are
     contiguous rank ranges — rank within each bucket via a distributed
     window, then add bucket base offsets from an exclusive prefix sum
-    over the dimension-sized bucket table (a broadcast triangular
-    self-join, so no partitionless window appears in the plan; same
+    over the dimension-sized bucket table (one-row array prefix sum,
+    _bucket_base_offsets, so no partitionless window appears in the plan; same
     hierarchy as shuffle_order's md5 buckets, but ORDER-ALIGNED).
     Returns (col, rnk)."""
     vals = df.select(F.col(col).alias("name")).distinct()

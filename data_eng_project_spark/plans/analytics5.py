@@ -543,8 +543,8 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r5 VERDICT fix, same argument as rfm_segments): the customer
     rollup is not a bound, so the rank + running sum come from
     operators/datasetops.distributed_order_cumsum (order-aligned
-    percentile buckets, bucket-partitioned window, broadcast triangular
-    base offsets — no partitionless window; decimal offsets keep the
+    percentile buckets, bucket-partitioned window, one-row
+    array-prefix-sum base offsets (_bucket_base_offsets) — no partitionless window; decimal offsets keep the
     running sum bit-identical to the oracle's global window), and the
     grand total is a broadcast one-row aggregate instead of an
     unbounded window."""

@@ -1238,7 +1238,8 @@ def kmv_source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_pq",
-    oracle=None,  # The per-subspace codebooks are sampled pyspark.ml fit is deliberate: the codebook fit
+    oracle=None,  # The per-subspace codebooks come from a sampled
+    # pyspark.ml fit, deliberately: the codebook fit
     # only needs the coarse density shape, so fitting on a seeded
     # sample (and assigning the full corpus in one narrow map) is the
     # right 100 TB design — replacing it with a full-corpus unrolled
@@ -1304,7 +1305,8 @@ def composed_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivfpq",
-    oracle=None,  # Coarse quantizer + codebooks: the sampled pyspark.ml fit is deliberate: the quantizer
+    oracle=None,  # The coarse quantizer and codebooks come from a sampled
+    # pyspark.ml fit, deliberately: the quantizer
     # only needs the coarse density shape, so fitting on a seeded
     # sample (and assigning the full corpus in one narrow map) is the
     # right 100 TB design — replacing it with a full-corpus unrolled

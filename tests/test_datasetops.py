@@ -979,3 +979,123 @@ def test_distributed_rank_select_matches_window_selection(spark):
             for r in ranked.filter(F.col("rn") == F.col("_target")).collect()
         }
         assert got == want, target_expr
+
+
+def test_distributed_order_rank_nan_values_both_directions(spark):
+    """NaN sorts LAST under Spark ASC (above every double) and FIRST
+    under DESC; the bucketing must pin a NaN image to the matching end
+    bucket — the strict cut-count alone would drop NaN into bucket 0
+    in both directions, which is wrong ascending (ADVICE r6)."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    rows = [
+        (f"id{i:03d}", float("nan") if i % 7 == 0 else float(i % 11))
+        for i in range(140)
+    ] + [("idnull", None)]
+    df = spark.createDataFrame(rows, "id string, v double")
+    for desc in (False, True):
+        got = {
+            r["id"]: r["_grank"]
+            for r in distributed_order_rank(
+                df, "v", ["id"], descending=desc, n_buckets=4
+            ).collect()
+        }
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(order, "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want, f"descending={desc}"
+
+
+def test_cumsum_rejects_float_value_col(spark):
+    """distributed_order_cumsum documents a decimal-or-integer value
+    contract (float sums are order-sensitive); a double value column
+    must raise instead of silently truncating its offsets to bigint."""
+    from data_eng_project_spark.operators.datasetops import distributed_order_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("b", 2, 1.5)], "id string, k long, v double"
+    )
+    with pytest.raises(TypeError, match="DECIMAL"):
+        distributed_order_cumsum(df, "k", ["id"], "v").collect()
+
+
+def test_distributed_order_rank_string_order_default_image(spark):
+    """The default STRING image (numeric value of the rpad-hex 4-byte
+    UTF-8 prefix) must keep ranks identical to the plain window for
+    adversarial prefixes: short-vs-long ('b' vs 'aa'), shared 4-byte
+    prefixes differing past the prefix, empty strings, and multibyte
+    UTF-8 (2-, 3- and 4-byte code points) that splits mid-code-point
+    at byte 4 — Spark compares strings by UTF-8 bytes, so the prefix
+    image must stay order-aligned through all of them."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    vals = [
+        "", "a", "aa", "aaa", "aaaa", "aaaab", "aaaac", "b", "ba",
+        "zzzz0", "zzzz1", "é", "éa", "日本語テキスト", "日本語", "🚀x", "🚀",
+        "ééé", "Z", "0", "~~~~~", None,
+    ] * 3
+    rows = [(f"id{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id string, s string").repartition(5)
+    for desc in (False, True):
+        got = {
+            r["id"]: r["_grank"]
+            for r in distributed_order_rank(
+                df, "s", ["id"], descending=desc, n_buckets=7
+            ).collect()
+        }
+        order = F.col("s").desc() if desc else F.col("s").asc()
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(order, "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want, f"descending={desc}"
+
+
+def test_distributed_order_rank_date_and_timestamp_default_images(spark):
+    """Date and timestamp orderings use the unix_date day-number image
+    (day truncation of a timestamp is monotone): ranks must equal the
+    plain window including NULLs, both directions, and timestamps that
+    differ only within a day (same image bucket, window-ordered)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_rank
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (
+            f"id{i:03d}",
+            None if i % 13 == 0 else (base + dt.timedelta(hours=i * 7)).date(),
+            None if i % 11 == 0 else base + dt.timedelta(minutes=i * 97),
+        )
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "id string, d date, ts timestamp")
+    for col in ("d", "ts"):
+        for desc in (False, True):
+            got = {
+                r["id"]: r["_grank"]
+                for r in distributed_order_rank(
+                    df, col, ["id"], descending=desc, n_buckets=6
+                ).collect()
+            }
+            order = F.col(col).desc() if desc else F.col(col).asc()
+            want = {
+                r["id"]: r["rn"]
+                for r in df.select(
+                    "id",
+                    F.row_number().over(Window.orderBy(order, "id")).alias("rn"),
+                ).collect()
+            }
+            assert got == want, f"col={col} descending={desc}"

@@ -21,6 +21,18 @@ def test_oracle_parity(spark, sf_dir, name):
     compare(df, sf_dir, spec.oracle)
 
 
+def test_corpus_has_no_vertical_tab(spark, sf_dir):
+    """Documented corpus assumption behind every \\s-tokenized oracle
+    twin (functions/text.tokens): Java's \\s includes vertical tab
+    \\x0B, DuckDB's RE2 \\s does not, so a document containing one
+    would tokenize differently on the two engines. Pin the assumption
+    to the data the oracles actually run on."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.filter(F.col("text").contains("\x0b")).count() == 0
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
