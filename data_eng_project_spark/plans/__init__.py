@@ -42,96 +42,128 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-6 rotation (VERDICT r5 task 1 — close the certification
-# ledger): the 26 never-graded oracle-backed queries left after the r5
-# window (late r5 additions: multimodal/ANN/zorder conversions, ER
-# family, BFS hops, Holt, k-means, retraction rollup, …) plus 24 of
-# the 27 re-certs whose only driver row is round 1 (TPC-H tranche and
-# window/scalar suites). A green CORRECTNESS_r06 on this window makes
-# cumulative driver-certified coverage 245/245 oracle-backed queries —
-# zero evidence debt. Earlier rounds' queries stay covered every
-# session by tests/test_oracle_parity.py + tools/driver_audit.py.
-#
-# Round-7 queue:
-#   1. The remaining 3 r1-only re-certs — full_outer_activity_
-#      reconciliation, events_hourly_gapfill, q21_sole_late_suppliers.
-#   2. dedup_simhash — converted rows-only → full md5-bit-arithmetic
-#      replay oracle in round 6 (after this window froze); its last
-#      driver row predates the oracle, so give it an oracle-graded
-#      slot. Also re-cert the four queries rewritten onto the
-#      distributed rank/cumsum helpers whose driver rows predate the
-#      rewrite (quality_quantile_normalize, rfm_segments,
-#      pareto_customer_revenue, rrf_hybrid_search — all strict-mirror
-#      green post-rewrite, AUDIT_r06).
-#   3. The ~12 queries that are rows-only by NATURE (xxhash sketches,
-#      PCA/FFT/DCT internals, zlib byte outputs, stateful streaming
-#      probes, BPE encode) — give them in-window rows-only driver rows
-#      (spark_rows recorded, err:no_oracle expected and documented)
-#      last, since each burns an oracle slot.
+# Round-7 rotation (VERDICT r6 task 3 — close the certification
+# ledger completely). CORRECTNESS_r06 graded its full 50-slot window
+# green, bringing cumulative driver-certified coverage to 233/245.
+# This window covers everything left:
+#   1. dedup_simhash — the one oracle-backed query with no oracle-
+#      graded driver row (its md5-bit-arithmetic oracle landed after
+#      the r6 window froze).
+#   2. The 3 queries whose only driver row is round 1
+#      (full_outer_activity_reconciliation, events_hourly_gapfill,
+#      q21_sole_late_suppliers).
+#   3. Re-certs of every query rewritten after AUDIT_r06 was recorded
+#      or touched by this round's _bucketed_by_order changes (NaN end-
+#      bucket pin, float value-col rejection): the r6 rewrite set
+#      (pps_sample_by_source, quality_quantile_normalize,
+#      kmv_distinct_ngrams, mad_outlier_summary, rfm_segments,
+#      pareto_customer_revenue, rrf_hybrid_search, text_quality_scores)
+#      plus every other distributed-rank/cumsum consumer
+#      (corpus_shuffle_order, er_entity_groups, split_exact_quota,
+#      priority_sample_by_source).
+#   4. The 11 queries that are rows-only BY NATURE (xxhash sketches,
+#      PCA internals, zlib byte outputs, stateful streaming probes,
+#      BPE encode — each documented at its registry entry and in
+#      QUERIES.md): deliberate in-window slots so the driver records
+#      their rows-only evidence (spark_rows + err:no_oracle is the
+#      strongest row the driver can write for them).
+#   5. 23 of the 35 re-certs whose latest driver row is round 2
+#      (registry order; the remaining 12 rotate in round 8).
+# Earlier rounds' queries stay covered every session by
+# tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
+# (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # --- Round-6 rotation (VERDICT r5 task 1 — close the ledger). ---
-    # The 26 never-graded oracle-backed queries outside the r5 window:
-    "join_fanout_hotspots",
-    "interpolate_user_values",
-    "collocation_lift_scores",
-    "vocab_growth_curve",
-    "similarity_ann_lsh",
-    "multimodal_audio_spectrum",
-    "minhash_band_planning",
-    "label_centroid_similarity",
-    "dup_graph_bfs_hops",
-    "er_sorted_neighborhood",
-    "dup_graph_common_neighbors",
+    # 1. First oracle-graded slot for the r6-converted simhash oracle:
+    "dedup_simhash",
+    # 2. The last 3 r1-only re-certs:
+    "full_outer_activity_reconciliation",
+    "events_hourly_gapfill",
+    "q21_sole_late_suppliers",
+    # 3. Post-AUDIT_r06 rewrites + bucketed-rank/cumsum consumers:
+    "pps_sample_by_source",
+    "quality_quantile_normalize",
+    "kmv_distinct_ngrams",
+    "mad_outlier_summary",
+    "rfm_segments",
+    "pareto_customer_revenue",
+    "rrf_hybrid_search",
+    "text_quality_scores",
+    "corpus_shuffle_order",
     "er_entity_groups",
-    "priority_sample_by_source",
     "split_exact_quota",
-    "session_path_trigrams",
-    "table_checksum_buckets",
-    "multimodal_resize_raw",
-    "multimodal_phash_dups",
-    "streaming_heavy_hitters",
-    "video_scene_cuts",
-    "zorder_layout_stats",
-    "zorder_pruning_ratio",
-    "kmeans_embedding_clusters",
-    "holt_linear_event_trend",
-    "xcorr_event_types",
-    "rollup_retraction_merge",
-    # 24 of the 27 re-certs whose only driver row is round 1:
-    "window_rank_events",
-    "moving_avg_user_value",
-    "set_ops_intersect",
-    "set_ops_except",
-    "distinct_aggregates",
-    "scalar_kitchen_sink",
-    "array_functions",
-    "cube_order_summary",
-    "semi_join_exists",
-    "scalar_subquery_above_avg",
-    "null_handling_scalars",
-    "percentile_price_quartiles",
-    "pivot_status_by_priority",
-    "unpivot_status_counts",
-    "q4_priority_order_counts",
-    "q12_shipmode_severity",
-    "q14_promo_revenue_pct",
-    "nation_market_share",
-    "q2_max_order_per_customer",
-    "top_supplier_per_nation",
-    "q13_order_count_distribution",
-    "q16_parts_never_ordered",
-    "q17_small_quantity_revenue",
-    "q20_top_part_family_suppliers",
+    "priority_sample_by_source",
+    # 4. The 11 rows-only-by-nature queries (deliberate rows-only
+    #    driver evidence; see _ROWS_ONLY_SLOTS below):
+    "dedup_minhash_lsh",
+    "similarity_ann_ivf",
+    "semdedup_embeddings",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "compression_quality_signal",
+    "streaming_dedup_index_probe",
+    "audio_fingerprint_match",
+    "embedding_pca_scree",
+    "embedding_pca_project",
+    "bpe_encode_corpus_stats",
+    # 5. Oldest (round-2) driver rows, refreshed in registry order:
+    "q1_pricing_summary",
+    "q5_region_supplier_revenue",
+    "events_hourly_rollup",
+    "decontaminate_ngram_overlap",
+    "embedding_quantize_int8",
+    "streaming_sessionize",
+    "length_trim_percentile",
+    "pii_detect_redact",
+    "lang_id_heuristic",
+    "token_counts",
+    "doc_fingerprints",
+    "winnowing_fingerprints",
+    "embedding_dup_pairs",
+    "tfidf_top_terms",
+    "crossmodal_dup_consensus",
+    "bm25_search",
+    "label_centroids",
+    "hybrid_search",
+    "streaming_interval_join",
+    "streaming_dedup_events",
+    "customer_nation_region",
+    "orders_not_in_ledger",
+    "upsert_new_rows",
 ]
+
+# Queries allowed inside the graded window WITHOUT an oracle. Every
+# name here must be rows-only by nature with the rationale documented
+# at its @register site; anything else without an oracle is a rotation
+# mistake and _reorder_registry still raises for it.
+_ROWS_ONLY_SLOTS = {
+    "dedup_minhash_lsh",
+    "similarity_ann_ivf",
+    "semdedup_embeddings",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "compression_quality_signal",
+    "streaming_dedup_index_probe",
+    "audio_fingerprint_match",
+    "embedding_pca_scree",
+    "embedding_pca_project",
+    "bpe_encode_corpus_stats",
+}
 
 
 def _reorder_registry() -> None:
     missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"graded-window queries missing from REGISTRY: {missing}")
-    no_oracle = [n for n in _GRADED_WINDOW if REGISTRY[n].oracle is None]
+    no_oracle = [
+        n
+        for n in _GRADED_WINDOW
+        if REGISTRY[n].oracle is None and n not in _ROWS_ONLY_SLOTS
+    ]
     if no_oracle:
         raise RuntimeError(f"rows-only queries inside the graded window: {no_oracle}")
+    stale = [n for n in _ROWS_ONLY_SLOTS if REGISTRY[n].oracle is not None]
+    if stale:
+        raise RuntimeError(f"_ROWS_ONLY_SLOTS entries that now HAVE oracles: {stale}")
     ordered = {n: REGISTRY[n] for n in _GRADED_WINDOW}
     for n, spec in REGISTRY.items():
         if n not in ordered:
