@@ -92,25 +92,35 @@ def pack_sequences(
     split into fixed-size chunks; each document is labeled with its token
     offset and the chunk range it lands in.
 
-    The per-shard running offset is a single window cumulative sum over
-    the per-doc token counts — tiny state, one shuffle on the shard key.
-    Sharding is what makes this scale: the cumsum window is partitioned
-    by ``shard_col`` (at 100 TB: one window per shard/file-group, all
-    independent), never a global ordering over the corpus.
+    The per-shard running offset is an exact cumulative sum of the
+    per-doc token counts. Shards default to SOURCES — a handful of
+    values over the whole corpus — so a plain per-shard window would
+    funnel each source through one task; the cumsum instead goes
+    through distributed_order_cumsum with partition_cols=[shard]
+    (order-aligned id buckets, per-(shard, bucket) window, grouped
+    one-row prefix-sum offsets — integer-exact, so offsets are
+    bit-identical to the plain window form).
     """
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    from data_eng_project_spark.operators.datasetops import distributed_order_cumsum
+
     # Empty-token filter matters for LAYOUT: split('') yields [''], so an
     # empty/whitespace-only document would otherwise occupy one phantom
     # token slot and shift every later document's offset in the shard.
     n_tok = F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
-    with_counts = docs.select(
-        F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    with_counts = distributed_order_cumsum(
+        docs.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col),
+            n_tok.cast("bigint").alias("n_tokens"),
+        ),
+        id_col,
+        [],
+        "n_tokens",
+        partition_cols=["shard"],
+        cum_col="_cum",
+    ).drop("_grank")
+    # Inclusive running sum minus the row's own count = exclusive start.
+    start = F.col("_cum") - F.col("n_tokens")
     # Last occupied token slot: greatest(n−1, 0) keeps a ZERO-token doc's
     # end_chunk equal to its start_chunk (and spans_boundary false) —
     # the raw n−1 gave it end_chunk < start_chunk and a phantom
@@ -336,21 +346,43 @@ def length_trim_by_group(
     kept set is bit-identical across engines — no floating percentile
     interpolation anywhere.
 
-    One rank window per group; groups are independent, so the shuffle is
-    a single hash partition on `group_col` (at skew, the rank of a long
-    group is the bottleneck — acceptable for ~10s of languages; salt to
-    sub-groups if a single language dominates the corpus).
+    Scale: groups are LANGUAGES — a handful of values over the whole
+    corpus — so a per-group rank window over raw documents would funnel
+    each language through one task. rank() assigns every row of a tied
+    length value the same rank (1 + count of strictly smaller values),
+    so the whole computation lives on the per-(group, length) VALUE
+    HISTOGRAM instead: one corpus-scale aggregate, then windows over
+    the histogram frame only — |groups| × |distinct lengths| rows,
+    domain-bounded (the mad_outlier_summary pattern). Every row of a
+    value group shares one rank, so value groups are kept or dropped
+    whole and the kept stats are exact histogram arithmetic.
     """
-    w = Window.partitionBy(group_col).orderBy(F.col(length_col).asc())
-    ranked = docs.select(
-        group_col, F.col(length_col), F.rank().over(w).alias("rk")
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
-    pr100 = (F.col("rk") - 1) * 100
+    v = F.col(length_col)
+    hist = docs.groupBy(group_col, length_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    # Both windows run over the aggregated histogram frame (bounded),
+    # never raw documents.
+    c_lt = F.coalesce(
+        F.sum("_cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy(v.asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    n = F.sum("_cnt").over(Window.partitionBy(group_col))
+    ranked = hist.select(
+        group_col, length_col, "_cnt", c_lt.alias("_clt"), n.alias("n")
+    )
+    # rank() of every row with this value is _clt + 1, so the per-row
+    # percent-rank test (rank-1)*100 vs pct*(n-1) is one test per value.
+    pr100 = F.col("_clt") * 100
     kept = ranked.filter(
         (pr100 >= lo_pct * (F.col("n") - 1)) & (pr100 <= hi_pct * (F.col("n") - 1))
     )
     return kept.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("_cnt").cast("bigint").alias("n_kept"),
         F.max("n").alias("n_total"),
         F.min(length_col).alias("min_kept"),
         F.max(length_col).alias("max_kept"),

@@ -1241,9 +1241,13 @@ def exact_quota_split(
     10% of every source goes to eval", the rank is what enforces it.
 
     Pure integer arithmetic (rank·1000 ≤ n·quota) — no float boundary,
-    identical on any engine. Scale: one per-stratum window (shuffle on
-    the stratum key) + a dimension-sized count broadcast; nothing
-    global, nothing single-partition.
+    identical on any engine. Scale: strata are SOURCES — a handful of
+    values over the whole corpus — so a plain per-stratum window would
+    funnel each source through one task; the rank instead goes through
+    distributed_order_rank with partition_cols=[stratum] (order-aligned
+    md5 buckets, per-(stratum, bucket) window, grouped one-row prefix-sum
+    offsets), plus a dimension-sized count broadcast. Nothing global,
+    nothing one-task-per-source.
 
     Returns (id, stratum, stratum_rank, split).
     """
@@ -1252,18 +1256,16 @@ def exact_quota_split(
         F.col(id_col).alias("id"),
         F.md5(F.col(id_col).cast("string")).alias("_k"),
     )
-    # row_number() is IntegerType: the quota product must run in BIGINT
-    # or rn·1000 silently wraps past ~2.1M rows per stratum under the
-    # session's non-ANSI mode (the groupwise_ols overflow class).
-    rn = (
-        F.row_number()
-        .over(Window.partitionBy("stratum").orderBy("_k", "id"))
-        .cast("bigint")
-    )
+    # distributed_order_rank returns BIGINT ranks: the quota product
+    # must run in BIGINT or rn·1000 silently wraps past ~2.1M rows per
+    # stratum under the session's non-ANSI mode (the groupwise_ols
+    # overflow class).
     sizes = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_order_rank(
+        base, "_k", ["id"], partition_cols=["stratum"], out_col="_rn"
+    )
     return (
-        base.withColumn("_rn", rn)
-        .join(F.broadcast(sizes), "stratum")
+        ranked.join(F.broadcast(sizes), "stratum")
         .select(
             "id",
             "stratum",

@@ -597,23 +597,92 @@ def _partitionless_windows(df) -> int:
     )
 
 
+# The r6 blind spot, made structural (r6 VERDICT item 4): a Window
+# PARTITIONED by a LOW-cardinality key over a fact-sized frame funnels
+# each group through one task — same trap as the partitionless window,
+# per group. Enforced for every Window whose input subtree contains no
+# Aggregate (windows over aggregated frames are bounded by the rollup
+# they sit on — the mad_outlier_summary / length_trim histogram
+# pattern). Such a window must satisfy ONE of:
+#   1. a partition key that scales WITH the data (the per-entity /
+#      bucket keys below — each group stays O(rows/keys) as data grows);
+#   2. compile to WindowGroupLimit (per-group top-k: every input
+#      partition forwards only k rows per group);
+#   3. a documented bounded-by-construction allowlist entry.
+_UNAGG_WINDOW_SCALE_KEYS = {
+    # Per-entity keys: cardinality grows linearly with the data.
+    "user_id",  # event stream actors
+    "_id",  # document ids (staging frames)
+    "doc_id",  # document ids
+    "qid",  # per-query candidate lists (kNN / hard-negative mining)
+    "o_orderkey",  # order ids
+    "o_custkey",  # customer ids
+    "component",  # duplicate-graph component ids (~#docs)
+    "session_id",  # sessionized event streams
+    "hour_start",  # time buckets: grow with the covered time span, and
+    # each group is one hour of events — bounded by arrival rate
+    # (watermark-style bound), not by the corpus
+    # The distributed-rank/cumsum helpers' percentile-bucket key:
+    # ~rows/n_buckets per group by construction of the cuts; n_buckets
+    # is the explicit parallelism knob (operators/datasetops.py).
+    "_bkt",
+}
+# name -> (frozen partition-key tuple, rationale). Keys are pinned so a
+# rewrite that changes the window shape makes the entry STALE instead of
+# silently re-waiving the new shape.
+_UNAGG_WINDOW_ALLOWLIST = {
+    "corpus_shuffle_order": (
+        ("bucket",),
+        "shuffle_order's own md5 bucket: uniform hash → ~rows/n_buckets "
+        "per group; n_buckets is the documented parallelism knob",
+    ),
+    "window_function_suite": (
+        ("c_mktsegment", "c_nationkey"),
+        "window-function breadth demo over the (segment, nation) "
+        "composite enum (~125 groups, documented in its docstring as "
+        "the scale lever); lag/lead need physical neighbor rows, which "
+        "the bucket decomposition does not preserve",
+    ),
+    "streaming_heavy_hitters": (
+        ("shard",),
+        "window input is the emitted Misra-Gries summary stream — "
+        "O(capacity × shards × batches) rows by construction of the "
+        "bounded stateful operator, not fact-sized",
+    ),
+}
+
+
+def _attr_names(expr) -> set[str]:
+    """Attribute names referenced by a Catalyst expression (via the
+    `name#id` print form)."""
+    import re
+
+    return set(re.findall(r"(\w+)#\d+", expr.toString()))
+
+
 def test_registry_wide_plan_invariants(spark):
-    """ONE planning pass over every registered query enforcing three
+    """ONE planning pass over every registered query enforcing four
     permanent invariants:
 
     1. No partitionless Window nodes (optimized plan) outside the
        bounded-by-construction allowlist above — with staleness
        detection so the allowlist cannot rot into a blanket waiver.
-    2. No CartesianProduct anywhere (physical plan) — the documented
+    2. Every Window over an UNAGGREGATED frame partitions on a
+       scale-with-data key, compiles to WindowGroupLimit, or carries a
+       documented allowlist entry (key tuple pinned; staleness
+       detected) — the low-cardinality-key funnel gate.
+    3. No CartesianProduct anywhere (physical plan) — the documented
        O(n²) oracle baselines compile to broadcast nested-loop joins of
        a bounded side, never an unconstrained cartesian. Empty
        allowlist: verified zero hits across all 245 plans (r6).
-    3. No row-at-a-time Python UDF nodes (BatchEvalPython) — the
+    4. No row-at-a-time Python UDF nodes (BatchEvalPython) — the
        engine's Python boundary is Arrow-batched mapInPandas /
        applyInPandas only. Empty allowlist, same verification.
     """
     window_violations = {}
     stale = []
+    unagg_violations = {}
+    unagg_seen = {}
     cartesian = []
     row_udf = []
     for name, spec in REGISTRY.items():
@@ -628,10 +697,40 @@ def test_registry_wide_plan_invariants(spark):
             cartesian.append(name)
         if "BatchEvalPython" in physical:
             row_udf.append(name)
+        # Invariant 2: low-cardinality keys over unaggregated frames.
+        plan = df._jdf.queryExecution().optimizedPlan()
+        has_group_limit = physical.count("WindowGroupLimit") >= 2
+        for node in _walk_logical(plan):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            if any(
+                c.getClass().getSimpleName() == "Aggregate"
+                for c in _walk_logical(node)
+            ):
+                continue
+            ps = node.partitionSpec()
+            keys = set()
+            for i in range(ps.size()):
+                keys |= _attr_names(ps.apply(i))
+            if keys & _UNAGG_WINDOW_SCALE_KEYS:
+                continue
+            if has_group_limit:
+                continue
+            allowed = _UNAGG_WINDOW_ALLOWLIST.get(name)
+            if allowed and keys == set(allowed[0]):
+                unagg_seen[name] = True
+                continue
+            unagg_violations.setdefault(name, []).append(sorted(keys))
+    unagg_stale = sorted(set(_UNAGG_WINDOW_ALLOWLIST) - set(unagg_seen))
     assert not window_violations, (
         f"partitionless windows over non-allowlisted frames: {window_violations}"
     )
     assert not stale, f"stale allowlist entries: {stale}"
+    assert not unagg_violations, (
+        "windows over unaggregated frames with unrecognized low-cardinality "
+        f"partition keys: {unagg_violations}"
+    )
+    assert not unagg_stale, f"stale unagg-window allowlist entries: {unagg_stale}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs in: {row_udf}"
 
