@@ -251,20 +251,37 @@ def repetition_signals(
     most frequent adjacent bigram, plus the distinct-word ratio; documents
     dominated by a repeated phrase are flagged (`repetitive`).
 
-    Scale design: tokens explode to (doc, pos, word) rows, bigrams come
-    from one `lead` window per document, and every aggregate is keyed by
-    the document id — so all shuffles partition on `id_col` and the whole
-    job is embarrassingly parallel across documents. No all-pairs step,
-    no Python; at 100 TB this is a linear scan shaped like word-count.
+    Scale design: adjacent bigrams are built ARRAY-SIDE from the staged
+    token array (the top_bigrams_by_source pattern) — the earlier
+    per-document `lead` window shuffled AND sorted the whole exploded
+    (doc, pos, word) stream just to pair neighbors, a corpus-token-sized
+    exchange the array form never pays. The only shuffles left are the
+    two keyed count aggregates (both partitioned on `id_col`, map-side
+    combinable). No all-pairs step, no Python; at 100 TB this is a
+    linear scan shaped like word-count. The token array is staged behind
+    its own projection so the tokenize regex runs once per document
+    (when()-branch references are excluded from codegen subexpression
+    elimination).
     """
-    pos_words = docs.select(
-        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("pos", "w")
+    toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    pair_arr = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w STRING, w2 STRING>>)"))
+    bigrams = toks.select("_id", F.explode(pair_arr).alias("_bg")).select(
+        "_id", F.col("_bg.w").alias("w"), F.col("_bg.w2").alias("w2")
     )
-    w = Window.partitionBy("_id").orderBy("pos")
-    bigrams = pos_words.withColumn("w2", F.lead("w").over(w)).filter(
-        F.col("w2").isNotNull()
+    word_stats = (
+        toks.select("_id", F.explode("_t").alias("w"))
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    word_stats = pos_words.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("c"))
     per_doc_words = word_stats.groupBy("_id").agg(
         F.sum("c").alias("n_tokens"),
         F.max("c").alias("top_word_n"),
