@@ -574,6 +574,74 @@ def distributed_order_cumsum(
     )
 
 
+def winsorize_group_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization profile: the exact lower/upper empirical
+    percentile VALUES (value at ascending rank ⌊(n−1)·pct/100⌋+1 — pure
+    integer rank arithmetic, no float interpolation), how many rows fall
+    outside them, and the winsorized (clamped) mean — the robust-scaling
+    preamble quality pipelines run before z-scoring heterogeneous
+    per-source score scales, where raw means are hostage to tail
+    outliers.
+
+    Scale: groups are SOURCES (low cardinality over the whole corpus),
+    so the percentile selection goes through distributed_rank_select —
+    order-aligned percentile buckets, per-(group, bucket) counts +
+    offsets, then ONLY the bucket containing each target rank is sorted
+    (1/n_buckets of the group instead of the whole group through one
+    task; a rank window can't do mid-rank selection and WindowGroupLimit
+    can't help a mid-rank predicate). The clamp pass is one broadcast
+    join of the |groups|-row cuts table + one partial-aggregable
+    rollup. The clamped sum is exact BIGINT, so the mean is
+    bit-identical on any engine and any row order.
+
+    Returns (group, n_docs, lo_cut, hi_cut, n_below, n_above,
+    winsorized_mean)."""
+    s = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    sizes = s.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    cuts = None
+    for pct, out in ((lo_pct, "lo_cut"), (hi_pct, "hi_cut")):
+        t = sizes.select(
+            "_g", (F.expr(f"((_n - 1) * {int(pct)}) div 100") + 1).alias("_target")
+        )
+        sel = distributed_rank_select(s, "_v", ["_g"], t, out_col=out)
+        sel = sel.select("_g", F.col(out).cast("bigint").alias(out))
+        cuts = sel if cuts is None else cuts.join(sel, "_g")
+    clamped = F.greatest(
+        F.col("lo_cut"), F.least(F.col("_v").cast("bigint"), F.col("hi_cut"))
+    )
+    return (
+        s.join(F.broadcast(cuts), "_g")
+        .groupBy("_g", "lo_cut", "hi_cut")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_v") < F.col("lo_cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("_v") > F.col("hi_cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            "lo_cut",
+            "hi_cut",
+            "n_below",
+            "n_above",
+            "winsorized_mean",
+        )
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     score_col: str,

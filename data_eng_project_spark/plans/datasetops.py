@@ -91,6 +91,71 @@ def pps_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorize_length_bounds",
+    oracle="""
+        WITH s AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), t AS (
+            SELECT source,
+                   (n - 1) * 5  // 100 + 1 AS lo_rank,
+                   (n - 1) * 95 // 100 + 1 AS hi_rank
+            FROM s
+        ), r AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars ASC
+                   ) AS rk
+            FROM documents
+        ), cuts AS (
+            SELECT r.source,
+                   CAST(max(CASE WHEN r.rk = t.lo_rank THEN r.n_chars END)
+                        AS BIGINT) AS lo_cut,
+                   CAST(max(CASE WHEN r.rk = t.hi_rank THEN r.n_chars END)
+                        AS BIGINT) AS hi_cut
+            FROM r JOIN t ON r.source = t.source
+            GROUP BY r.source
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               max(c.lo_cut) AS lo_cut,
+               max(c.hi_cut) AS hi_cut,
+               CAST(sum(CASE WHEN d.n_chars < c.lo_cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN d.n_chars > c.hi_cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               round(CAST(sum(greatest(c.lo_cut, least(d.n_chars, c.hi_cut)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS winsorized_mean
+        FROM documents d JOIN cuts c ON d.source = c.source
+        GROUP BY d.source
+    """,
+    tags=("datasetops", "curation", "robust", "percentile"),
+)
+def winsorize_length_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization profile: exact p5/p95 length cuts
+    (value at rank ⌊(n−1)·pct/100⌋+1 — integer rank arithmetic, no
+    float interpolation), the tail counts outside them, and the clamped
+    mean — the robust-scaling preamble run before z-scoring per-source
+    quality scores (raw means are hostage to tail outliers; the
+    winsorized mean is the stable center).
+
+    Scale: sources are low-cardinality over the whole corpus, so a rank
+    window would funnel each source through one task; the two
+    percentile selections go through
+    operators/datasetops.distributed_rank_select (sort ONLY the bucket
+    containing each target rank — 1/n_buckets of the group), and the
+    clamp pass is a broadcast of the |sources|-row cuts table into one
+    partial-aggregable rollup. The DuckDB twin's plain rank window
+    selects the identical value because the value AT a rank is
+    deterministic under ties."""
+    prepare(spark)
+    from data_eng_project_spark.operators.datasetops import winsorize_group_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winsorize_group_stats(docs, "n_chars", "source", lo_pct=5, hi_pct=95)
+
+
+@register(
     "per_user_value_trend",
     oracle="""
         WITH x AS (

@@ -1099,3 +1099,60 @@ def test_distributed_order_rank_date_and_timestamp_default_images(spark):
                 ).collect()
             }
             assert got == want, f"col={col} descending={desc}"
+
+
+def test_winsorize_group_stats_matches_window_form(spark):
+    """winsorize_group_stats must equal the plain per-group rank-window
+    winsorization on adversarial groups: heavy ties (cut lands inside a
+    tied run), a 1-row group (both cuts = the value, zero tails), a
+    2-row group, and a group whose values are all identical."""
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import winsorize_group_stats
+
+    rows = (
+        [("a", i % 7) for i in range(97)]          # heavy ties
+        + [("b", i) for i in range(40)]            # distinct run
+        + [("c", 5)]                               # 1-row group
+        + [("d", 1), ("d", 9)]                     # 2-row group
+        + [("e", 3)] * 25                          # all identical
+    )
+    df = spark.createDataFrame(
+        [(g, int(v)) for g, v in rows], "g string, v long"
+    ).repartition(7)
+    got = {
+        r["g"]: (
+            r["n_docs"], r["lo_cut"], r["hi_cut"],
+            r["n_below"], r["n_above"], r["winsorized_mean"],
+        )
+        for r in winsorize_group_stats(df, "v", "g", 5, 95).collect()
+    }
+    rk = F.row_number().over(Window.partitionBy("g").orderBy(F.col("v").asc()))
+    n = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ranked = df.select("g", "v", rk.alias("rk"), n.alias("n"))
+    lo_r = F.expr("((n - 1) * 5) div 100") + 1
+    hi_r = F.expr("((n - 1) * 95) div 100") + 1
+    cuts = ranked.groupBy("g").agg(
+        F.max(F.when(F.col("rk") == lo_r, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi_r, F.col("v"))).alias("hi"),
+    )
+    want = {}
+    for r in (
+        df.join(cuts, "g")
+        .groupBy("g", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0)).alias("na"),
+            F.round(
+                F.sum(
+                    F.greatest(F.col("lo"), F.least(F.col("v"), F.col("hi")))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("wm"),
+        )
+        .collect()
+    ):
+        want[r["g"]] = (r["n_docs"], r["lo"], r["hi"], r["nb"], r["na"], r["wm"])
+    assert got == want
