@@ -234,12 +234,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE chain computing exact 3-gram-shingle Jaccard pairs in
 # DuckDB SQL — used by the pair oracle and (wrapped in WITH RECURSIVE)
 # by the cluster oracle.
-_NGRAM_CTES = f"""
+def _ngram_ctes(src: str = "documents") -> str:
+    """The shared pair-oracle CTE chain over an arbitrary source CTE /
+    table carrying (doc_id, text) — `documents` for the plain pair
+    oracles, a collapsed-representatives CTE for the exact-collapse
+    variant."""
+    return f"""
         words AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS w,
                    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents
+            FROM {src}
         ), sh AS (
             SELECT DISTINCT doc_id,
                    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
@@ -264,6 +269,9 @@ _NGRAM_CTES = f"""
             -- engines (boundary found by round-4 self-review)
             WHERE round(i / (na.n + nb.n - i), 6) >= {JACCARD_THRESHOLD}
         )"""
+
+
+_NGRAM_CTES = _ngram_ctes()
 
 # Shared connected-components closure over the `pairs` CTE (symmetrized
 # edges + recursive reachability) — ONE definition for every oracle that
@@ -296,6 +304,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (no cross join: candidates only from shared shingles)."""
     prepare(spark)
     return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_collapsed",
+    oracle=f"""
+        WITH cls AS (
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), documents_r AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN cls USING (doc_id)
+        ), {_ngram_ctes("documents_r")}
+        SELECT p.id_a, p.id_b, p.jaccard,
+               ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+               CAST(ca.n_docs * cb.n_docs AS BIGINT) AS n_doc_pairs
+        FROM pairs p
+        JOIN cls ca ON ca.doc_id = p.id_a
+        JOIN cls cb ON cb.doc_id = p.id_b
+    """,
+    tags=("dedup", "jaccard", "scale"),
+)
+def dedup_ngram_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLASS pairs: exact-duplicate classes (normalized
+    content) collapse to their smallest-id representative FIRST, then
+    the PPJoin similarity join runs over representatives only — the
+    production shape for corpora with giant duplicate classes, where
+    the all-pairs contract is itself quadratic in class size (a class
+    of k identical docs = k·(k−1)/2 true pairs no pruning can avoid;
+    measured at the 100× replica probe, BASELINE.md round 7). Output
+    carries both class sizes and the implied member-pair count."""
+    prepare(spark)
+    return D.ngram_jaccard_pairs_collapsed(
         load_table(spark, sf_dir, "documents"),
         "text",
         "doc_id",

@@ -1893,3 +1893,42 @@ def test_knn_blocked_survives_zero_norm_corpus_vector(spark):
     ).collect()
     got = {r["cid"] for r in out}
     assert got == {1, 2}  # valid neighbors kept, zero-norm row absent
+
+
+def test_ngram_jaccard_collapsed_classes(spark):
+    """Exact-collapse semantics: case/whitespace variants form one
+    class represented by the smallest id; the similarity join runs over
+    representatives only; a near-dup class pair is emitted ONCE with
+    both class sizes and the implied member-pair count; the jaccard
+    equals the plain pair join's value between the representatives."""
+    from data_eng_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely different content about spark shuffle partitions"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),                  # case variant → class of 1,2,3
+            (3, "  " + base.replace(" ", "  ")),  # whitespace variant
+            (4, near),
+            (5, near + " "),                    # trailing space → class of 4,5
+            (6, other),                         # singleton, no near-dups
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs_collapsed(docs, "text", "doc_id", threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert set(got) == {(1, 4)}, got
+    r = got[(1, 4)]
+    assert (r.n_docs_a, r.n_docs_b, r.n_doc_pairs) == (3, 2, 6)
+    plain = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(
+            docs.filter(F.col("doc_id").isin(1, 4, 6)), "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert r.jaccard == plain[(1, 4)]
