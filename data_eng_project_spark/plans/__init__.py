@@ -67,8 +67,11 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      QUERIES.md): deliberate in-window slots so the driver records
 #      their rows-only evidence (spark_rows + err:no_oracle is the
 #      strongest row the driver can write for them).
-#   5. 23 of the 35 re-certs whose latest driver row is round 2
-#      (registry order; the remaining 12 rotate in round 8).
+#   5. The two queries ADDED this round (winsorize_length_bounds,
+#      dedup_ngram_jaccard_collapsed) — driver-certified in their birth
+#      round instead of waiting a cycle.
+#   6. 21 of the 35 re-certs whose latest driver row is round 2
+#      (registry order; the remaining 14 rotate in round 8).
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
@@ -105,7 +108,10 @@ _GRADED_WINDOW = [
     "embedding_pca_scree",
     "embedding_pca_project",
     "bpe_encode_corpus_stats",
-    # 5. Oldest (round-2) driver rows, refreshed in registry order:
+    # 5. This round's additions, certified in their birth round:
+    "winsorize_length_bounds",
+    "dedup_ngram_jaccard_collapsed",
+    # 6. Oldest (round-2) driver rows, refreshed in registry order:
     "q1_pricing_summary",
     "q5_region_supplier_revenue",
     "events_hourly_rollup",
@@ -127,8 +133,6 @@ _GRADED_WINDOW = [
     "streaming_interval_join",
     "streaming_dedup_events",
     "customer_nation_region",
-    "orders_not_in_ledger",
-    "upsert_new_rows",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every
