@@ -80,6 +80,71 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_enrich",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS asof_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("streaming", "asof", "temporal"),
+)
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static backward AS-OF enrichment drained with
+    AvailableNow: each micro-batch of events attaches the user's most
+    recent order at event time (the asof_latest_order semantics), via
+    foreachBatch over the union-merge as-of operator — Structured
+    Streaming has no native as-of join, and a static right side makes
+    every left row's match independent, so the drained union equals
+    the batch as-of join and the oracle is the identical DuckDB ASOF
+    LEFT JOIN. Replay-idempotent per-batch partitions (dynamic
+    overwrite), per-sf staging dirs recreated each run."""
+    import os
+    import shutil
+    import tempfile
+
+    prepare(spark)
+    from data_eng_project_spark.streaming.incremental import stream_asof_enrich
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_asof_enrich_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    out_dir, checkpoint = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    enriched = stream_asof_enrich(
+        spark,
+        table_path(sf_dir, "events"),
+        orders,
+        out_dir,
+        checkpoint,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        left_cols=["event_id", "user_id", "ts"],
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    )
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

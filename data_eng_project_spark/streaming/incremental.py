@@ -153,6 +153,61 @@ def stream_upsert_events(
     )
 
 
+def stream_asof_enrich(
+    spark: SparkSession,
+    events_parquet: str,
+    right: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    left_cols: list[str] | None = None,
+    **reader_options: str,
+) -> DataFrame:
+    """Stream-static BACKWARD AS-OF enrichment: each micro-batch of
+    events attaches the latest static ``right`` row with
+    ``right_ts <= left_ts`` per key (operators/temporal.asof_join), and
+    the drained union equals the batch as-of join — because the right
+    side is static, every left row's match is independent of every
+    other left row, so the computation decomposes over micro-batches
+    exactly (asserted multi-batch in tests). Structured Streaming has
+    no native as-of join; this is the foreachBatch skin over the
+    union-merge batch operator, the same pattern as stream_upsert /
+    stream_maintain_rollup.
+
+    Each batch's enriched rows land in their own ``batch_id`` partition
+    with dynamic overwrite (replay-idempotent: the batch's rows are
+    deterministic, so a replayed batch rewrites identical bytes).
+    Returns the drained result read back from ``out_dir``."""
+    from data_eng_project_spark.operators.temporal import asof_join
+
+    stream = read_events_stream(spark, events_parquet, **reader_options)
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if left_cols:
+            batch_df = batch_df.select(*left_cols)
+        enriched = asof_join(
+            batch_df,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            payload_cols=payload_cols,
+        )
+        write_batch_partition(enriched, batch_id, out_dir)
+
+    (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def write_rollup_delta(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     """One micro-batch's contribution to the maintained hourly rollup:
     the batch's partial-aggregate state lands in its own ``batch_id``

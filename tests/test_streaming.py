@@ -601,3 +601,63 @@ def test_heavy_hitters_oracle_detectability_margin(spark, sf):
             "streaming_heavy_hitters is no longer safely implied by MG "
             "detectability on this corpus"
         )
+
+
+def test_stream_asof_enrich_multibatch_equals_batch(spark, tmp_path):
+    """stream_asof_enrich must equal the batch as-of join even when the
+    events arrive over MULTIPLE micro-batches (three file slices forced
+    into separate triggers): a static right side makes each left row's
+    match independent, so the drained union is exactly the batch answer
+    — this is the decomposition claim the operator's docstring makes."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.temporal import asof_join
+    from data_eng_project_spark.streaming.incremental import stream_asof_enrich
+
+    import glob as _glob
+    import os
+    import shutil
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    # Three slices as three flat files in one dir → maxFilesPerTrigger=1
+    # forces three micro-batches (the layout read_events_stream globs).
+    slices = tmp_path / "slices"
+    os.makedirs(slices)
+    for s in range(3):
+        part_dir = str(tmp_path / f"_part{s}")
+        events.filter(F.pmod("event_id", F.lit(3)) == s).coalesce(1).write.parquet(
+            part_dir
+        )
+        [part_file] = _glob.glob(f"{part_dir}/*.parquet")
+        shutil.copyfile(part_file, str(slices / f"slice_{s}.parquet"))
+    src = str(slices / "*.parquet")
+    orders = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    streamed = stream_asof_enrich(
+        spark,
+        src,
+        orders,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        maxFilesPerTrigger="1",
+    )
+    got = {
+        r["event_id"]: r["asof_o_orderkey"]
+        for r in streamed.select("event_id", "asof_o_orderkey").collect()
+    }
+    want = {
+        r["event_id"]: r["asof_o_orderkey"]
+        for r in asof_join(
+            events, orders, on="user_id", left_ts="ts",
+            right_ts="o_orderdate", payload_cols=["o_orderkey"],
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == events.count()
