@@ -370,7 +370,17 @@ def _bucketed_by_order(
     cuts = df.agg(
         F.percentile_approx(img, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
     )
-    null_bkt = F.coalesce(F.size("_cuts"), F.lit(0)) if descending else F.lit(0)
+    # percentile_approx returns a NULL array when the percentage list is
+    # empty (n_buckets=1) or every image is NULL — and under the engine's
+    # pinned NON-ANSI mode size(NULL) is -1, not NULL, so the old
+    # coalesce(size(...), 0) silently minted bucket -1 and misplaced the
+    # NULL pin relative to the values (found by the randomized
+    # differential test; invisible in ANSI sessions, where size(NULL) is
+    # NULL and the coalesce fired). Coalesce the ARRAY once instead, so
+    # every size() below sees a real (possibly empty) array in both
+    # modes.
+    cuts_arr = F.coalesce(F.col("_cuts"), F.expr("CAST(array() AS ARRAY<DOUBLE>)"))
+    null_bkt = F.size(cuts_arr) if descending else F.lit(0)
     bkt = F.when(img.isNull(), null_bkt)
     from pyspark.sql.types import DoubleType, FloatType
 
@@ -381,11 +391,9 @@ def _bucketed_by_order(
         # negated, -NaN is NaN, and DESC puts NaN first), wrong for
         # ascending. Pin it to the end bucket explicitly, mirroring the
         # NULL pin above.
-        nan_bkt = F.lit(0) if descending else F.coalesce(F.size("_cuts"), F.lit(0))
+        nan_bkt = F.lit(0) if descending else F.size(cuts_arr)
         bkt = bkt.when(F.isnan(img), nan_bkt)
-    bkt = bkt.otherwise(
-        F.coalesce(F.size(F.filter(F.col("_cuts"), lambda c: c < img)), F.lit(0))
-    )
+    bkt = bkt.otherwise(F.size(F.filter(cuts_arr, lambda c: c < img)))
     return df.join(F.broadcast(cuts)).withColumn("_bkt", bkt).drop("_cuts")
 
 

@@ -1156,3 +1156,54 @@ def test_winsorize_group_stats_matches_window_form(spark):
     ):
         want[r["g"]] = (r["n_docs"], r["lo"], r["hi"], r["nb"], r["na"], r["wm"])
     assert got == want
+
+
+def test_cumsum_randomized_differential(spark):
+    """Seeded randomized differential: distributed_order_cumsum equals
+    the plain-window rank + running sum across random frames (NULL keys,
+    negative decimal values, heavy ties), both directions, bucket counts
+    {1, 2, 7, 64} — including the degenerate n_buckets=1 (empty cuts
+    array ⇒ every row in bucket 0) and cut counts far above the row
+    count."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import distributed_order_cumsum
+
+    random.seed(1234)
+    for trial in range(3):
+        n = random.randint(1, 100)
+        rows = [
+            (
+                f"id{i:03d}",
+                random.choice([None] * (trial % 2) + list(range(-20, 20))),
+                Decimal(random.randint(-10000, 10000)) / 100,
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "id string, k int, v decimal(10,2)"
+        ).repartition(5)
+        for desc in (False, True):
+            for nb in (1, 7, 64):
+                got = {
+                    r["id"]: (r["_grank"], Decimal(r["_gcum"]))
+                    for r in distributed_order_cumsum(
+                        df, "k", ["id"], "v", descending=desc, n_buckets=nb
+                    ).collect()
+                }
+                order = F.col("k").desc() if desc else F.col("k").asc()
+                w = Window.orderBy(order, "id")
+                want = {
+                    r["id"]: (r["rn"], Decimal(r["cs"]))
+                    for r in df.select(
+                        "id",
+                        F.row_number().over(w).alias("rn"),
+                        F.sum("v")
+                        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                        .alias("cs"),
+                    ).collect()
+                }
+                assert got == want, f"trial={trial} desc={desc} nb={nb}"
