@@ -72,6 +72,11 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      round instead of waiting a cycle.
 #   6. 21 of the 35 re-certs whose latest driver row is round 2
 #      (registry order; the remaining 14 rotate in round 8).
+#
+# Round-8 queue: the 14 remaining r2 re-certs (union_discriminator …
+# events_within_minute in registry order) + first-time slots for the
+# round-7 late addition streaming_asof_enrich + re-certs of anything
+# the round touches.
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
