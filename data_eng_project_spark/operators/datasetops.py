@@ -397,6 +397,34 @@ def _bucketed_by_order(
     return df.join(F.broadcast(cuts)).withColumn("_bkt", bkt).drop("_cuts")
 
 
+def _join_nullsafe(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Inner equi-join that MATCHES NULL keys (`<=>`): a plain
+    list-of-names join drops rows whose key is NULL on either side,
+    which silently loses NULL-keyed groups — a NULL shard/source row
+    vanished from pack_sequences while the plain-window form it
+    replaced kept NULLs as their own partition (ADVICE r7).
+    EqualNullSafe is still extracted as a hash-join key by Catalyst,
+    so the broadcast/shuffled-hash plan shapes are unchanged. The
+    right side's key copies are renamed and dropped, preserving the
+    list-of-names output schema."""
+    renamed = right
+    for c in on:
+        renamed = renamed.withColumnRenamed(c, f"_rhs_{c}")
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    cond = None
+    for c in on:
+        e = left[c].eqNullSafe(renamed[f"_rhs_{c}"])
+        cond = e if cond is None else cond & e
+    return left.join(renamed, cond).drop(*[f"_rhs_{c}" for c in on])
+
+
 def _order_spec(order_col: str, tiebreak_cols: list[str], descending: bool):
     head = F.col(order_col).desc() if descending else F.col(order_col).asc()
     return [head, *[F.col(c).asc() for c in tiebreak_cols]]
@@ -460,8 +488,11 @@ def distributed_order_rank(
     ranked = b.withColumn("_rnk", rn)
     sizes = b.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     offsets = _bucket_base_offsets(sizes, "_bkt", "_n", group_cols=parts)
+    # Null-safe offsets join: a NULL partition key forms its own group
+    # in the window and the groupBy above, and must keep matching here
+    # (a plain name join would silently drop the whole NULL group).
     return (
-        ranked.join(F.broadcast(offsets), [*parts, "_bkt"])
+        _join_nullsafe(ranked, offsets, [*parts, "_bkt"], broadcast=True)
         .withColumn(out_col, (F.col("_off") + F.col("_rnk")).cast("bigint"))
         .drop("_bkt", "_rnk", "_off")
     )
@@ -499,13 +530,17 @@ def distributed_rank_select(
     sizes = b.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     offsets = _bucket_base_offsets(sizes, "_bkt", "_n", group_cols=parts)
     t = F.col(target_col)
+    # Null-safe joins throughout: a NULL group key must carry its
+    # offsets and target through (ADVICE r7 — plain name joins dropped
+    # NULL-keyed groups from every consumer of these helpers).
     sel = (
-        sizes.join(offsets, [*parts, "_bkt"])
-        .join(targets, parts)
+        _join_nullsafe(
+            _join_nullsafe(sizes, offsets, [*parts, "_bkt"]), targets, parts
+        )
         .filter((F.col("_off") < t) & (t <= F.col("_off") + F.col("_n")))
         .select(*parts, "_bkt", "_off", t.alias("_t"))
     )
-    cand = b.join(F.broadcast(sel), [*parts, "_bkt"])
+    cand = _join_nullsafe(b, sel, [*parts, "_bkt"], broadcast=True)
     rn = F.row_number().over(
         Window.partitionBy(*parts, "_bkt").orderBy(F.col(order_col).asc())
     )
@@ -570,8 +605,9 @@ def distributed_order_cumsum(
     offsets = _bucket_base_offsets(
         sizes, "_bkt", "_n", more=[("_vtot", "_voff")], group_cols=parts
     )
+    # Null-safe offsets join — see distributed_order_rank.
     return (
-        ranked.join(F.broadcast(offsets), [*parts, "_bkt"])
+        _join_nullsafe(ranked, offsets, [*parts, "_bkt"], broadcast=True)
         .withColumn(rank_col, (F.col("_off") + F.col("_rnk")).cast("bigint"))
         .withColumn(
             cum_col,
@@ -610,6 +646,22 @@ def winsorize_group_stats(
 
     Returns (group, n_docs, lo_cut, hi_cut, n_below, n_above,
     winsorized_mean)."""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, (DoubleType, FloatType)):
+        # Mirroring _bucket_base_offsets: the exact-integer-rank /
+        # order-insensitive-sum contract needs DECIMAL or integer
+        # values — a silent bigint cast would truncate fractional cuts
+        # and winsorized means instead of enforcing it (ADVICE r7).
+        raise TypeError(
+            f"winsorize_group_stats: column {value_col!r} is "
+            f"{vtype.simpleString()}; cast to DECIMAL first — the clamp "
+            "and cuts would otherwise be silently truncated to bigint"
+        )
+    # Integral values normalize to bigint; decimals keep their native
+    # type end-to-end (selection, cuts, clamp, and the exact SUM).
+    cut_t = vtype.simpleString() if isinstance(vtype, DecimalType) else "bigint"
     s = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
     sizes = s.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
     cuts = None
@@ -618,13 +670,13 @@ def winsorize_group_stats(
             "_g", (F.expr(f"((_n - 1) * {int(pct)}) div 100") + 1).alias("_target")
         )
         sel = distributed_rank_select(s, "_v", ["_g"], t, out_col=out)
-        sel = sel.select("_g", F.col(out).cast("bigint").alias(out))
-        cuts = sel if cuts is None else cuts.join(sel, "_g")
+        sel = sel.select("_g", F.col(out).cast(cut_t).alias(out))
+        cuts = sel if cuts is None else _join_nullsafe(cuts, sel, ["_g"])
     clamped = F.greatest(
-        F.col("lo_cut"), F.least(F.col("_v").cast("bigint"), F.col("hi_cut"))
+        F.col("lo_cut"), F.least(F.col("_v").cast(cut_t), F.col("hi_cut"))
     )
     return (
-        s.join(F.broadcast(cuts), "_g")
+        _join_nullsafe(s, cuts, ["_g"], broadcast=True)
         .groupBy("_g", "lo_cut", "hi_cut")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -1207,3 +1207,131 @@ def test_cumsum_randomized_differential(spark):
                     ).collect()
                 }
                 assert got == want, f"trial={trial} desc={desc} nb={nb}"
+
+
+def test_helpers_keep_null_partition_keys(spark):
+    """ADVICE r7 (medium): the offsets/targets joins inside the
+    distributed rank/cumsum/select helpers were null-UNSAFE on the
+    partition columns, so a NULL group key — which the plain window
+    form keeps as its own partition — was silently dropped. All three
+    helpers must now match the window forms on a frame with a NULL
+    group."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from data_eng_project_spark.operators.datasetops import (
+        distributed_order_cumsum,
+        distributed_order_rank,
+        distributed_rank_select,
+    )
+
+    rows = [
+        (f"id{i:03d}", None if i % 4 == 0 else f"g{i % 3}", i % 9, Decimal(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, g string, k int, v decimal(10,0)"
+    ).repartition(5)
+    w = Window.partitionBy("g").orderBy("k", "id")
+
+    got_rank = {
+        r["id"]: r["_grank"]
+        for r in distributed_order_rank(
+            df, "k", ["id"], partition_cols=["g"], n_buckets=4
+        ).collect()
+    }
+    want_rank = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got_rank == want_rank
+
+    got_cum = {
+        r["id"]: (r["_grank"], Decimal(r["_gcum"]))
+        for r in distributed_order_cumsum(
+            df, "k", ["id"], "v", partition_cols=["g"], n_buckets=4
+        ).collect()
+    }
+    want_cum = {
+        r["id"]: (r["rn"], Decimal(r["cs"]))
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        ).collect()
+    }
+    assert got_cum == want_cum
+
+    sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+    targets = sizes.select("g", F.expr("(_n + 1) div 2").alias("_target"))
+    got_sel = {
+        r["g"]: r["_selected"]
+        for r in distributed_rank_select(
+            df, "k", ["g"], targets, n_buckets=4
+        ).collect()
+    }
+    # Expected medians rebuilt driver-side (a window+join expectation
+    # would need its own null-safe join — the thing under test).
+    by_g = {}
+    for r in df.select("g", "k").collect():
+        by_g.setdefault(r["g"], []).append(r["k"])
+    want_sel = {
+        g: sorted(vs)[(len(vs) + 1) // 2 - 1] for g, vs in by_g.items()
+    }
+    assert got_sel == want_sel
+    assert None in got_sel  # the NULL group actually made it through
+
+
+def test_pack_sequences_keeps_null_shard_rows(spark):
+    """The exact ADVICE r7 repro: 3 docs, one with a NULL source, must
+    produce 3 packed rows — the NULL shard is its own packing stream,
+    as under the previous Window.partitionBy form."""
+    from data_eng_project_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c", "s1"), ("d2", "d e", None), ("d3", "f g h i", "s1")],
+        "doc_id string, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, chunk_tokens=4).collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    assert out["d2"]["shard"] is None
+    assert out["d2"]["start_offset"] == 0 and out["d2"]["n_tokens"] == 2
+    # The non-null shard stream is unaffected: d1 then d3 by id order.
+    assert out["d1"]["start_offset"] == 0
+    assert out["d3"]["start_offset"] == 3
+
+
+def test_winsorize_rejects_float_value_col(spark):
+    """ADVICE r7 (low): a double value column must raise (mirroring
+    _bucket_base_offsets) instead of silently truncating cuts, tail
+    counts, and the winsorized mean through bigint casts."""
+    from data_eng_project_spark.operators.datasetops import winsorize_group_stats
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 1.5), ("a", 2.5)], "g string, v double"
+    )
+    with pytest.raises(TypeError, match="DECIMAL"):
+        winsorize_group_stats(df, "v", "g").collect()
+
+
+def test_winsorize_decimal_values_exact(spark):
+    """Decimal value columns keep their native type end-to-end: cuts
+    are the exact decimal rank values (no bigint truncation) and the
+    winsorized mean clamps at those decimal cuts."""
+    from decimal import Decimal
+
+    from data_eng_project_spark.operators.datasetops import winsorize_group_stats
+
+    vals = [Decimal(f"{i}.25") for i in range(1, 21)]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "g string, v decimal(10,2)"
+    )
+    row = winsorize_group_stats(df, "v", "g", 5, 95).collect()[0]
+    # n=20: lo rank = (19*5) div 100 + 1 = 1 -> 1.25;
+    #       hi rank = (19*95) div 100 + 1 = 19 -> 19.25
+    assert Decimal(row["lo_cut"]) == Decimal("1.25")
+    assert Decimal(row["hi_cut"]) == Decimal("19.25")
+    assert row["n_below"] == 0 and row["n_above"] == 1
+    clamped = [min(max(v, Decimal("1.25")), Decimal("19.25")) for v in vals]
+    assert row["winsorized_mean"] == round(float(sum(clamped)) / 20, 6)

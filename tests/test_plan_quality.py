@@ -660,6 +660,64 @@ def _attr_names(expr) -> set[str]:
     return set(re.findall(r"(\w+)#\d+", expr.toString()))
 
 
+def _unagg_low_card_windows(df) -> list[list[str]]:
+    """Partition-key sets of Window nodes over UNAGGREGATED frames that
+    are neither scale-keyed nor individually top-k-bounded. The
+    group-limit waiver is PER WINDOW, not per query (ADVICE r7):
+    InferWindowGroupLimit inserts the WindowGroupLimit node as the
+    Window's direct child, so THIS window is top-k-bounded iff its own
+    child is one — a group-limited window elsewhere in the plan must
+    not waive this one. (test_topk_windows_compile_to_group_limit
+    separately pins the physical partial+final pair for the top-k
+    set.)"""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in _walk_logical(plan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if any(
+            c.getClass().getSimpleName() == "Aggregate"
+            for c in _walk_logical(node)
+        ):
+            continue
+        ps = node.partitionSpec()
+        keys = set()
+        for i in range(ps.size()):
+            keys |= _attr_names(ps.apply(i))
+        if keys & _UNAGG_WINDOW_SCALE_KEYS:
+            continue
+        child = node.children().apply(0)
+        if child.getClass().getSimpleName() == "WindowGroupLimit":
+            continue
+        out.append(sorted(keys))
+    return out
+
+
+def test_unagg_window_gate_is_per_window(spark):
+    """A group-limited window must not waive a sibling low-cardinality
+    window in the same plan (the r7 ADVICE weakening): a plan holding
+    BOTH a top-k-rewritten window and a plain low-card-key window must
+    still flag the plain one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i % 3, i) for i in range(20)], "seg string, sub int, v long"
+    )
+    topk = F.row_number().over(Window.partitionBy("seg").orderBy("v"))
+    plain = F.sum("v").over(Window.partitionBy("seg").orderBy("v"))
+    mixed = (
+        df.withColumn("rn", topk)
+        .filter(F.col("rn") <= 2)
+        .withColumn("running", plain)
+    )
+    # Sanity: the top-k window did get its per-window WindowGroupLimit.
+    plan = mixed._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowgrouplimit" in plan.lower()
+    # The plain running-sum window is NOT waived by it.
+    assert _unagg_low_card_windows(mixed) == [["seg"]]
+
+
 def test_registry_wide_plan_invariants(spark):
     """ONE planning pass over every registered query enforcing four
     permanent invariants:
@@ -697,30 +755,14 @@ def test_registry_wide_plan_invariants(spark):
             cartesian.append(name)
         if "BatchEvalPython" in physical:
             row_udf.append(name)
-        # Invariant 2: low-cardinality keys over unaggregated frames.
-        plan = df._jdf.queryExecution().optimizedPlan()
-        has_group_limit = physical.count("WindowGroupLimit") >= 2
-        for node in _walk_logical(plan):
-            if node.getClass().getSimpleName() != "Window":
-                continue
-            if any(
-                c.getClass().getSimpleName() == "Aggregate"
-                for c in _walk_logical(node)
-            ):
-                continue
-            ps = node.partitionSpec()
-            keys = set()
-            for i in range(ps.size()):
-                keys |= _attr_names(ps.apply(i))
-            if keys & _UNAGG_WINDOW_SCALE_KEYS:
-                continue
-            if has_group_limit:
-                continue
+        # Invariant 2: low-cardinality keys over unaggregated frames,
+        # group-limit waiver applied per WINDOW (ADVICE r7).
+        for keys in _unagg_low_card_windows(df):
             allowed = _UNAGG_WINDOW_ALLOWLIST.get(name)
-            if allowed and keys == set(allowed[0]):
+            if allowed and set(keys) == set(allowed[0]):
                 unagg_seen[name] = True
                 continue
-            unagg_violations.setdefault(name, []).append(sorted(keys))
+            unagg_violations.setdefault(name, []).append(keys)
     unagg_stale = sorted(set(_UNAGG_WINDOW_ALLOWLIST) - set(unagg_seen))
     assert not window_violations, (
         f"partitionless windows over non-allowlisted frames: {window_violations}"
