@@ -624,6 +624,74 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_report",
+    # The ANN side (sampled pyspark.ml quantizer fits) is not
+    # SQL-reproducible — that's the whole reason the similarity_ann_*
+    # queries are rows-only — but the report's exact side IS: the
+    # oracle independently recomputes the exact top-k of the same 8
+    # query vectors (rounded-cosine DESC, cid ASC — the
+    # knn_join_blocked contract) and asserts the measured-recall
+    # contract booleans, the minhash_accuracy_report pattern. The
+    # contracts carry wide margins below the measured floor (recall@10
+    # on the synthetic random embeddings — the ADVERSARIAL case for
+    # ANN, near-ties everywhere: IVF 0.61-0.63, PQ 0.35-0.50, IVF-PQ
+    # 0.34-0.55 across sf0.001/0.01/0.1; contracts 0.4/0.2/0.2). The
+    # sharp measured values stay pinned in tests/test_operators.py.
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+        ),
+        s AS (
+            SELECT q.qid, e.vec_id AS cid,
+                   round(list_cosine_similarity(
+                       q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+            FROM q CROSS JOIN embeddings e
+        ),
+        r AS (
+            SELECT qid, cid,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, cid ASC
+                   ) AS rn
+            FROM s
+        ),
+        t AS (SELECT qid, cid FROM r WHERE rn <= 10),
+        stats AS (
+            SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS exact_rows
+            FROM t
+        )
+        SELECT m.method, stats.n_queries, CAST(10 AS BIGINT) AS k,
+               stats.exact_rows, TRUE AS recall_ok
+        FROM (VALUES ('ivf'), ('ivfpq'), ('pq')) AS m(method)
+        CROSS JOIN stats
+    """,
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality evidence (VERDICT r7 task 3): recall@10
+    of IVF / PQ / IVF-PQ — same parameters as the similarity_ann_*
+    queries — against the exact blocked-GEMM k-NN over 8 fixed query
+    vectors, with the exact side fully oracle-recomputed and the recall
+    contract graded as a boolean per method. Converts the permanently
+    rows-only ANN family from "trust the pytest" into a measured,
+    driver-graded accuracy contract."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall_report(
+        emb,
+        query_ids=list(range(8)),
+        k=10,
+        n_clusters=16,
+        n_probe=4,
+        m=4,
+        nbits=4,
+        rerank_factor=4,
+        contracts={"ivf": 0.4, "pq": 0.2, "ivfpq": 0.2},
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
         WITH toks AS (

@@ -1932,3 +1932,79 @@ def test_ngram_jaccard_collapsed_classes(spark):
         ).collect()
     }
     assert r.jaccard == plain[(1, 4)]
+
+
+def test_ann_recall_report_planted_and_shape(vectors):
+    from data_eng_project_spark.operators.similarity import ann_recall_report
+
+    rep = {
+        r["method"]: r
+        for r in ann_recall_report(
+            vectors,
+            query_ids=[0, 1, 2],
+            k=3,
+            n_clusters=4,
+            n_probe=2,
+            m=4,
+            nbits=4,
+            rerank_factor=4,
+            contracts={"ivf": 0.3, "pq": 0.1, "ivfpq": 0.1},
+            include_recall=True,
+        ).collect()
+    }
+    assert set(rep) == {"ivf", "pq", "ivfpq"}
+    for r in rep.values():
+        assert r["n_queries"] == 3 and r["k"] == 3 and r["exact_rows"] == 9
+        assert 0.0 <= r["recall"] <= 1.0
+    # Planted near-dups of query 0 land in its own cluster: IVF finds
+    # {0,100,101} for that query, so its recall is at least 3/9.
+    assert rep["ivf"]["recall"] >= 1 / 3
+
+
+def test_ann_recall_report_degenerate_params_give_full_recall(vectors):
+    """Full probe (n_probe = n_clusters) and a shortlist wider than the
+    corpus (rerank_factor*k >= n) degenerate every method to the exact
+    k-NN — recall must be exactly 1.0 for all three. This pins the
+    per-qid join/rank plumbing independent of k-means behavior."""
+    from data_eng_project_spark.operators.similarity import ann_recall_report
+
+    rows = ann_recall_report(
+        vectors,
+        query_ids=[0, 5, 100],
+        k=3,
+        n_clusters=4,
+        n_probe=4,
+        m=4,
+        nbits=4,
+        rerank_factor=30,
+        include_recall=True,
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["recall"] == 1.0 and bool(r["recall_ok"]), r["method"]
+
+
+def test_ann_recall_report_missing_query_id_raises(vectors):
+    from data_eng_project_spark.operators.similarity import ann_recall_report
+
+    with pytest.raises(ValueError, match="query ids not found"):
+        ann_recall_report(vectors, query_ids=[0, 99999], k=3)
+
+
+def test_ann_recall_report_testdata_floors(spark):
+    """Recall floors on the driver's own synthetic embeddings (sf0.001,
+    the adversarial no-structure case) — the registered contracts
+    (0.4/0.2/0.2) sit well below these, so the oracle booleans carry
+    real margin."""
+    from data_eng_project_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = {
+        r["method"]: r["recall"]
+        for r in ann_recall_report(
+            emb, query_ids=list(range(8)), include_recall=True
+        ).collect()
+    }
+    assert rep["ivf"] >= 0.5
+    assert rep["pq"] >= 0.3
+    assert rep["ivfpq"] >= 0.25
