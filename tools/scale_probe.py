@@ -3,11 +3,22 @@
 stay unique and join fan-outs stay realistic) into a temp lake, then
 time the headline queries there.
 
-Usage: python tools/scale_probe.py [N] [out_dir]
+Usage: python tools/scale_probe.py [--dup-heavy] [N] [out_dir] [queries...]
 
 This is the 10×-growth rehearsal for the 100 TB posture: a query whose
 runtime grows super-linearly here has a shuffle or candidate-set problem
 that a cluster will magnify, not hide.
+
+--dup-heavy builds the OTHER corpus regime: replicas keep their ids
+unique but the text is byte-identical across replicas, so every
+document becomes an exact-duplicate class of size N. This is the lake
+the collapsed dedup variants exist for — the perturbed default is the
+all-distinct WORST case for collapsing (nothing collapses, pure
+overhead), the dup-heavy lake is the case that blows plain
+pair-generating dedup up quadratically (every class contributes
+C(N,2) within-class pairs and N² cross-class pairs per true pair)
+while the collapsed form stays bounded at one representative per
+class. Default out_dir becomes /tmp/scale_probe_dup_xN.
 """
 
 from __future__ import annotations
@@ -33,6 +44,7 @@ _OFFSETS = {
     "embeddings": ["vec_id"],
 }
 # text perturbation so replicated documents aren't byte-identical
+# (disabled by --dup-heavy, which probes the exact-duplicate-class regime)
 _PERTURB_TEXT = True
 
 
@@ -82,13 +94,19 @@ def _build_is_complete(out_dir: str, n: int) -> bool:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{n}"
+    global _PERTURB_TEXT
+    args = [a for a in sys.argv[1:] if a != "--dup-heavy"]
+    dup_heavy = len(args) != len(sys.argv) - 1
+    if dup_heavy:
+        _PERTURB_TEXT = False
+    n = int(args[0]) if args else 10
+    default_dir = f"/tmp/scale_probe_{'dup_' if dup_heavy else ''}x{n}"
+    out_dir = args[1] if len(args) > 1 else default_dir
     # Any further args: probe ONLY these registry queries (plus the
     # pseudo-query "staged", which times the cold pair-graph stage build
     # + the five warm consumers in a fresh stage dir) — used for the
     # targeted 30× probes of non-headline paths.
-    only = sys.argv[3:] or None
+    only = args[2:] or None
     src_dir = "/root/testdata/sf0.1"
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,7 +132,14 @@ def main() -> None:
         times["staged_warm_consumers"] = staged["warm_consumers_sec"]
         print(f"staged_cold_build: {times['staged_cold_build']}s", flush=True)
         print(f"staged_warm_consumers: {times['staged_warm_consumers']}s", flush=True)
-    print({"total": round(sum(times.values()), 2), "n": n, "queries": times})
+    print(
+        {
+            "total": round(sum(times.values()), 2),
+            "n": n,
+            "dup_heavy": dup_heavy,
+            "queries": times,
+        }
+    )
 
 
 if __name__ == "__main__":
