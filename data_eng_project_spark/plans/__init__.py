@@ -42,121 +42,103 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-7 rotation (VERDICT r6 task 3 — close the certification
-# ledger completely). CORRECTNESS_r06 graded its full 50-slot window
-# green, bringing cumulative driver-certified coverage to 233/245.
-# This window covers everything left:
-#   1. dedup_simhash — the one oracle-backed query with no oracle-
-#      graded driver row (its md5-bit-arithmetic oracle landed after
-#      the r6 window froze).
-#   2. The 3 queries whose only driver row is round 1
-#      (full_outer_activity_reconciliation, events_hourly_gapfill,
-#      q21_sole_late_suppliers).
-#   3. Re-certs of every query rewritten after AUDIT_r06 was recorded
-#      or touched by this round's _bucketed_by_order changes (NaN end-
-#      bucket pin, float value-col rejection): the r6 rewrite set
+# Round-8 rotation (VERDICT r7 tasks 1 and 6 — finish the ledger, then
+# start the rolling refresh). CORRECTNESS_r07 graded its full window
+# (39 oracle-green + the 11 deliberate rows-only-by-nature slots),
+# closing cumulative coverage to 236/237 oracle-backed. This window:
+#   1. The 13 queries whose latest driver row is ROUND 2 — the last
+#      stale evidence anywhere in the ledger. asof_latest_order leads
+#      (task 6: its NULL-key/NULL-ts semantics hardened in r5, graded
+#      early in the window, not last); the rest in registry order.
+#   2. First-time slots: streaming_asof_enrich (born r7, after that
+#      window froze) and ann_recall_report (born THIS round — the
+#      oracle-graded recall contract that converts the rows-only ANN
+#      family into measured accuracy evidence, VERDICT r7 task 3).
+#      With these two graded, every oracle-backed query in the
+#      registry has a green driver row.
+#   3. Re-certs of every query whose lineage this round touched: the
+#      null-safe-join fix in the distributed rank/cumsum/select
+#      helpers (ADVICE r7) flows into all 16 consumers — direct
 #      (pps_sample_by_source, quality_quantile_normalize,
-#      kmv_distinct_ngrams, mad_outlier_summary, rfm_segments,
-#      pareto_customer_revenue, rrf_hybrid_search, text_quality_scores)
-#      plus every other distributed-rank/cumsum consumer
-#      (corpus_shuffle_order, er_entity_groups, split_exact_quota,
-#      priority_sample_by_source).
-#   4. The 11 queries that are rows-only BY NATURE (xxhash sketches,
-#      PCA internals, zlib byte outputs, stateful streaming probes,
-#      BPE encode — each documented at its registry entry and in
-#      QUERIES.md): deliberate in-window slots so the driver records
-#      their rows-only evidence (spark_rows + err:no_oracle is the
-#      strongest row the driver can write for them).
-#   5. The two queries ADDED this round (winsorize_length_bounds,
-#      dedup_ngram_jaccard_collapsed) — driver-certified in their birth
-#      round instead of waiting a cycle.
-#   6. 21 of the 35 re-certs whose latest driver row is round 2
-#      (registry order; the remaining 14 rotate in round 8).
-#
-# Round-8 queue: the 14 remaining r2 re-certs (union_discriminator …
-# events_within_minute in registry order) + first-time slots for the
-# round-7 late addition streaming_asof_enrich + re-certs of anything
-# the round touches.
+#      mad_outlier_summary, rfm_segments, pareto_customer_revenue,
+#      rrf_hybrid_search, winsorize_length_bounds,
+#      pack_sequences_chunked, export_shard_manifest,
+#      chunk_assembly_plan, chunk_documents_overlap) and via the
+#      rewritten operators (corpus_shuffle_order, er_entity_groups,
+#      split_exact_quota, priority_sample_by_source,
+#      length_trim_percentile).
+#   4. The remaining 19 slots: the OLDEST rows after this window —
+#      round-3-latest queries in registry order — starting the
+#      steady-state refresh cycle (every query re-graded within ~5
+#      rounds of its last row).
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. First oracle-graded slot for the r6-converted simhash oracle:
-    "dedup_simhash",
-    # 2. The last 3 r1-only re-certs:
-    "full_outer_activity_reconciliation",
-    "events_hourly_gapfill",
-    "q21_sole_late_suppliers",
-    # 3. Post-AUDIT_r06 rewrites + bucketed-rank/cumsum consumers:
+    # 1. The last round-2 driver rows, asof_latest_order first:
+    "asof_latest_order",
+    "union_discriminator",
+    "upsert_new_rows",
+    "orders_not_in_ledger",
+    "dedup_first_wins",
+    "multi_format_date_parse",
+    "fixed_width_slices",
+    "gps_split",
+    "validity_filter",
+    "json_field_extract",
+    "events_within_minute",
+    "deaths_pipeline_e2e",
+    "plants_pipeline_e2e",
+    # 2. First-time slots:
+    "streaming_asof_enrich",
+    "ann_recall_report",
+    # 3. Re-certs of this round's helper-fix consumers:
     "pps_sample_by_source",
     "quality_quantile_normalize",
-    "kmv_distinct_ngrams",
     "mad_outlier_summary",
     "rfm_segments",
     "pareto_customer_revenue",
     "rrf_hybrid_search",
-    "text_quality_scores",
+    "winsorize_length_bounds",
+    "pack_sequences_chunked",
+    "export_shard_manifest",
+    "chunk_assembly_plan",
+    "chunk_documents_overlap",
     "corpus_shuffle_order",
     "er_entity_groups",
     "split_exact_quota",
     "priority_sample_by_source",
-    # 4. The 11 rows-only-by-nature queries (deliberate rows-only
-    #    driver evidence; see _ROWS_ONLY_SLOTS below):
-    "dedup_minhash_lsh",
-    "similarity_ann_ivf",
-    "semdedup_embeddings",
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "compression_quality_signal",
-    "streaming_dedup_index_probe",
-    "audio_fingerprint_match",
-    "embedding_pca_scree",
-    "embedding_pca_project",
-    "bpe_encode_corpus_stats",
-    # 5. This round's additions, certified in their birth round:
-    "winsorize_length_bounds",
-    "dedup_ngram_jaccard_collapsed",
-    # 6. Oldest (round-2) driver rows, refreshed in registry order:
-    "q1_pricing_summary",
-    "q5_region_supplier_revenue",
-    "events_hourly_rollup",
-    "decontaminate_ngram_overlap",
-    "embedding_quantize_int8",
-    "streaming_sessionize",
     "length_trim_percentile",
-    "pii_detect_redact",
-    "lang_id_heuristic",
-    "token_counts",
-    "doc_fingerprints",
-    "winnowing_fingerprints",
-    "embedding_dup_pairs",
-    "tfidf_top_terms",
-    "crossmodal_dup_consensus",
-    "bm25_search",
-    "label_centroids",
-    "hybrid_search",
-    "streaming_interval_join",
-    "streaming_dedup_events",
-    "customer_nation_region",
+    # 4. Oldest (round-3) rows, refreshed in registry order:
+    "q3_top_unshipped_orders",
+    "rollup_order_status",
+    "sessionize_events",
+    "topk_customers_by_spend",
+    "grouping_sets_revenue",
+    "conditional_aggregation",
+    "stratified_sample_deterministic",
+    "q18_large_orders",
+    "q15_top_revenue_suppliers",
+    "salted_join_supplier_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_item_customers",
+    "q19_disjunctive_predicates",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q22_idle_customers",
+    "window_function_suite",
+    "funnel_conversion",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every
 # name here must be rows-only by nature with the rationale documented
 # at its @register site; anything else without an oracle is a rotation
-# mistake and _reorder_registry still raises for it.
-_ROWS_ONLY_SLOTS = {
-    "dedup_minhash_lsh",
-    "similarity_ann_ivf",
-    "semdedup_embeddings",
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "compression_quality_signal",
-    "streaming_dedup_index_probe",
-    "audio_fingerprint_match",
-    "embedding_pca_scree",
-    "embedding_pca_project",
-    "bpe_encode_corpus_stats",
-}
+# mistake and _reorder_registry still raises for it. The round-8
+# window is all-oracle (the 11 rows-only-by-nature queries recorded
+# their deliberate rows-only driver evidence in round 7), so the set
+# is empty this round.
+_ROWS_ONLY_SLOTS: set[str] = set()
 
 
 def _reorder_registry() -> None:
