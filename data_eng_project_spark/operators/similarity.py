@@ -1026,3 +1026,57 @@ def ann_recall_report(
         .crossJoin(F.broadcast(ex_stats))
         .select(*out)
     )
+
+
+def all_pairs_above_collapsed(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs with EXACT-DUPLICATE VECTOR
+    CLASSES COLLAPSED FIRST — the embedding-modality twin of
+    dedup.ngram_jaccard_pairs_collapsed. Re-ingested shards, mirrored
+    pages, and default/failed-encoder vectors produce byte-identical
+    embeddings at corpus scale, and the all-pairs contract is then the
+    problem itself: a class of k identical vectors contributes
+    k·(k−1)/2 pairs AND k copies of every cross-class near-dup pair —
+    no blocking can save a quadratic OUTPUT (measured on the replica
+    lakes: embeddings replicate byte-identically in BOTH probe
+    regimes, BASELINE.md round 8).
+
+    Stage 1 groups by the raw vector value (exact float equality —
+    byte-identical duplicates; near-identical vectors are exactly what
+    stage 2 measures) keeping min(id) as the representative and the
+    class size; the vector IS the grouping key, so one hash aggregate
+    does representative + size with no struct trick needed. Stage 2
+    runs the blocked-GEMM all-pairs over REPRESENTATIVES only. Output
+    is one row per near-dup CLASS pair with both class sizes and the
+    implied member-pair count; intra-class exact pairs are exact
+    dedup's business, not similarity's.
+
+    Returns (id_a, id_b, cosine, n_vecs_a, n_vecs_b, n_vec_pairs),
+    id_a < id_b (representative ids)."""
+    reps = vectors.groupBy(F.col(vec_col)).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    pairs = all_pairs_above_blocked(
+        reps, threshold, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col
+    )
+    sz = reps.select(id_col, "n_vecs")
+    return (
+        pairs.join(
+            sz.withColumnsRenamed({id_col: "id_a", "n_vecs": "n_vecs_a"}), "id_a"
+        )
+        .join(sz.withColumnsRenamed({id_col: "id_b", "n_vecs": "n_vecs_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            "n_vecs_a",
+            "n_vecs_b",
+            (F.col("n_vecs_a") * F.col("n_vecs_b")).cast("bigint").alias("n_vec_pairs"),
+        )
+    )

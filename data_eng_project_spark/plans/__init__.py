@@ -67,10 +67,14 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      rewritten operators (corpus_shuffle_order, er_entity_groups,
 #      split_exact_quota, priority_sample_by_source,
 #      length_trim_percentile).
-#   4. The remaining 19 slots: the OLDEST rows after this window —
+#   4. embedding_dup_pairs_collapsed — born this round (the collapse
+#      defense extended to the embedding modality), certified in its
+#      birth round.
+#   5. The remaining 18 slots: the OLDEST rows after this window —
 #      round-3-latest queries in registry order — starting the
 #      steady-state refresh cycle (every query re-graded within ~5
-#      rounds of its last row).
+#      rounds of its last row). funnel_conversion is the first r3
+#      name deferred to r9 (the newborn above took its slot).
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
@@ -109,7 +113,9 @@ _GRADED_WINDOW = [
     "split_exact_quota",
     "priority_sample_by_source",
     "length_trim_percentile",
-    # 4. Oldest (round-3) rows, refreshed in registry order:
+    # 4. Born this round:
+    "embedding_dup_pairs_collapsed",
+    # 5. Oldest (round-3) rows, refreshed in registry order:
     "q3_top_unshipped_orders",
     "rollup_order_status",
     "sessionize_events",
@@ -128,7 +134,6 @@ _GRADED_WINDOW = [
     "q11_important_parts",
     "q22_idle_customers",
     "window_function_suite",
-    "funnel_conversion",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every

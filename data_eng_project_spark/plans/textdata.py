@@ -602,6 +602,51 @@ def embedding_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dup_pairs_collapsed",
+    # Full replay: the collapse is a GROUP BY on the vector value
+    # itself (exact float equality — both engines group byte-identical
+    # lists together), min(vec_id) is the representative, and the pair
+    # stage is the proven rounded-cosine formulation over
+    # representatives only.
+    oracle=f"""
+        WITH cls AS (
+            SELECT embedding, min(vec_id) AS vec_id,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY embedding
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cosine,
+               a.n_vecs AS n_vecs_a, b.n_vecs AS n_vecs_b,
+               CAST(a.n_vecs * b.n_vecs AS BIGINT) AS n_vec_pairs
+        FROM cls a
+        JOIN cls b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])),
+                    6) >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "embedding", "gemm", "collapsed"),
+)
+def embedding_dup_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLASS pairs: exact-duplicate vector classes
+    collapsed to their min-id representative BEFORE the blocked-GEMM
+    all-pairs — the embedding-modality twin of
+    dedup_ngram_jaccard_collapsed (VERDICT r7's production defense
+    against quadratic duplicate classes, extended to the second
+    modality it bites: re-ingested shards and failed-encoder default
+    vectors are byte-identical embeddings, and the replica probe lakes
+    show the blow-up directly — BASELINE.md round 8). One hash
+    aggregate on the vector value, GEMM over distinct vectors only,
+    class sizes and the implied member-pair mass carried
+    arithmetically."""
+    prepare(spark)
+    return S.all_pairs_above_collapsed(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+@register(
     "similarity_ann_ivf",
     oracle=None,  # The sampled pyspark.ml fit is deliberate: the quantizer
     # only needs the coarse density shape, so fitting on a seeded

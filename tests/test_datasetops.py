@@ -1215,7 +1215,16 @@ def test_helpers_keep_null_partition_keys(spark):
     partition columns, so a NULL group key — which the plain window
     form keeps as its own partition — was silently dropped. All three
     helpers must now match the window forms on a frame with a NULL
-    group."""
+    group.
+
+    Sweep note (same review): group-key name-joins in the OPERATOR
+    bodies (pps_systematic_sample's totals join, quantile_normalize's
+    n_per join, source_quality_profile's modal join) were audited and
+    deliberately left null-UNSAFE — their DuckDB oracles replay the
+    same `JOIN ... USING (group)` shape, which also drops NULL groups,
+    so both engines agree; only the helpers replaced WINDOW forms
+    (whose oracles use PARTITION BY and keep NULL groups) and needed
+    the null-safe alignment."""
     from decimal import Decimal
 
     from pyspark.sql import Window

@@ -2008,3 +2008,59 @@ def test_ann_recall_report_testdata_floors(spark):
     assert rep["ivf"] >= 0.5
     assert rep["pq"] >= 0.3
     assert rep["ivfpq"] >= 0.25
+
+
+def test_all_pairs_collapsed_matches_blocked_on_distinct(vectors):
+    """With all-distinct vectors the collapse is a no-op: class pairs
+    equal the plain blocked pairs with all class sizes 1."""
+    from data_eng_project_spark.operators.similarity import (
+        all_pairs_above_blocked,
+        all_pairs_above_collapsed,
+    )
+
+    plain = {
+        (r.id_a, r.id_b): r.cosine
+        for r in all_pairs_above_blocked(vectors, threshold=0.9).collect()
+    }
+    col = {
+        (r.id_a, r.id_b): r
+        for r in all_pairs_above_collapsed(vectors, threshold=0.9).collect()
+    }
+    assert set(col) == set(plain) and len(plain) > 0
+    for k, r in col.items():
+        assert r.cosine == plain[k]
+        assert r.n_vecs_a == 1 and r.n_vecs_b == 1 and r.n_vec_pairs == 1
+
+
+def test_all_pairs_collapsed_duplicate_classes(spark):
+    """Planted duplicate classes: k byte-identical copies collapse to
+    the min-id representative, pair rows carry class sizes, and the
+    implied member-pair mass equals what the plain form would emit
+    cross-class."""
+    from data_eng_project_spark.operators.similarity import (
+        all_pairs_above_blocked,
+        all_pairs_above_collapsed,
+    )
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.9, 0.1, 0.0, 0.0]  # near-dup of a
+    c = [0.0, 0.0, 1.0, 0.0]  # unrelated
+    rows = (
+        [(i, a) for i in (10, 11, 12)]        # class A, size 3, rep 10
+        + [(20 + i, b) for i in range(2)]      # class B, size 2, rep 20
+        + [(30, c)]                            # singleton
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    col = {
+        (r.id_a, r.id_b): r
+        for r in all_pairs_above_collapsed(df, threshold=0.5).collect()
+    }
+    assert set(col) == {(10, 20)}
+    r = col[(10, 20)]
+    assert (r.n_vecs_a, r.n_vecs_b, r.n_vec_pairs) == (3, 2, 6)
+    # The plain form pays the quadratic price: 3·2 cross-class copies
+    # of the SAME logical pair plus C(3,2)+C(2,2) intra-class rows.
+    plain = all_pairs_above_blocked(df, threshold=0.5).collect()
+    cross = [p for p in plain if p.cosine < 1.0]
+    intra = [p for p in plain if p.cosine == 1.0]
+    assert len(cross) == 6 and len(intra) == 3 + 1
