@@ -1344,3 +1344,47 @@ def test_winsorize_decimal_values_exact(spark):
     assert row["n_below"] == 0 and row["n_above"] == 1
     clamped = [min(max(v, Decimal("1.25")), Decimal("19.25")) for v in vals]
     assert row["winsorized_mean"] == round(float(sum(clamped)) / 20, 6)
+
+
+def test_rank_select_randomized_differential(spark):
+    """Seeded randomized differential for distributed_rank_select: the
+    bucket-pruned selection equals driver-side sorted-rank selection
+    across random frames — NULL group keys, heavy ties, random targets
+    including out-of-range (select nothing) and the group edges, bucket
+    counts {1, 5, 64}."""
+    import random
+
+    from data_eng_project_spark.operators.datasetops import distributed_rank_select
+
+    random.seed(4321)
+    for trial in range(3):
+        n = random.randint(1, 120)
+        rows = [
+            (
+                random.choice([None, "g0", "g1", "g2"]),
+                random.choice(list(range(8))),
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, v int").repartition(5)
+        by_g: dict = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        targets = [
+            (g, random.choice([0, 1, len(vs), len(vs) + 3, (len(vs) + 1) // 2]))
+            for g, vs in by_g.items()
+        ]
+        tdf = spark.createDataFrame(targets, "g string, _target long")
+        for nb in (1, 5, 64):
+            got = {
+                r["g"]: r["_selected"]
+                for r in distributed_rank_select(
+                    df, "v", ["g"], tdf, n_buckets=nb
+                ).collect()
+            }
+            want = {
+                g: sorted(vs)[t - 1]
+                for (g, t), vs in zip(targets, (by_g[g] for g, _ in targets))
+                if 1 <= t <= len(vs)
+            }
+            assert got == want, f"trial={trial} nb={nb}"
