@@ -61,6 +61,25 @@ def test_corpus_key_columns_non_null(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for c in ("vec_id", "embedding", "label"):
         assert emb.filter(F.col(c).isNull()).count() == 0, c
+    # Float-grouping assumption behind embedding_dup_pairs_collapsed's
+    # GROUP BY on the vector value: no -0.0 / NaN elements (the one
+    # place Spark's NormalizeFloatingNumbers and DuckDB's list grouping
+    # could disagree) and no zero-norm vectors (NaN cosines).
+    bad = emb.filter(
+        F.exists("embedding", lambda x: F.isnan(x))
+        | F.exists(
+            "embedding", lambda x: (x == 0.0) & (F.signum(F.lit(1.0) / x) < 0)
+        )
+        | (
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            == 0.0
+        )
+    )
+    assert bad.count() == 0
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
