@@ -220,3 +220,72 @@ def embedding_health_report(df: DataFrame, vec_col: str = "embedding") -> DataFr
             "near_constant",
         )
     )
+
+
+def pca_trace_report(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Driver-gradeable PCA quality contract (the ann_recall_report
+    pattern applied to the eigendecomposition): one row —
+
+    - ``n_vecs`` / ``dim`` / ``total_variance``: recomputed by the SQL
+      oracle independently. total_variance is the covariance TRACE via
+      the exact-decimal per-dimension moment route (the certified
+      embedding_covariance / embedding_health_report arithmetic:
+      DECIMAL(28,12)/(38,18) sums landed in doubles only for the final
+      variance formula, then folded in dimension order on both engines
+      — identical float expression trees, bit-stable at 6 dp).
+    - ``eigensum_matches_trace``: |Σ all eigenvalues − trace| < 1e-5.
+      The eigenvalue sum comes from the driver-side eigh of the
+      moment-route covariance; the trace comes from the independent
+      decimal route above. Equality is the invariant tr(C) = Σλ — a
+      wrong eigendecomposition (or a drifted moment pass) is off by
+      O(variance), seven orders above the tolerance, while the two
+      routes' float noise sits ~1e-10 below it.
+    - ``components_orthonormal``: max |C·Cᵀ − I| < 1e-9 for the top-8
+      component matrix (driver-side check of the eigenvector basis).
+
+    This converts the rows-only PCA family's "trust the numpy-twin
+    pytest" into an oracle-graded accuracy contract."""
+    from pyspark.sql.types import DoubleType
+
+    _, _, cov = _summed_moments(df, vec_col)
+    eigsum = float(np.sort(np.linalg.eigvalsh(cov)).sum())
+    comps = fit_pca(df, vec_col=vec_col, k=8)[1]
+    ortho = bool(
+        np.abs(comps @ comps.T - np.eye(comps.shape[0])).max() < 1e-9
+    )
+
+    x = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p", "v")
+    ).select((F.col("_p") + 1).cast("int").alias("i"), "v")
+    s = x.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(28,12)")).alias("sd"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)")).alias("ss"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("n")
+    var_d = F.col("ss").cast("double") / F.col("n") - mean_d * mean_d
+    pv = s.select("i", var_d.alias("var"))
+    # Trace = the per-dimension variances folded IN DIMENSION ORDER —
+    # sequential double accumulation mirroring the oracle's
+    # list_aggregate(list(var ORDER BY i), 'sum'), so the rounded value
+    # is bit-identical cross-engine.
+    tr = pv.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "var"))),
+            F.lit(0.0).cast(DoubleType()),
+            lambda acc, t: acc + t["var"],
+        ).alias("_trace_raw")
+    )
+    meta = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.max(F.size(vec_col)).cast("bigint").alias("dim"),
+    )
+    return meta.crossJoin(F.broadcast(tr)).select(
+        "n_vecs",
+        "dim",
+        (F.round(F.col("_trace_raw"), 6) + F.lit(0.0)).alias("total_variance"),
+        (F.abs(F.col("_trace_raw") - F.lit(eigsum)) < F.lit(1e-5)).alias(
+            "eigensum_matches_trace"
+        ),
+        F.lit(ortho).alias("components_orthonormal"),
+    )

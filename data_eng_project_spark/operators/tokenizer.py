@@ -252,3 +252,77 @@ def bpe_encode_stats(
             "tokens_per_word double, n_uncompressed_words long"
         ),
     )
+
+
+def bpe_roundtrip_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: bool = True,
+) -> DataFrame:
+    """Driver-gradeable losslessness contract for the BPE encoder (the
+    ann_recall_report pattern): one row —
+
+    - ``n_docs`` / ``n_words``: recomputed independently by the SQL
+      oracle (the corpus word count is the same [a-z]+ tokenization the
+      certified bpe_word_frequencies oracle replays).
+    - ``all_roundtrip``: concatenating every word's encoded pieces
+      (minus the EOW marker) reconstructs the word exactly, for every
+      word of every document — BPE merges only ever concatenate
+      adjacent symbols, so a FALSE here means a real encoder defect
+      (dropped symbol, marker leakage, memo corruption), not noise.
+    - ``no_empty_pieces``: no encoding emits an empty piece.
+
+    The merge table itself stays data-dependent (why the stats query is
+    rows-only); this report grades the ENCODER against data-independent
+    invariants plus SQL-recomputed corpus totals. Scale shape: one
+    mapInPandas pass emitting 4 counters per Arrow batch, then a 1-row
+    sum — map-side combinable, nothing corpus-sized moves."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = re.compile(r"[a-z]+")
+    marker = EOW if eow else ""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[bool, bool]] = {}  # word -> (roundtrips, has_empty)
+        for pdf in it:
+            n_docs = n_words = n_bad = n_empty = 0
+            for text in pdf[text_col]:
+                n_docs += 1
+                for w in word_re.findall((text or "").lower()):
+                    n_words += 1
+                    got = memo.get(w)
+                    if got is None:
+                        pieces = encode_word(w, ranks, eow=eow)
+                        joined = "".join(pieces)
+                        ok = joined == w + marker
+                        empty = any(p == "" for p in pieces)
+                        got = (ok, empty)
+                        memo[w] = got
+                    if not got[0]:
+                        n_bad += 1
+                    if got[1]:
+                        n_empty += 1
+            yield pd.DataFrame(
+                {
+                    "n_docs": [n_docs],
+                    "n_words": [n_words],
+                    "n_bad": [n_bad],
+                    "n_empty": [n_empty],
+                }
+            )
+
+    partials = docs.select(id_col, text_col).mapInPandas(
+        batches, schema="n_docs long, n_words long, n_bad long, n_empty long"
+    )
+    # Coalesce: an EMPTY corpus yields zero partial rows, so the sums
+    # are NULL — report 0 docs / 0 words / vacuously-true contracts
+    # instead of a NULL row.
+    return partials.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+        (F.coalesce(F.sum("n_bad"), F.lit(0)) == 0).alias("all_roundtrip"),
+        (F.coalesce(F.sum("n_empty"), F.lit(0)) == 0).alias("no_empty_pieces"),
+    )

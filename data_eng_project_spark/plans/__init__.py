@@ -67,14 +67,18 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 #      rewritten operators (corpus_shuffle_order, er_entity_groups,
 #      split_exact_quota, priority_sample_by_source,
 #      length_trim_percentile).
-#   4. embedding_dup_pairs_collapsed — born this round (the collapse
-#      defense extended to the embedding modality), certified in its
-#      birth round.
-#   5. The remaining 18 slots: the OLDEST rows after this window —
+#   4. The three queries BORN this round, certified in their birth
+#      round: embedding_dup_pairs_collapsed (the collapse defense
+#      extended to the embedding modality), pca_trace_report and
+#      bpe_roundtrip_report (graded-accuracy contracts for the two
+#      remaining rows-only-by-nature families — tr(C)=Σλ via the
+#      certified decimal moment route, and BPE encoder losslessness).
+#   5. The remaining 16 slots: the OLDEST rows after this window —
 #      round-3-latest queries in registry order — starting the
 #      steady-state refresh cycle (every query re-graded within ~5
-#      rounds of its last row). funnel_conversion is the first r3
-#      name deferred to r9 (the newborn above took its slot).
+#      rounds of its last row). window_function_suite,
+#      q22_idle_customers, funnel_conversion are the first r3 names
+#      deferred to r9 (the newborns above took their slots).
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
@@ -115,6 +119,8 @@ _GRADED_WINDOW = [
     "length_trim_percentile",
     # 4. Born this round:
     "embedding_dup_pairs_collapsed",
+    "pca_trace_report",
+    "bpe_roundtrip_report",
     # 5. Oldest (round-3) rows, refreshed in registry order:
     "q3_top_unshipped_orders",
     "rollup_order_status",
@@ -132,8 +138,6 @@ _GRADED_WINDOW = [
     "q7_nation_pair_volume",
     "q9_profit_by_nation_year",
     "q11_important_parts",
-    "q22_idle_customers",
-    "window_function_suite",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every

@@ -31,6 +31,59 @@ def embedding_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pca_trace_report",
+    # The eigendecomposition itself has no SQL twin (why the scree/
+    # projection queries are rows-only), but its defining invariant
+    # does: tr(C) = Σλ. The oracle recomputes the trace via the
+    # certified exact-decimal moment route (embedding_covariance /
+    # embedding_health_report arithmetic, folded in dimension order on
+    # both engines) and asserts the eigensum/orthonormality contract
+    # booleans — the minhash_accuracy_report / ann_recall_report
+    # pattern applied to the linalg family.
+    oracle="""
+        WITH x AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT i, count(*) AS n,
+                   sum(CAST(v AS DECIMAL(28,12))) AS sd,
+                   sum(CAST(v * v AS DECIMAL(38,18))) AS ss
+            FROM x GROUP BY i
+        ), pv AS (
+            SELECT i, CAST(ss AS DOUBLE) / n
+                      - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)
+                          AS var
+            FROM s
+        ), tr AS (
+            SELECT list_aggregate(list(var ORDER BY i), 'sum') AS trace
+            FROM pv
+        ), meta AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(max(len(embedding)) AS BIGINT) AS dim
+            FROM embeddings
+        )
+        SELECT meta.n_vecs, meta.dim,
+               round(tr.trace, 6) + 0.0 AS total_variance,
+               TRUE AS eigensum_matches_trace,
+               TRUE AS components_orthonormal
+        FROM meta CROSS JOIN tr
+    """,
+    tags=("linalg", "embedding", "pca", "evaluation"),
+)
+def pca_trace_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible PCA quality evidence: the covariance trace
+    (oracle-recomputed, exact-decimal route) vs the eigenvalue sum of
+    the fitted decomposition, plus top-8 component orthonormality —
+    converting the rows-only PCA family's numpy-twin trust into a
+    graded accuracy contract (see operators/linalg.pca_trace_report)."""
+    prepare(spark)
+    from data_eng_project_spark.operators.linalg import pca_trace_report
+
+    return pca_trace_report(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_pca_project",
     oracle=None,  # projection of a driver-fit basis; numpy-twin pytest
     tags=("embedding", "linalg", "pca"),

@@ -120,3 +120,40 @@ def bpe_encode_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_fit_distributed(docs, n_merges=200, max_words=20000)
     return bpe_encode_stats(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "bpe_roundtrip_report",
+    # The merge table is data-dependent (why the stats query above is
+    # rows-only — a VALUES-literal fit at one sf is wrong at every
+    # other), but the ENCODER's losslessness is not: round-tripping is
+    # an invariant of BPE itself. The oracle recomputes the corpus
+    # totals with the same [a-z]+ tokenization the certified
+    # bpe_word_frequencies oracle replays, and asserts the round-trip
+    # contract booleans.
+    oracle="""
+        WITH w AS (
+            SELECT len(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS nw
+            FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(nw), 0) AS BIGINT) AS n_words,
+               TRUE AS all_roundtrip,
+               TRUE AS no_empty_pieces
+        FROM w
+    """,
+    tags=("tokenizer", "textdata", "evaluation"),
+)
+def bpe_roundtrip_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible losslessness contract for the distributed BPE
+    encoder: every word of every document must reconstruct exactly from
+    its encoded pieces (see operators/tokenizer.bpe_roundtrip_report) —
+    the graded-accuracy companion to the rows-only encode-stats query."""
+    prepare(spark)
+    from data_eng_project_spark.operators.tokenizer import bpe_roundtrip_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit_distributed(docs, n_merges=200, max_words=20000)
+    return bpe_roundtrip_report(docs, merges)

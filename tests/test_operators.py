@@ -2064,3 +2064,49 @@ def test_all_pairs_collapsed_duplicate_classes(spark):
     cross = [p for p in plain if p.cosine < 1.0]
     intra = [p for p in plain if p.cosine == 1.0]
     assert len(cross) == 6 and len(intra) == 3 + 1
+
+
+def test_pca_trace_report_contracts(spark):
+    import numpy as np
+
+    from data_eng_project_spark.operators.linalg import pca_trace_report
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(80, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    r = pca_trace_report(df).collect()[0]
+    assert r["n_vecs"] == 80 and r["dim"] == 8
+    assert bool(r["eigensum_matches_trace"]) and bool(r["components_orthonormal"])
+    # The reported trace equals the population per-dim variance sum
+    # (float32 storage: compare at the round-trip precision).
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    want = float(v32.var(axis=0).sum())
+    assert abs(r["total_variance"] - want) < 1e-5
+
+
+def test_bpe_roundtrip_report_counts(spark):
+    from data_eng_project_spark.operators.tokenizer import (
+        bpe_fit,
+        bpe_roundtrip_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "THE CAT!!"),          # case-folds and strips punctuation
+            (3, ""),                   # empty doc: 0 words, still counted
+            (4, None),                 # NULL text: 0 words, still counted
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_fit([("the", 10), ("cat", 5), ("mat", 2)], n_merges=20)
+    r = bpe_roundtrip_report(docs, merges).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_words"] == 6 + 2  # doc1: 6 words, doc2: 2
+    assert bool(r["all_roundtrip"]) and bool(r["no_empty_pieces"])
+    # Empty merge table: every word round-trips as characters+EOW.
+    r0 = bpe_roundtrip_report(docs, []).collect()[0]
+    assert bool(r0["all_roundtrip"]) and r0["n_words"] == 8
