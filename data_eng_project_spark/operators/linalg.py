@@ -247,9 +247,15 @@ def pca_trace_report(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     pytest" into an oracle-graded accuracy contract."""
     from pyspark.sql.types import DoubleType
 
+    # ONE moment pass feeds both driver-side checks (calling fit_pca
+    # here would recompute _summed_moments — a second corpus pass for
+    # the same d×d statistic); the decimal trace below is the report's
+    # only other scan. Sign canonicalization is irrelevant to the
+    # orthonormality check, so raw eigh vectors suffice.
     _, _, cov = _summed_moments(df, vec_col)
-    eigsum = float(np.sort(np.linalg.eigvalsh(cov)).sum())
-    comps = fit_pca(df, vec_col=vec_col, k=8)[1]
+    evals, evecs = np.linalg.eigh(cov)
+    eigsum = float(evals.sum())
+    comps = evecs[:, np.argsort(evals)[::-1][:8]].T
     ortho = bool(
         np.abs(comps @ comps.T - np.eye(comps.shape[0])).max() < 1e-9
     )
