@@ -1080,3 +1080,100 @@ def all_pairs_above_collapsed(
             (F.col("n_vecs_a") * F.col("n_vecs_b")).cast("bigint").alias("n_vec_pairs"),
         )
     )
+
+
+def semdedup_accuracy_report(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.45,
+    seed: int = 42,
+    recall_contract: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_metrics: bool = False,
+) -> DataFrame:
+    """Measured precision/recall of SemDeDup's cluster-restricted dup
+    set against the EXACT global near-dup set at the same threshold —
+    the evidence that cluster-bounding the quadratic term (the whole
+    reason semdedup scales to 100 TB) loses only the cross-cluster
+    borderline pairs, in the driver-gradable shape of
+    ann_recall_report: facts a SQL oracle recomputes independently
+    (corpus size, the exact dup-id count) plus contract booleans whose
+    Spark-side inputs are measured, not asserted.
+
+    Ground truth: an id is an exact dup iff SOME lower-id vector's
+    rounded cosine ≥ threshold (the keep-lowest-id policy applied with
+    no cluster restriction), computed by the blocked-GEMM all-pairs —
+    exact math, not a sketch. SemDeDup's flagged set is by construction
+    a SUBSET of it (a within-cluster pair IS a global pair), so
+    precision is provably 1.0 and ``precision_exact`` grades that the
+    implementation preserves the invariant; ``recall_ok`` grades the
+    measured recall against a contract pinned far below the measured
+    floor (recall is data-dependent; the sharp values stay pinned in
+    tests). An empty exact dup set grades recall_ok vacuously true.
+
+    One distributed plan: the semdedup flags and the exact dup ids are
+    two single-shuffle aggregates joined on id; the three counts are
+    1-row frames crossJoined broadcast-style, the ann_recall_report
+    shape. Scale posture: the exact side is the quadratic baseline you
+    run on an AUDIT SAMPLE at 100 TB, not the corpus — the report's
+    job is to certify the cheap path, so it is sized for the sample
+    tier (sf-scale corpora here), while the semdedup side itself stays
+    linear-total-work at any scale.
+
+    Returns one row: (n_vectors, n_exact_dups, precision_exact,
+    recall_ok) [+ n_sem_dups, n_hits, recall with include_metrics]."""
+    sem = semdedup(
+        vectors,
+        n_clusters=n_clusters,
+        threshold=threshold,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    exact_dup_ids = (
+        all_pairs_above_blocked(
+            vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("id_b").alias("_eid"))
+        .distinct()
+    )
+    joined = sem.join(
+        exact_dup_ids, sem[id_col] == exact_dup_ids["_eid"], how="left"
+    ).select(
+        F.col("is_dup"), F.col("_eid").isNotNull().alias("_is_exact")
+    )
+    # coalesce(sum, 0): an empty corpus must report zeros and vacuous
+    # truth, not NULL-valued booleans.
+    counts = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.coalesce(F.sum(F.col("_is_exact").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.coalesce(F.sum(F.col("is_dup").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_sem_dups"),
+        F.coalesce(
+            F.sum((F.col("is_dup") & F.col("_is_exact")).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_exact_dups")
+    out = [
+        F.col("n_vectors"),
+        F.col("n_exact_dups"),
+        (F.col("n_hits") == F.col("n_sem_dups")).alias("precision_exact"),
+        (
+            (F.col("n_exact_dups") == 0) | (recall >= F.lit(float(recall_contract)))
+        ).alias("recall_ok"),
+    ]
+    if include_metrics:
+        # Raw measured values — for tests and scale probes only;
+        # data-dependent, so NOT part of the oracle-compared shape.
+        out += [
+            F.col("n_sem_dups"),
+            F.col("n_hits"),
+            F.round(recall, 6).alias("recall"),
+        ]
+    return counts.select(*out)

@@ -42,102 +42,93 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-8 rotation (VERDICT r7 tasks 1 and 6 — finish the ledger, then
-# start the rolling refresh). CORRECTNESS_r07 graded its full window
-# (39 oracle-green + the 11 deliberate rows-only-by-nature slots),
-# closing cumulative coverage to 236/237 oracle-backed. This window:
-#   1. The 13 queries whose latest driver row is ROUND 2 — the last
-#      stale evidence anywhere in the ledger. asof_latest_order leads
-#      (task 6: its NULL-key/NULL-ts semantics hardened in r5, graded
-#      early in the window, not last); the rest in registry order.
-#   2. First-time slots: streaming_asof_enrich (born r7, after that
-#      window froze) and ann_recall_report (born THIS round — the
-#      oracle-graded recall contract that converts the rows-only ANN
-#      family into measured accuracy evidence, VERDICT r7 task 3).
-#      With these two graded, every oracle-backed query in the
-#      registry has a green driver row.
-#   3. Re-certs of every query whose lineage this round touched: the
-#      null-safe-join fix in the distributed rank/cumsum/select
-#      helpers (ADVICE r7) flows into all 16 consumers — direct
-#      (pps_sample_by_source, quality_quantile_normalize,
-#      mad_outlier_summary, rfm_segments, pareto_customer_revenue,
-#      rrf_hybrid_search, winsorize_length_bounds,
-#      pack_sequences_chunked, export_shard_manifest,
-#      chunk_assembly_plan, chunk_documents_overlap) and via the
-#      rewritten operators (corpus_shuffle_order, er_entity_groups,
-#      split_exact_quota, priority_sample_by_source,
-#      length_trim_percentile).
-#   4. The three queries BORN this round, certified in their birth
-#      round: embedding_dup_pairs_collapsed (the collapse defense
-#      extended to the embedding modality), pca_trace_report and
-#      bpe_roundtrip_report (graded-accuracy contracts for the two
-#      remaining rows-only-by-nature families — tr(C)=Σλ via the
-#      certified decimal moment route, and BPE encoder losslessness).
-#   5. The remaining 16 slots: the OLDEST rows after this window —
-#      round-3-latest queries in registry order — starting the
-#      steady-state refresh cycle (every query re-graded within ~5
-#      rounds of its last row). window_function_suite,
-#      q22_idle_customers, funnel_conversion are the first r3 names
-#      deferred to r9 (the newborns above took their slots).
+# Round-9 rotation (VERDICT r8 tasks 1-3 — finish the steady-state
+# refresh, certify the two newborn accuracy contracts). CORRECTNESS_r08
+# graded its full 50-slot window green, taking the cumulative ledger to
+# 241/241 oracle-backed; the oldest remaining driver evidence anywhere
+# is round 3 (27 queries) then round 4 (46). This window:
+#   1. The two queries BORN this round, certified in their birth round
+#      (the ann_recall_report pattern extended to the last two
+#      rows-only families without measured quality evidence):
+#      semdedup_accuracy_report (precision/recall of the
+#      cluster-restricted dup set vs the exact global near-dup set —
+#      precision provably 1.0, recall contract 0.15 under measured
+#      floors 0.286/0.571/0.311 at sf0.001/0.01/0.1) and
+#      streaming_dedup_recall_report (recall of the streaming LSH
+#      index probe vs the exact bipartite batch-vs-corpus Jaccard
+#      join — subset provable, recall contract 0.7 under a measured
+#      1.0 floor at all three SFs).
+#   2. All 27 round-3-latest queries, in registry order — this
+#      completes the refresh VERDICT r8 task 1 asked for: after this
+#      window no query's latest driver evidence predates round 4.
+#   3. The remaining 21 slots: the oldest round-4-latest queries in
+#      registry order (flagship spatial family first). The ~25 r4
+#      rows that do not fit are the natural r10 window head.
+# Round-9 code-change note: the r8 null-safe helper fix's .isin()
+# sweep (VERDICT r8 task 6) was a NEGATIVE RESULT — all 11 package
+# .isin sites are NULL-safe by construction (cluster ids/md5 keys
+# non-null, requested-id filters, SQL-IN-equivalent plan filters
+# whose oracles share the NULL-drop, and dq_report counts NULL
+# predicates as violations by design) — so no re-certs are forced
+# by code changes this round; the two report queries above are the
+# only new lineage.
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. The last round-2 driver rows, asof_latest_order first:
-    "asof_latest_order",
-    "union_discriminator",
-    "upsert_new_rows",
-    "orders_not_in_ledger",
-    "dedup_first_wins",
-    "multi_format_date_parse",
-    "fixed_width_slices",
-    "gps_split",
-    "validity_filter",
-    "json_field_extract",
-    "events_within_minute",
-    "deaths_pipeline_e2e",
-    "plants_pipeline_e2e",
-    # 2. First-time slots:
-    "streaming_asof_enrich",
-    "ann_recall_report",
-    # 3. Re-certs of this round's helper-fix consumers:
-    "pps_sample_by_source",
-    "quality_quantile_normalize",
-    "mad_outlier_summary",
-    "rfm_segments",
-    "pareto_customer_revenue",
-    "rrf_hybrid_search",
-    "winsorize_length_bounds",
-    "pack_sequences_chunked",
-    "export_shard_manifest",
-    "chunk_assembly_plan",
-    "chunk_documents_overlap",
-    "corpus_shuffle_order",
-    "er_entity_groups",
-    "split_exact_quota",
-    "priority_sample_by_source",
-    "length_trim_percentile",
-    # 4. Born this round:
-    "embedding_dup_pairs_collapsed",
-    "pca_trace_report",
-    "bpe_roundtrip_report",
-    # 5. Oldest (round-3) rows, refreshed in registry order:
-    "q3_top_unshipped_orders",
-    "rollup_order_status",
-    "sessionize_events",
-    "topk_customers_by_spend",
-    "grouping_sets_revenue",
-    "conditional_aggregation",
-    "stratified_sample_deterministic",
-    "q18_large_orders",
-    "q15_top_revenue_suppliers",
-    "salted_join_supplier_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_item_customers",
-    "q19_disjunctive_predicates",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
+    # 1. Born this round:
+    "semdedup_accuracy_report",
+    "streaming_dedup_recall_report",
+    # 2. All 27 round-3-latest rows, refreshed in registry order:
+    "q22_idle_customers",
+    "window_function_suite",
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_customer_status",
+    "profile_orders",
+    "null_safe_join_counts",
+    "locf_user_values",
+    "zscore_outlier_events",
+    "sql_api_revenue_report",
+    "histogram_order_prices",
+    "trailing_hour_sum",
+    "market_basket_part_pairs",
+    "source_quality_profile",
+    "repetition_filter_signals",
+    "mixture_sample_by_source",
+    "unigram_lm_quality",
+    "bigram_top_terms",
+    "vocab_profile_by_source",
+    "quality_model_filter",
+    "corpus_clean_pipeline",
+    "dedup_exact",
+    "dedup_clusters",
+    "similarity_topk",
+    "duplicate_span_pairs",
+    "dedup_incremental_batch",
+    "streaming_static_enrich",
+    # 3. The 21 oldest round-4-latest rows, in registry order:
+    "flagship_points_near_sites",
+    "flagship_site_density",
+    "flagship_density_power_corr",
+    "distinct_users",
+    "data_quality_report",
+    "cross_source_dup_matrix",
+    "domain_mixture_weights",
+    "token_fertility_profile",
+    "bigram_lm_quality",
+    "psi_source_drift",
+    "dedup_ngram_jaccard",
+    "embedding_dup_pairs_blocked",
+    "langid_confusion_matrix",
+    "curation_funnel_stats",
+    "kmv_source_similarity",
+    "composed_corpus_pipeline",
+    "cms_term_counts",
+    "doc_novelty_scores",
+    "feature_hash_vectors",
+    "phrase_search_positional",
+    "dataset_split_profile",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every

@@ -1141,6 +1141,105 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_recall_report",
+    # The probe side (banded MinHash-LSH over seeded xxhash64) is not
+    # SQL-reproducible — that's why streaming_dedup_index_probe is
+    # rows-only — but the report's ground-truth side IS: the oracle
+    # independently reconstructs the probe batch (every 20th doc,
+    # ' probeword' appended, +10M ids) and recomputes the exact
+    # bipartite 3-shingle Jaccard ≥ 0.5 pair count (the proven
+    # dedup_incremental_batch shingle formulation), then asserts the
+    # two contract booleans. probe_subset_ok is provable (the probe
+    # verifies candidates with the same shingle sets and rounded
+    # Jaccard, so its pairs ⊆ the exact pairs); recall_ok carries a
+    # wide margin below the measured floor (the planted perturbed
+    # copies sit at J≈0.9 where 16 bands of 4 hashes collide with
+    # probability ≈1: measured recall 1.0/1.0/1.0 at
+    # sf0.001/0.01/0.1; contract 0.7 guards the borderline-J regime).
+    # The sharp measured values stay pinned in tests/test_streaming.py.
+    oracle="""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text || ' probeword' AS text
+            FROM documents WHERE doc_id % 20 = 0
+        ), words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                       AS pos
+            FROM all_docs
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' '
+                     || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.doc_id < 10000000 AND b.doc_id >= 10000000
+            GROUP BY a.doc_id, b.doc_id
+        ), true_pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sz na ON na.doc_id = id_a
+            JOIN sz nb ON nb.doc_id = id_b
+            WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+        )
+        SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+                    AS BIGINT) AS n_new_docs,
+               CAST((SELECT count(*) FROM true_pairs) AS BIGINT)
+                   AS n_true_pairs,
+               TRUE AS probe_subset_ok,
+               TRUE AS recall_ok
+    """,
+    tags=("streaming", "dedup", "lsh", "index", "evaluation"),
+)
+def streaming_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible continuous-ingest dedup quality evidence (VERDICT
+    r8 task 3): recall of the streaming-maintained LSH index probe —
+    same batch construction as streaming_dedup_index_probe — against
+    the exact bipartite batch-vs-corpus Jaccard join, graded as
+    contract booleans with the exact side fully oracle-recomputed.
+    Converts the last trust-the-pytest streaming family into a
+    measured, driver-graded accuracy contract."""
+    prepare(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_recall_report,
+        stream_build_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_dedup_recall_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    index_dir = f"{base}/index"
+    stream_build_index(
+        spark, table_path(sf_dir, "documents"), index_dir, f"{base}/ckpt"
+    )
+    new_batch = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probeword")).alias("text"),
+    )
+    return probe_recall_report(
+        spark, index_dir, new_batch, docs, threshold=0.5, recall_contract=0.7
+    )
+
+
+@register(
     "audio_fingerprint_match",
     oracle=None,  # The peak track needs |rfft| argmax over every STFT
     # window INCLUDING note-boundary windows mixing two tones — a

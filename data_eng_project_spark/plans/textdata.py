@@ -1089,6 +1089,56 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, n_clusters=16, threshold=COSINE_DUP_THRESHOLD)
 
 
+@register(
+    "semdedup_accuracy_report",
+    # The semdedup side (sampled pyspark.ml k-means fit) is not
+    # SQL-reproducible — that's why semdedup_embeddings is rows-only —
+    # but the report's ground-truth side IS: the oracle independently
+    # recomputes the corpus size and the exact global dup-id count
+    # (some lower-id vector at rounded cosine ≥ τ — the proven
+    # list_cosine_similarity-at-6dp formulation) and asserts the two
+    # contract booleans. precision_exact is provable (within-cluster
+    # pairs ⊆ all pairs, so every flagged dup is a true dup);
+    # recall_ok carries a wide margin below the measured floor
+    # (recall@τ=0.45 on the synthetic random embeddings — the
+    # ADVERSARIAL case for semdedup, the dup set is dominated by
+    # threshold-grazing pairs with no same-cluster affinity, not the
+    # near-identical copies real corpora dedup at τ≥0.9:
+    # 0.286/0.571/0.311 at sf0.001/0.01/0.1; contract 0.15). The
+    # sharp measured values stay pinned in tests/test_operators.py.
+    oracle=f"""
+        WITH dups AS (
+            SELECT DISTINCT b.vec_id AS id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])),
+                        6) >= {COSINE_DUP_THRESHOLD}
+        )
+        SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+               CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_exact_dups,
+               TRUE AS precision_exact,
+               TRUE AS recall_ok
+    """,
+    tags=("dedup", "similarity", "semdedup", "embedding", "evaluation"),
+)
+def semdedup_accuracy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible SemDeDup quality evidence (VERDICT r8 task 2):
+    precision/recall of the cluster-restricted dup set vs the exact
+    global near-dup set at the same threshold, graded as contract
+    booleans with the exact side fully oracle-recomputed — converts the
+    permanently rows-only semdedup family from "trust the pytest" into
+    a measured, driver-graded accuracy contract (the
+    ann_recall_report / minhash_accuracy_report pattern)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_accuracy_report(
+        emb,
+        n_clusters=16,
+        threshold=COSINE_DUP_THRESHOLD,
+        recall_contract=0.15,
+    )
+
+
 # Incoming batch = source 'src1'; the rest of the corpus is "existing".
 _INCR_BATCH_SOURCE = "src1"
 

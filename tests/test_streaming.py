@@ -661,3 +661,101 @@ def test_stream_asof_enrich_multibatch_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == events.count()
+
+
+def test_probe_recall_report_counts_match_components(spark, tmp_path):
+    """The report's counts must equal the ones computed directly from
+    its two constituents (probe_index pairs, exact bipartite Jaccard
+    pairs) — pins the join/count plumbing independent of LSH banding
+    luck. Planted perturbed copies make the ground truth non-trivial."""
+    from data_eng_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_bipartite,
+    )
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_index,
+        probe_recall_report,
+        write_index_delta,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60).localCheckpoint()
+    index_dir = str(tmp_path / "idx")
+    write_index_delta(docs, 0, index_dir)
+    batch = (
+        docs.limit(7)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    probe_pairs = {
+        (r.id_new, r.id_indexed)
+        for r in probe_index(spark, index_dir, batch, docs).collect()
+    }
+    exact_pairs = {
+        (r.id_b, r.id_a)
+        for r in ngram_jaccard_pairs_bipartite(
+            docs, batch, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert len(exact_pairs) >= 7  # each copy pairs with its original
+    r = probe_recall_report(
+        spark, index_dir, batch, docs, include_metrics=True
+    ).collect()[0]
+    assert r["n_new_docs"] == 7
+    assert r["n_true_pairs"] == len(exact_pairs)
+    assert r["n_probe_pairs"] == len(probe_pairs)
+    assert r["n_hits"] == len(probe_pairs & exact_pairs)
+    assert bool(r["probe_subset_ok"]) == (probe_pairs <= exact_pairs)
+
+
+def test_probe_recall_report_empty_truth_vacuous(spark, tmp_path):
+    """A batch with no near-dup in the corpus: zero true pairs, recall
+    0/0 must grade vacuously true, not NULL or a crash."""
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_recall_report,
+        write_index_delta,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(40).localCheckpoint()
+    index_dir = str(tmp_path / "idx")
+    write_index_delta(docs, 0, index_dir)
+    batch = spark.createDataFrame(
+        [(9_000_001, "entirely novel text with no corpus overlap at all "
+          "zyx wvu tsr qpo nml kji hgf edc ba")],
+        "doc_id long, text string",
+    )
+    r = probe_recall_report(
+        spark, index_dir, batch, docs, include_metrics=True
+    ).collect()[0]
+    assert r["n_true_pairs"] == 0 and r["n_probe_pairs"] == 0
+    assert bool(r["probe_subset_ok"]) and bool(r["recall_ok"])
+
+
+def test_probe_recall_report_testdata_floor(spark):
+    """Measured recall floor on the registered query's own batch
+    construction (sf0.001): the planted perturbed copies sit at J≈0.9
+    where all-16-band collision probability ≈ 1 — measured recall is
+    exactly 1.0 at sf0.001/0.01/0.1, so the registered 0.7 contract
+    carries real margin."""
+    import tempfile
+
+    from data_eng_project_spark.streaming.dedup_index import (
+        probe_recall_report,
+        write_index_delta,
+    )
+
+    docs = load_table(spark, SF, "documents").localCheckpoint()
+    with tempfile.TemporaryDirectory() as base:
+        index_dir = f"{base}/idx"
+        write_index_delta(docs, 0, index_dir)
+        batch = docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probeword")).alias("text"),
+        )
+        r = probe_recall_report(
+            spark, index_dir, batch, docs,
+            threshold=0.5, recall_contract=0.7, include_metrics=True,
+        ).collect()[0]
+    assert r["recall"] == 1.0
+    assert bool(r["probe_subset_ok"]) and bool(r["recall_ok"])
