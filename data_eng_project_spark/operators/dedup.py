@@ -282,15 +282,29 @@ def ngram_jaccard_pairs_collapsed(
     Returns (id_a, id_b, jaccard, n_docs_a, n_docs_b, n_doc_pairs) with
     id_a < id_b (representative ids).
     """
+    reps = collapse_exact_text_classes(df, text_col, id_col)
+    pairs = ngram_jaccard_pairs(reps, text_col, id_col, n=n, threshold=threshold)
+    return _attach_class_sizes(pairs, reps, id_col)
+
+
+def collapse_exact_text_classes(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Stage 1 of every collapsed near-dup variant: group documents by
+    normalized content (lowercased, whitespace runs collapsed —
+    case/whitespace variants count as exact duplicates), keep the
+    smallest id as the class representative with its original text and
+    the class size. ONE aggregate selects the representative row AND
+    the class size: min(struct(id, text)) is ordered by the unique id,
+    so the struct carries the smallest-id member's original text out of
+    the shuffle (partial aggregation forwards one candidate struct per
+    class per map partition). The groupBy-ids + join-back form paid a
+    second corpus shuffle and a sort of the text-bearing side for the
+    same result (A/B'd 5.1 s vs 1.2 s at 30×).
+
+    Returns (id, text, n_docs) — one row per distinct content class."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    # ONE aggregate selects the representative row AND the class size:
-    # min(struct(id, text)) is ordered by the unique id, so the struct
-    # carries the smallest-id member's original text out of the shuffle
-    # (partial aggregation forwards one candidate struct per class per
-    # map partition). The groupBy-ids + join-back form paid a second
-    # corpus shuffle and a sort of the text-bearing side for the same
-    # result (A/B'd 5.1 s vs 1.2 s at 30×).
-    reps = (
+    return (
         df.groupBy(F.md5(norm).alias("_fp"))
         .agg(
             F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_r"),
@@ -302,7 +316,11 @@ def ngram_jaccard_pairs_collapsed(
             "n_docs",
         )
     )
-    pairs = ngram_jaccard_pairs(reps, text_col, id_col, n=n, threshold=threshold)
+
+
+def _attach_class_sizes(pairs: DataFrame, reps: DataFrame, id_col: str) -> DataFrame:
+    """Join both sides' class sizes onto representative pairs and carry
+    the implied member-pair mass arithmetically."""
     sz = reps.select(id_col, "n_docs")
     return (
         pairs.join(sz.withColumnsRenamed({id_col: "id_a", "n_docs": "n_docs_a"}), "id_a")
@@ -431,6 +449,44 @@ def minhash_lsh_pairs(
     )
     # Exact verification pass on candidates only (shared cached sets).
     return _verified_jaccard(cand, sets, threshold)
+
+
+def minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with EXACT-DUPLICATE CLASSES COLLAPSED
+    FIRST — the LSH twin of ngram_jaccard_pairs_collapsed.
+
+    The round-9 dup-heavy probes showed the banded join degrades more
+    gracefully than PPJoin (byte-identical docs share every band bucket,
+    but candidates come from 16 buckets instead of every shared prefix
+    shingle: 11.6/16.1 s at 10×/30× where plain exact Jaccard read
+    13.3/82.3 s) — yet the quadratic OUTPUT term still wins in the end:
+    135.1 s at 100× (duplicate classes of 100 → ~24.7M verified
+    within-class pairs). No bucketing can save a quadratic contract, so
+    the production posture is the same as the exact path's: collapse
+    exact classes to their min-id representative, run the banded join
+    over distinct contents only, and carry class sizes arithmetically.
+
+    Returns (id_a, id_b, jaccard, n_docs_a, n_docs_b, n_doc_pairs),
+    id_a < id_b (representative ids)."""
+    reps = collapse_exact_text_classes(df, text_col, id_col)
+    pairs = minhash_lsh_pairs(
+        reps,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    return _attach_class_sizes(pairs, reps, id_col)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:

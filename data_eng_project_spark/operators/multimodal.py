@@ -909,6 +909,78 @@ def audio_match_votes(probe_fps: DataFrame, index_fps: DataFrame) -> DataFrame:
     )
 
 
+def audio_match_accuracy_report(
+    matches: DataFrame,
+    probes: DataFrame,
+    id_shift: int,
+    offset_min: int,
+    offset_max: int,
+    probe_id_col: str = "doc_id",
+    include_metrics: bool = False,
+) -> DataFrame:
+    """Driver-gradeable planted-truth contract for the audio content-ID
+    path (the bpe_roundtrip_report pattern): ``matches`` is
+    audio_match_votes' best-match-per-probe output for probes minted as
+    time-shifted copies of catalog clips re-id'd by ``id_shift``; the
+    report grades, as one row —
+
+    - ``n_probes``: recomputed independently by the SQL oracle (the
+      probe set is a deterministic id-filter of the documents table).
+    - ``all_matched_origin``: every probe received a best match AND it
+      is the probe's own origin clip (matched_id == probe_id −
+      id_shift) — a FALSE means the constellation hash join or the
+      offset-histogram vote lost a planted recovery, a real defect.
+    - ``offsets_aligned``: every winning offset sits in the small band
+      implied by the crop length (crop_samples/hop windows, ±1 for
+      window-boundary rounding) — the time-alignment property that
+      separates a constellation vote from a chance-collision pile-up.
+
+    The fingerprints themselves stay non-SQL (|rfft| peak tracking —
+    why audio_fingerprint_match is rows-only); this report grades the
+    END-TO-END match behavior against invariants of the planted
+    construction. Scale shape: two 1-row aggregates crossJoined; the
+    expensive lineage is the match pipeline itself."""
+    n_probes = probes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    st = matches.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("matched_id") == F.col("probe_id") - F.lit(int(id_shift))
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_origin"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("offset").between(int(offset_min), int(offset_max))
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_offset_ok"),
+    )
+    out = [
+        F.col("n_probes"),
+        (
+            (F.col("n_matched") == F.col("n_probes"))
+            & (F.col("n_origin") == F.col("n_probes"))
+        ).alias("all_matched_origin"),
+        (F.col("n_offset_ok") == F.col("n_probes")).alias("offsets_aligned"),
+    ]
+    if include_metrics:
+        # Raw measured values — tests and probes only; NOT part of the
+        # oracle-compared shape.
+        out += [F.col("n_matched"), F.col("n_origin"), F.col("n_offset_ok")]
+    return n_probes.crossJoin(st).select(*out)
+
+
 def attach_scene_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Mint a deterministic multi-scene clip per row: 2–4 scenes whose
     count, lengths, and background colors derive from the id, with a

@@ -613,3 +613,71 @@ def compression_ratio_signal(
         (ratio < 0.25).alias("too_repetitive"),
         (ratio > 0.85).alias("too_random"),
     )
+
+
+def compression_roundtrip_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Driver-gradeable integrity contract for the zlib quality signal
+    (the bpe_roundtrip_report pattern): one row —
+
+    - ``n_docs`` / ``total_raw_bytes``: recomputed independently by the
+      SQL oracle (count and summed UTF-8 byte length of the corpus).
+    - ``all_roundtrip``: ``zlib.decompress(zlib.compress(b)) == b`` for
+      every document's UTF-8 bytes — losslessness is an invariant of
+      the codec, so FALSE means a real defect in the signal path
+      (encoding drift, truncation, level mismatch), not noise.
+    - ``corpus_compresses``: the corpus-total compressed size is below
+      the raw size — natural-language corpora compress; a FALSE says
+      the signal the ratio screen ranks on has stopped carrying
+      information (e.g. bytes already compressed or encrypted).
+
+    Compressed sizes stay data-dependent (why compression_quality_signal
+    is rows-only); this report grades the CODEC PATH against
+    data-independent invariants plus SQL-recomputed corpus totals.
+    Scale shape: one mapInPandas pass emitting 4 counters per Arrow
+    batch, then a 1-row sum — map-side combinable, nothing corpus-sized
+    moves."""
+    import zlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            n_docs = raw = comp = n_bad = 0
+            for txt in pdf[text_col]:
+                b = (txt or "").encode("utf-8")
+                z = zlib.compress(b, level)
+                n_docs += 1
+                raw += len(b)
+                comp += len(z)
+                if zlib.decompress(z) != b:
+                    n_bad += 1
+            yield pd.DataFrame(
+                {
+                    "n_docs": [n_docs],
+                    "raw": [raw],
+                    "comp": [comp],
+                    "n_bad": [n_bad],
+                }
+            )
+
+    partials = docs.select(id_col, text_col).mapInPandas(
+        batches, schema="n_docs long, raw long, comp long, n_bad long"
+    )
+    # Coalesce: an EMPTY corpus yields zero partial rows — report 0/0
+    # and vacuously-true contracts instead of a NULL row (an empty
+    # corpus trivially "compresses": 0 < 0 is false, so the boolean
+    # ORs in the emptiness case explicitly).
+    return partials.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("raw"), F.lit(0)).cast("bigint").alias("total_raw_bytes"),
+        (F.coalesce(F.sum("n_bad"), F.lit(0)) == 0).alias("all_roundtrip"),
+        (
+            (F.coalesce(F.sum("comp"), F.lit(0)) < F.coalesce(F.sum("raw"), F.lit(0)))
+            | (F.coalesce(F.sum("n_docs"), F.lit(0)) == 0)
+        ).alias("corpus_compresses"),
+    )

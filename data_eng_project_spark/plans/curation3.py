@@ -817,6 +817,42 @@ def compression_quality_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compression_roundtrip_report",
+    # zlib itself stays non-SQL (why the per-doc signal above is
+    # rows-only), but the report's facts ARE: the oracle independently
+    # recomputes the corpus document count and total UTF-8 byte mass,
+    # and asserts the two contract booleans — losslessness
+    # (decompress∘compress is identity, an invariant of the codec; a
+    # FALSE is a real signal-path defect) and corpus-level
+    # compressibility (total compressed < total raw on natural text —
+    # measured 0.494/0.498/0.499 corpus ratio at sf0.001/0.01/0.1,
+    # far from the boundary). The bpe_roundtrip_report pattern.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(octet_length(encode(text))), 0) AS BIGINT)
+                   AS total_raw_bytes,
+               TRUE AS all_roundtrip,
+               TRUE AS corpus_compresses
+        FROM documents
+    """,
+    tags=("curation", "quality", "entropy", "evaluation"),
+)
+def compression_roundtrip_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible integrity evidence for the compression quality
+    screen: every document's bytes round-trip through the codec and the
+    corpus as a whole compresses, graded as contract booleans with the
+    corpus totals fully oracle-recomputed — the graded-accuracy
+    companion to the rows-only per-document signal
+    (see operators/textops.compression_roundtrip_report)."""
+    prepare(spark)
+    from data_eng_project_spark.operators.textops import (
+        compression_roundtrip_report,
+    )
+
+    return compression_roundtrip_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "temporal_split_user_overlap",
     oracle="""
         WITH cut AS (

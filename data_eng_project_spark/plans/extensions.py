@@ -1283,6 +1283,57 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_match_accuracy_report",
+    # The constellation fingerprints stay non-SQL (|rfft| peak tracking
+    # over STFT windows — why audio_fingerprint_match is rows-only),
+    # but the report's facts ARE: the probe set is a deterministic
+    # id-filter of documents, so the oracle independently recomputes
+    # the probe count and asserts the planted-truth contract booleans
+    # — every cropped probe's best vote is its own origin clip
+    # (matched_id == probe_id − 5M), and every winning offset sits in
+    # the 800-sample-crop band (800/hop = 6.25 → offsets 6-7, graded
+    # as [5, 8] for window-boundary slack; measured: offset 6 or 7 for
+    # all probes at sf0.001/0.01/0.1). The bpe_roundtrip_report
+    # pattern, closing the audio family's quality evidence.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               TRUE AS all_matched_origin,
+               TRUE AS offsets_aligned
+        FROM documents WHERE doc_id % 50 = 0
+    """,
+    tags=("multimodal", "audio", "fingerprint", "evaluation"),
+)
+def audio_match_accuracy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible audio content-ID quality evidence: planted-truth
+    recovery of the constellation-fingerprint match — same catalog,
+    probes, and vote pipeline as audio_fingerprint_match — graded as
+    contract booleans with the probe census oracle-recomputed (see
+    operators/multimodal.audio_match_accuracy_report)."""
+    prepare(spark)
+    from data_eng_project_spark.operators.multimodal import (
+        attach_melody_audio,
+        audio_fingerprints,
+        audio_match_accuracy_report,
+        audio_match_votes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    catalog = attach_melody_audio(docs)
+    index_fps = audio_fingerprints(catalog)
+    probe_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    probes = attach_melody_audio(probe_docs).mapInPandas(
+        _crop_audio_batches, schema="doc_id long, payload binary"
+    )
+    probe_fps = audio_fingerprints(probes)
+    matches = _run_with_arrow_batch_cap(
+        spark, 512, audio_match_votes(probe_fps, index_fps)
+    )
+    return audio_match_accuracy_report(
+        matches, probe_docs, id_shift=5_000_000, offset_min=5, offset_max=8
+    )
+
+
 def _run_with_arrow_batch_cap(spark: SparkSession, cap: int, df: DataFrame) -> DataFrame:
     """Execute ``df`` with a temporary Arrow max-batch-rows cap, then
     RESTORE the session conf. The cap is read at execution time, so a

@@ -407,6 +407,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_collapsed",
+    oracle=None,  # Rows-only for the same documented reason as
+    # dedup_minhash_lsh (xxhash64 signature path; quality graded via
+    # minhash_accuracy_report). The collapse stage itself is the
+    # oracle-certified dedup_ngram_jaccard_collapsed stage, and the
+    # no-op-on-distinct equivalence with dedup_minhash_lsh is asserted
+    # in tests/test_operators.py.
+    tags=("dedup", "minhash", "lsh", "collapsed"),
+)
+def dedup_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup CLASS pairs: exact-duplicate classes
+    collapsed to min-id representatives before the banded join — the
+    production shape for duplicate-heavy lakes, where even the banded
+    candidate join's quadratic OUTPUT term wins at scale (measured
+    135 s at 100× dup-heavy vs flat collapsed; BASELINE.md round 9)."""
+    prepare(spark)
+    return D.minhash_lsh_pairs_collapsed(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
     "dedup_simhash",
     # Full deterministic replay (r5 VERDICT item 4 — converted from
     # rows-only): the token hash is md5 split into two 32-bit halves

@@ -1388,3 +1388,36 @@ def test_rank_select_randomized_differential(spark):
                 if 1 <= t <= len(vs)
             }
             assert got == want, f"trial={trial} nb={nb}"
+
+
+def test_compression_roundtrip_report_counts_and_contracts(spark):
+    """Report totals must equal the python twin's (UTF-8 bytes, doc
+    count) and the contract booleans must hold on compressible text —
+    including a NULL text row (counted as an empty doc, 0 bytes)."""
+    from data_eng_project_spark.operators.textops import (
+        compression_roundtrip_report,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),
+        (3, "naïve café résumé — unicode crosses the byte boundary " * 4),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = compression_roundtrip_report(docs).collect()[0]
+    want_raw = sum(len((t or "").encode("utf-8")) for _, t in rows)
+    assert r["n_docs"] == 4
+    assert r["total_raw_bytes"] == want_raw
+    assert bool(r["all_roundtrip"]) and bool(r["corpus_compresses"])
+
+
+def test_compression_roundtrip_report_empty_corpus_vacuous(spark):
+    from data_eng_project_spark.operators.textops import (
+        compression_roundtrip_report,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    r = compression_roundtrip_report(docs).collect()[0]
+    assert r["n_docs"] == 0 and r["total_raw_bytes"] == 0
+    assert bool(r["all_roundtrip"]) and bool(r["corpus_compresses"])

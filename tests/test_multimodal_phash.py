@@ -158,3 +158,54 @@ def test_bilinear_resize_identity_and_png_roundtrip_property():
         assert (decode_png(encode_png(img)) == img).all()
 
     check()
+
+
+def test_audio_match_accuracy_report_grades_planted_truth(spark):
+    """The report's booleans must grade the same planted-truth facts
+    the direct audio_match_votes test asserts — and a WRONG id_shift
+    must flip all_matched_origin (the boolean is measured, not
+    asserted)."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.multimodal import (
+        attach_melody_audio,
+        audio_fingerprints,
+        audio_match_accuracy_report,
+        audio_match_votes,
+        decode_raw_audio,
+        encode_raw_audio,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    index_fps = audio_fingerprints(attach_melody_audio(docs)).localCheckpoint()
+
+    def crop(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr = decode_raw_audio(bytes(pl))
+                ids.append(int(doc_id) + 1000)
+                payloads.append(encode_raw_audio(samples[800:], sr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    probe_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    probes = attach_melody_audio(probe_docs).mapInPandas(
+        crop, schema="doc_id long, payload binary"
+    )
+    matches = audio_match_votes(
+        audio_fingerprints(probes), index_fps
+    ).localCheckpoint()
+    r = audio_match_accuracy_report(
+        matches, probe_docs, id_shift=1000, offset_min=5, offset_max=8,
+        include_metrics=True,
+    ).collect()[0]
+    assert r["n_probes"] == 6
+    assert r["n_matched"] == r["n_origin"] == r["n_offset_ok"] == 6
+    assert bool(r["all_matched_origin"]) and bool(r["offsets_aligned"])
+    # Sensitivity: a wrong shift must fail the origin contract.
+    bad = audio_match_accuracy_report(
+        matches, probe_docs, id_shift=999, offset_min=5, offset_max=8
+    ).collect()[0]
+    assert not bool(bad["all_matched_origin"])

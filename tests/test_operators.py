@@ -2010,6 +2010,58 @@ def test_ann_recall_report_testdata_floors(spark):
     assert rep["ivfpq"] >= 0.25
 
 
+def test_minhash_lsh_collapsed_classes_and_noop_on_distinct(spark):
+    """The LSH twin of the exact-collapse: duplicate classes collapse to
+    their min-id representative before the banded join (class pair
+    emitted once, sizes and member-pair mass carried); on an
+    all-distinct corpus the collapse is a no-op and the pairs equal
+    plain minhash_lsh_pairs with all class sizes 1."""
+    from data_eng_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_collapsed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely different content about spark shuffle partitions"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),
+            (3, "  " + base.replace(" ", "  ")),
+            (4, near),
+            (5, near + " "),
+            (6, other),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_pairs_collapsed(
+        docs, "text", "doc_id", threshold=0.3
+    ).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert set(got) == {(1, 4)}, got
+    r = got[(1, 4)]
+    assert (r.n_docs_a, r.n_docs_b, r.n_doc_pairs) == (3, 2, 6)
+
+    distinct = docs.filter(F.col("doc_id").isin(1, 4, 6))
+    plain = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in minhash_lsh_pairs(
+            distinct, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    col = {
+        (p.id_a, p.id_b): p
+        for p in minhash_lsh_pairs_collapsed(
+            distinct, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert set(col) == set(plain) and len(plain) > 0
+    for k, p in col.items():
+        assert p.jaccard == plain[k]
+        assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
+
+
 def test_semdedup_accuracy_report_counts_match_components(vectors):
     """The report's counts must equal the ones computed directly from
     its two constituent operators (semdedup flags, exact all-pairs dup
