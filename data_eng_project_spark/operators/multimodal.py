@@ -819,13 +819,39 @@ def attach_melody_audio(df: DataFrame, id_col: str = "doc_id", notes: int = 8) -
 
 
 def audio_fingerprints(
-    media_df: DataFrame, win: int = 256, hop: int = 128
+    media_df: DataFrame,
+    win: int = 256,
+    hop: int = 128,
+    min_run: int = 3,
+    dt_quant: int = 4,
 ) -> DataFrame:
-    """(doc_id, fp, t): constellation fingerprints. Per STFT window the
-    dominant frequency bin; consecutive *onsets* (windows where the
-    peak bin changes — note attacks) become anchors; each run of three
-    onsets packs into one (bin1, bin2, bin3, Δt1, Δt2) hash anchored
-    at the first onset's window index.
+    """(doc_id, fp, t): crop-robust constellation fingerprints. Per
+    STFT window the dominant frequency bin; windows are run-length
+    encoded and only runs of ≥ ``min_run`` stable windows count as
+    *onsets* (note attacks); each run of three onsets packs into one
+    (bin1, bin2, bin3, ⌊Δt1/q⌉, ⌊Δt2/q⌉) hash anchored at the first
+    onset's window index.
+
+    Two properties are load-bearing for content-ID over CROPPED copies
+    (an arbitrary time shift moves every window boundary relative to
+    the signal) — both were caught by the round-9 planted-truth
+    accuracy contract, which found cropped probes sharing ~0–2 of
+    their hashes with the catalog at sf0.01:
+
+    - **Stable-run onsets.** A window straddling a note boundary mixes
+      two tones and its argmax bin is alignment-dependent; treating
+      every peak-bin change as an onset minted phantom onsets at
+      positions that differ between the catalog clip and its cropped
+      copy, scrambling the triples. Length-1/2 runs are exactly those
+      straddle windows; requiring ``min_run`` stable windows keeps
+      only true note segments (sub-0.05 s events are below the
+      window's time resolution anyway).
+    - **Quantized deltas.** The inter-onset gap in windows shifts ±1
+      with crop phase (a note boundary lands 6.25 hops later or
+      earlier), so exact Δt in the hash split true matches; rounding
+      Δt to ``dt_quant``-window buckets makes the hash shift-stable
+      while keeping chance collisions rare (pitch-triple entropy
+      dominates).
 
     Anchoring on onsets rather than every window is what makes the
     downstream hash join scale: a window-pair scheme over quantized
@@ -851,17 +877,21 @@ def audio_fingerprints(
                 mags = np.abs(np.fft.rfft(x[idx], axis=1))
                 mags[:, 0] = 0.0  # kill DC
                 peaks = np.argmax(mags, axis=1)
-                # onsets: window 0 plus every peak-bin change
-                on = np.flatnonzero(np.diff(peaks)) + 1
-                onsets = np.concatenate(([0], on))
+                # run-length encode; onsets = starts of stable runs
+                change = np.flatnonzero(np.diff(peaks)) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(peaks)]))
+                keep = (ends - starts) >= min_run
+                onsets = starts[keep]
+                pitch = peaks[onsets]
                 for a in range(len(onsets) - 2):
                     i, j, k = onsets[a], onsets[a + 1], onsets[a + 2]
-                    dt1 = min(int(j - i), 99)
-                    dt2 = min(int(k - j), 99)
+                    dt1 = min(int(round((j - i) / dt_quant)), 99)
+                    dt2 = min(int(round((k - j) / dt_quant)), 99)
                     fp = (
                         (
-                            (int(peaks[i]) * 1000 + int(peaks[j])) * 1000
-                            + int(peaks[k])
+                            (int(pitch[a]) * 1000 + int(pitch[a + 1])) * 1000
+                            + int(pitch[a + 2])
                         )
                         * 10_000
                         + dt1 * 100
@@ -878,12 +908,18 @@ def audio_fingerprints(
 def audio_match_votes(probe_fps: DataFrame, index_fps: DataFrame) -> DataFrame:
     """Best index match per probe clip: equi-join probe and index
     fingerprints on the packed hash, histogram the window offset
-    (t_index − t_probe), and keep each probe's highest-voted
-    (match, offset) cell — a true time-aligned match concentrates its
-    votes at one offset while chance collisions scatter. Join + two
-    aggregates; the per-probe argmax is a window over the probe's
-    (match, offset) cells, bounded by collision fan-out, never by
-    catalog size. Returns (probe_id, matched_id, offset, votes)."""
+    (t_index − t_probe) with ±1 tolerance, and keep each probe's
+    highest-voted (match, offset) cell — a true time-aligned match
+    concentrates its votes at one offset while chance collisions
+    scatter. The tolerance matters for cropped probes: a crop shifts
+    every onset by a NON-integer number of hops (e.g. 800 samples =
+    6.25 hops), so true-match hashes land on two adjacent offsets
+    (⌊shift⌋ and ⌈shift⌉) — each hit therefore votes for
+    {offset−1, offset, offset+1} so the true cell collects the full
+    match mass while an isolated chance collision still contributes 1.
+    Join + two aggregates; the per-probe argmax is a window over the
+    probe's (match, offset) cells, bounded by collision fan-out, never
+    by catalog size. Returns (probe_id, matched_id, offset, votes)."""
     j = probe_fps.select(
         F.col("doc_id").alias("probe_id"), "fp", F.col("t").alias("_tp")
     ).join(
@@ -892,9 +928,12 @@ def audio_match_votes(probe_fps: DataFrame, index_fps: DataFrame) -> DataFrame:
         ),
         on="fp",
     )
+    raw_off = F.col("_ti") - F.col("_tp")
     votes = (
         j.select(
-            "probe_id", "matched_id", (F.col("_ti") - F.col("_tp")).alias("offset")
+            "probe_id",
+            "matched_id",
+            F.explode(F.array(raw_off - 1, raw_off, raw_off + 1)).alias("offset"),
         )
         .groupBy("probe_id", "matched_id", "offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))

@@ -1292,10 +1292,15 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe count and asserts the planted-truth contract booleans
     # — every cropped probe's best vote is its own origin clip
     # (matched_id == probe_id − 5M), and every winning offset sits in
-    # the 800-sample-crop band (800/hop = 6.25 → offsets 6-7, graded
-    # as [5, 8] for window-boundary slack; measured: offset 6 or 7 for
-    # all probes at sf0.001/0.01/0.1). The bpe_roundtrip_report
-    # pattern, closing the audio family's quality evidence.
+    # the 800-sample-crop band (800/hop = 6.25 hops → true hits at
+    # offsets 6-7; the ±1 vote tolerance can crown an adjacent cell on
+    # ties, so the band is graded as [5, 8]). This contract EARNED its
+    # keep in its birth round: at sf0.01 it caught cropped probes
+    # sharing ~0-2 hashes with the catalog (alignment-dependent
+    # phantom onsets + exact-Δt hashing), driving the stable-run +
+    # quantized-Δt + vote-tolerance fix in operators/multimodal.py.
+    # The bpe_roundtrip_report pattern, closing the audio family's
+    # quality evidence.
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_probes,
                TRUE AS all_matched_origin,
