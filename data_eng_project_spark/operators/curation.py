@@ -239,6 +239,91 @@ def quantize_embeddings_int8(
     )
 
 
+def quantized_topk_agreement(
+    vectors: DataFrame,
+    probe_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval-impact audit for the int8 code: per probe vector, the
+    overlap@k between the exact float-cosine top-k and the top-k ranked
+    by the cosine of the int8 CODES over the same corpus. The per-vector
+    RMSE ``quantize_embeddings_int8`` emits measures reconstruction;
+    this measures what production actually serves — whether the 4×
+    storage cut changes which neighbors a search returns. Cosine is
+    scale-invariant and the quantizer's scale is per-vector, so the
+    quantized ranking uses the integer codes directly (exactly the
+    ranking an int8 index computes in integer SIMD), no dequantization.
+
+    Shape: ONE probe×corpus scoring pass (probes are an audit-sized set
+    and broadcast; the corpus side streams) computing BOTH scores per
+    candidate; two per-probe top-k windows ranked on the 6-dp-rounded
+    score with id tie-break — cross-engine deterministic sets, and the
+    rank-≤-k filters compile to WindowGroupLimit so every scan task
+    forwards only k candidates per probe; agreement = the two rank-sets'
+    inner join counted per probe. At corpus scale this is the blocked
+    GEMM's audit twin — linear in the corpus, never corpus×corpus.
+
+    Returns (probe_id, n_overlap), n_overlap ∈ [0, k]."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.nullif(absmax, F.lit(0.0))
+    # Same code expression as quantize_embeddings_int8, kept in DOUBLE
+    # (round() already yields an integral double; DuckDB's oracle twin
+    # folds the same doubles, so the cosine operand streams match
+    # bit-for-bit).
+    coded = vectors.select(
+        F.col(id_col), xs.alias("_xs"), F.transform(xs, lambda x: F.round(x * scale)).alias("_qs")
+    )
+    probes = F.broadcast(
+        coded.filter(probe_filter).select(
+            F.col(id_col).alias("probe_id"),
+            F.col("_xs").alias("_px"),
+            F.col("_qs").alias("_pq"),
+        )
+    )
+    from data_eng_project_spark.operators.similarity import cosine
+
+    scored = coded.crossJoin(probes).select(
+        "probe_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cosine("_xs", "_px"), 6).alias("_cf"),
+        F.round(cosine("_qs", "_pq"), 6).alias("_cq"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("_cf").desc_nulls_last(), F.col("cand_id")
+    )
+    wq = Window.partitionBy("probe_id").orderBy(
+        F.col("_cq").desc_nulls_last(), F.col("cand_id")
+    )
+    top_f = (
+        scored.withColumn("_rf", F.row_number().over(wf))
+        .filter(F.col("_rf") <= k)
+        .select("probe_id", "cand_id")
+    )
+    top_q = (
+        scored.withColumn("_rq", F.row_number().over(wq))
+        .filter(F.col("_rq") <= k)
+        .select("probe_id", "cand_id")
+    )
+    overlap = (
+        top_f.join(top_q, ["probe_id", "cand_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(overlap, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+        )
+    )
+
+
 def repetition_signals(
     docs: DataFrame,
     text_col: str = "text",

@@ -76,9 +76,16 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. Born this round:
+    # 1. Born this round (the graded-accuracy-companion pattern extended
+    #    to every remaining rows-only family: semdedup, the streaming
+    #    LSH probe, then — in the session-2 continuation — the audio
+    #    constellation match, the zlib quality signal, and the int8
+    #    retrieval-agreement audit):
     "semdedup_accuracy_report",
     "streaming_dedup_recall_report",
+    "audio_match_accuracy_report",
+    "compression_roundtrip_report",
+    "quantized_topk_agreement",
     # 2. All 27 round-3-latest rows, refreshed in registry order:
     "q22_idle_customers",
     "window_function_suite",
@@ -107,7 +114,10 @@ _GRADED_WINDOW = [
     "duplicate_span_pairs",
     "dedup_incremental_batch",
     "streaming_static_enrich",
-    # 3. The 21 oldest round-4-latest rows, in registry order:
+    # 3. The 18 oldest round-4-latest rows, in registry order (the three
+    #    displaced by the session-2 newborns — feature_hash_vectors,
+    #    phrase_search_positional, dataset_split_profile — move to the
+    #    natural r10 window head):
     "flagship_points_near_sites",
     "flagship_site_density",
     "flagship_density_power_corr",
@@ -126,9 +136,6 @@ _GRADED_WINDOW = [
     "composed_corpus_pipeline",
     "cms_term_counts",
     "doc_novelty_scores",
-    "feature_hash_vectors",
-    "phrase_search_positional",
-    "dataset_split_profile",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every

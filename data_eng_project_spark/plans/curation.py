@@ -198,6 +198,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantized_topk_agreement",
+    # Fully SQL-recomputable: the oracle re-derives the int8 codes with
+    # the same per-vector-scale expression as embedding_quantize_int8,
+    # ranks every probe's corpus by BOTH the float cosine and the
+    # code cosine (6-dp round + id tie-break — the engine-proven
+    # deterministic-ranking idiom from similarity_topk), and counts the
+    # two top-k sets' intersection. Overlap is tie-stable because both
+    # engines rank identical rounded doubles.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs,
+                   127.0 / nullif(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS scale
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, xs,
+                   list_transform(xs, x -> round(x * scale)) AS qs
+            FROM v
+        ), probes AS (
+            SELECT * FROM q WHERE vec_id % 50 = 0
+        ), scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                   round(list_cosine_similarity(c.xs, p.xs), 6) AS cf,
+                   round(list_cosine_similarity(c.qs, p.qs), 6) AS cq
+            FROM q c CROSS JOIN probes p
+        ), tf AS (
+            SELECT probe_id, cand_id FROM (
+                SELECT probe_id, cand_id, row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cf DESC NULLS LAST, cand_id) AS r
+                FROM scored) WHERE r <= 10
+        ), tq AS (
+            SELECT probe_id, cand_id FROM (
+                SELECT probe_id, cand_id, row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cq DESC NULLS LAST, cand_id) AS r
+                FROM scored) WHERE r <= 10
+        ), ov AS (
+            SELECT tf.probe_id, count(*) AS cnt
+            FROM tf JOIN tq USING (probe_id, cand_id)
+            GROUP BY tf.probe_id
+        )
+        SELECT p.vec_id AS probe_id,
+               CAST(coalesce(ov.cnt, 0) AS BIGINT) AS n_overlap
+        FROM probes p LEFT JOIN ov ON p.vec_id = ov.probe_id
+    """,
+    tags=("curation", "similarity", "quantization", "evaluation"),
+)
+def quantized_topk_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the 4× int8 storage cut change what a search RETURNS?
+    Overlap@10 between the float-cosine and int8-code-cosine top-k for
+    an audit probe set (measured 9-10/10 at sf0.01 — the quantizer is
+    retrieval-safe) — the retrieval-impact companion to
+    embedding_quantize_int8's reconstruction RMSE (see
+    operators/curation.quantized_topk_agreement)."""
+    prepare(spark)
+    from data_eng_project_spark.operators.curation import (
+        quantized_topk_agreement,
+    )
+
+    return quantized_topk_agreement(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 50 == 0,
+        k=10,
+    )
+
+
+@register(
     "streaming_sessionize",
     oracle="""
         WITH flagged AS (

