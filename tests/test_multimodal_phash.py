@@ -209,3 +209,55 @@ def test_audio_match_accuracy_report_grades_planted_truth(spark):
         matches, probe_docs, id_shift=999, offset_min=5, offset_max=8
     ).collect()[0]
     assert not bool(bad["all_matched_origin"])
+
+
+def test_audio_match_survives_arbitrary_crop_offsets(spark):
+    """The round-9 crop-robustness property, generalized beyond the
+    fixed 800-sample crop the report uses: for ANY crop length (the
+    window phase shifts by an arbitrary non-integer number of hops),
+    stable-run onsets + quantized deltas + vote tolerance must still
+    recover every probe's origin clip, with the winning offset inside
+    the band implied by that crop (crop/hop with +/-1 slack on each
+    side for window-boundary rounding and the vote smear)."""
+    from pyspark.sql import functions as F
+
+    from data_eng_project_spark.operators.multimodal import (
+        attach_melody_audio,
+        audio_fingerprints,
+        audio_match_votes,
+        decode_raw_audio,
+        encode_raw_audio,
+    )
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    index_fps = audio_fingerprints(attach_melody_audio(docs)).localCheckpoint()
+
+    # crop lengths chosen to hit distinct hop phases (hop=128): exact
+    # multiples, quarter/half phases, and a crop deep into note 2.
+    for crop in (128, 320, 512, 700, 1100, 1500):
+
+        def crop_fn(it, crop=crop):
+            import pandas as pd
+
+            for pdf in it:
+                ids, payloads = [], []
+                for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                    samples, sr = decode_raw_audio(bytes(pl))
+                    ids.append(int(doc_id) + 1000)
+                    payloads.append(encode_raw_audio(samples[crop:], sr))
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        probes = attach_melody_audio(
+            docs.filter(F.col("doc_id") % 4 == 0)
+        ).mapInPandas(crop_fn, schema="doc_id long, payload binary")
+        out = {
+            r["probe_id"]: r
+            for r in audio_match_votes(
+                audio_fingerprints(probes), index_fps
+            ).collect()
+        }
+        assert set(out) == {1000, 1004, 1008, 1012, 1016}, (crop, sorted(out))
+        lo, hi = crop // 128 - 1, -(-crop // 128) + 1
+        for pid, r in out.items():
+            assert r["matched_id"] == pid - 1000, (crop, dict(r.asDict()))
+            assert lo <= r["offset"] <= hi, (crop, dict(r.asDict()))
