@@ -55,8 +55,14 @@ def main() -> None:
     # (cross-round comparability) while BENCH_rN.json still covers the
     # growing surface. v2 additions: the exact-collapse near-dedup
     # (the production defense against quadratic duplicate classes) and
-    # the bucket-pruned winsorization profile.
-    HEADLINE_V2_EXTRA = ["dedup_ngram_jaccard_collapsed", "winsorize_length_bounds"]
+    # the bucket-pruned winsorization profile. Round 9 appends the int8
+    # retrieval-agreement audit (fixed 100-probe panel, broadcast
+    # probe×corpus pass) to the same group.
+    HEADLINE_V2_EXTRA = [
+        "dedup_ngram_jaccard_collapsed",
+        "winsorize_length_bounds",
+        "quantized_topk_agreement",
+    ]
     extra = [REGISTRY[n] for n in HEADLINE_V2_EXTRA]
     # Warm-up passes (steady-state measurement, standard bench practice —
     # the timed runs below still execute every query's full plan):

@@ -243,6 +243,7 @@ def quantized_topk_agreement(
     vectors: DataFrame,
     probe_filter,
     k: int = 10,
+    max_probes: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -256,14 +257,23 @@ def quantized_topk_agreement(
     quantized ranking uses the integer codes directly (exactly the
     ranking an int8 index computes in integer SIMD), no dequantization.
 
-    Shape: ONE probe×corpus scoring pass (probes are an audit-sized set
-    and broadcast; the corpus side streams) computing BOTH scores per
-    candidate; two per-probe top-k windows ranked on the 6-dp-rounded
-    score with id tie-break — cross-engine deterministic sets, and the
-    rank-≤-k filters compile to WindowGroupLimit so every scan task
-    forwards only k candidates per probe; agreement = the two rank-sets'
-    inner join counted per probe. At corpus scale this is the blocked
-    GEMM's audit twin — linear in the corpus, never corpus×corpus.
+    Shape: ONE probe×corpus scoring pass (probes broadcast; the corpus
+    side streams) computing BOTH scores per candidate; two per-probe
+    top-k windows ranked on the 6-dp-rounded score with id tie-break —
+    cross-engine deterministic sets, and the rank-≤-k filters compile
+    to WindowGroupLimit so every scan task forwards only k candidates
+    per probe; agreement = the two rank-sets' inner join counted per
+    probe.
+
+    The audit panel is CAPPED at the ``max_probes`` smallest matching
+    ids — the cap is what keeps the audit linear in the corpus. The
+    first 10× probe of the uncapped form measured 46 s: a
+    modulus-only filter admits probes in proportion to the corpus, so
+    the probe×corpus scoring pass grows quadratically with replica
+    scale (2 000 probes × 100k vectors at 10×). A retrieval audit's
+    power comes from panel diversity, not panel share; 100 fixed
+    probes cost the same at ANY corpus size, and smallest-id selection
+    is deterministic in both engines.
 
     Returns (probe_id, n_overlap), n_overlap ∈ [0, k]."""
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -277,7 +287,10 @@ def quantized_topk_agreement(
         F.col(id_col), xs.alias("_xs"), F.transform(xs, lambda x: F.round(x * scale)).alias("_qs")
     )
     probes = F.broadcast(
-        coded.filter(probe_filter).select(
+        coded.filter(probe_filter)
+        .orderBy(F.col(id_col))
+        .limit(max_probes)
+        .select(
             F.col(id_col).alias("probe_id"),
             F.col("_xs").alias("_px"),
             F.col("_qs").alias("_pq"),

@@ -217,7 +217,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(xs, x -> round(x * scale)) AS qs
             FROM v
         ), probes AS (
+            -- fixed-size audit panel: the 100 smallest matching ids,
+            -- so the probe share does NOT grow with the corpus (the
+            -- cap is the linear-scale guarantee; see the operator)
             SELECT * FROM q WHERE vec_id % 50 = 0
+            ORDER BY vec_id LIMIT 100
         ), scored AS (
             SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                    round(list_cosine_similarity(c.xs, p.xs), 6) AS cf,
@@ -262,6 +266,7 @@ def quantized_topk_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") % 50 == 0,
         k=10,
+        max_probes=100,
     )
 
 

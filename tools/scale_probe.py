@@ -117,7 +117,11 @@ def main() -> None:
     # extended group, SEPARATELY totaled so `total` stays the same
     # r1-comparable headline series across rounds while the closing
     # 10× sweep covers the full benched surface (VERDICT r8 task 5).
-    HEADLINE_V2_EXTRA = ["dedup_ngram_jaccard_collapsed", "winsorize_length_bounds"]
+    HEADLINE_V2_EXTRA = [
+        "dedup_ngram_jaccard_collapsed",
+        "winsorize_length_bounds",
+        "quantized_topk_agreement",
+    ]
     if only:
         specs = [(REGISTRY[q], False) for q in only if q != "staged"]
     else:
