@@ -786,11 +786,21 @@ def attach_noise_grouped_images(
 # ---------------------------------------------------------------------------
 
 
-def attach_melody_audio(df: DataFrame, id_col: str = "doc_id", notes: int = 8) -> DataFrame:
+def attach_melody_audio(df: DataFrame, id_col: str = "doc_id", notes: int = 16) -> DataFrame:
     """Mint a deterministic per-id melody (sequence of 0.125 s tones,
     note pitches derived from the id) as raw-PCM payloads — multi-tone
     content so spectral-peak fingerprints are informative, unlike a
-    single sine."""
+    single sine.
+
+    16 notes (2 s) by default: the content-ID contract at the 100×
+    corpus (500k clips, 10k cropped probes) needs each clip to carry
+    enough hash mass that a cropped copy's true votes dominate chance
+    collisions — 8-note clips yielded only ~4 crop-surviving hashes,
+    and at 500k clips two same-doc collisions inside one vote cell
+    could tie a weak probe (measured: the 100× contract flipped FALSE).
+    16 notes double the surviving hash mass; with quadruple-onset
+    hashes the margin is structural (a wrong clip would need a long
+    shared note run at a consistent offset)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -828,8 +838,8 @@ def audio_fingerprints(
     """(doc_id, fp, t): crop-robust constellation fingerprints. Per
     STFT window the dominant frequency bin; windows are run-length
     encoded and only runs of ≥ ``min_run`` stable windows count as
-    *onsets* (note attacks); each run of three onsets packs into one
-    (bin1, bin2, bin3, ⌊Δt1/q⌉, ⌊Δt2/q⌉) hash anchored at the first
+    *onsets* (note attacks); each run of four onsets packs into one
+    (bin1..bin4, ⌊Δt1/q⌉, ⌊Δt2/q⌉, ⌊Δt3/q⌉) hash anchored at the first
     onset's window index.
 
     Two properties are load-bearing for content-ID over CROPPED copies
@@ -858,11 +868,17 @@ def audio_fingerprints(
     pitches has only |bins|²·fanout distinct keys, so every key is
     shared by thousands of clips and the equi-join output grows
     quadratically with catalog size (measured: the 10× probe OOM'd).
-    Onset triples carry |bins|³·Δt² entropy in a handful of rows per
+    Onset QUADRUPLES carry |bins|⁴·Δt³ entropy in a handful of rows per
     clip — the join output tracks true matches plus rare chance
     collisions, not the catalog square. (Same reason real content-ID
     systems hash anchor→target-zone constellations, not frames.)
-    Arrow-batched numpy rFFT; ~n_onsets−2 rows of 20 bytes per clip."""
+    Triples were not enough at the 100× corpus: 23-pitch synthetic
+    melodies give triple keys ~24-way fan-out already at 10× (measured
+    in the round-9 margin sim — worst probes won by a single vote), and
+    at 500k clips chance same-doc collisions tied weak probes and
+    flipped the planted-truth contract; quadruples cut mean fan-out to
+    ~1.5 at the same scale. Arrow-batched numpy rFFT; ~n_onsets−3 rows
+    of 20 bytes per clip."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -884,18 +900,32 @@ def audio_fingerprints(
                 keep = (ends - starts) >= min_run
                 onsets = starts[keep]
                 pitch = peaks[onsets]
-                for a in range(len(onsets) - 2):
-                    i, j, k = onsets[a], onsets[a + 1], onsets[a + 2]
+                for a in range(len(onsets) - 3):
+                    i, j, k, l = (
+                        onsets[a],
+                        onsets[a + 1],
+                        onsets[a + 2],
+                        onsets[a + 3],
+                    )
                     dt1 = min(int(round((j - i) / dt_quant)), 99)
                     dt2 = min(int(round((k - j) / dt_quant)), 99)
+                    dt3 = min(int(round((l - k) / dt_quant)), 99)
+                    # bins < 129 and dts < 100 pack losslessly into one
+                    # int64: 129⁴·10⁶ < 2⁶³.
                     fp = (
                         (
-                            (int(pitch[a]) * 1000 + int(pitch[a + 1])) * 1000
-                            + int(pitch[a + 2])
+                            (
+                                (int(pitch[a]) * 1000 + int(pitch[a + 1]))
+                                * 1000
+                                + int(pitch[a + 2])
+                            )
+                            * 1000
+                            + int(pitch[a + 3])
                         )
-                        * 10_000
-                        + dt1 * 100
-                        + dt2
+                        * 1_000_000
+                        + dt1 * 10_000
+                        + dt2 * 100
+                        + dt3
                     )
                     rows["doc_id"].append(doc_id)
                     rows["fp"].append(fp)
