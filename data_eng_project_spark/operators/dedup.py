@@ -468,7 +468,7 @@ def minhash_lsh_pairs_collapsed(
     but candidates come from 16 buckets instead of every shared prefix
     shingle: 11.6/16.1 s at 10×/30× where plain exact Jaccard read
     13.3/82.3 s) — yet the quadratic OUTPUT term still wins in the end:
-    135.1 s at 100× (duplicate classes of 100 → ~24.7M verified
+    125.7 s at 100× (duplicate classes of 100 → ~24.7M verified
     within-class pairs). No bucketing can save a quadratic contract, so
     the production posture is the same as the exact path's: collapse
     exact classes to their min-id representative, run the banded join

@@ -421,7 +421,7 @@ def dedup_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed to min-id representatives before the banded join — the
     production shape for duplicate-heavy lakes, where even the banded
     candidate join's quadratic OUTPUT term wins at scale (measured
-    135 s at 100× dup-heavy vs flat collapsed; BASELINE.md round 9)."""
+    125.7 s at 100× dup-heavy vs 6.5 s collapsed; BASELINE.md round 9)."""
     prepare(spark)
     return D.minhash_lsh_pairs_collapsed(
         load_table(spark, sf_dir, "documents"),
