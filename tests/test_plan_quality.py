@@ -813,3 +813,24 @@ def test_mad_medians_select_from_value_histograms(spark):
     low-cardinality-partition-key variant of the global-window trap)."""
     df = REGISTRY["mad_outlier_summary"].fn(spark, SF)
     assert _windows_over_unaggregated(df) == 0
+
+
+def test_accuracy_report_audit_inputs_are_size_pinned(spark):
+    """The round-9 posture rule, as a gate: an accuracy report's audit
+    input (probe panel, sample universe, probe batch) must be pinned to
+    a FIXED size, or the report itself becomes the scale-killer it
+    exists to guard against — all three reports below originally
+    admitted audit inputs proportional to the corpus and went
+    quadratic on the replica lakes (46 s/705 s/576 s; BASELINE.md
+    round 9 session 2). The pin compiles to a TakeOrderedAndProject
+    (orderBy id + limit) in the physical plan; its disappearance means
+    someone removed the cap."""
+    for name in (
+        "quantized_topk_agreement",
+        "semdedup_accuracy_report",
+        "streaming_dedup_recall_report",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: audit-input size pin (orderBy+limit) missing from plan"
+        )
