@@ -2278,3 +2278,50 @@ def test_quantized_topk_agreement_planted_truth(spark):
     # scaled copy differ only by float rounding), so all three ids sit
     # in both top-5 sets of both probes: overlap at least 3.
     assert out[0] >= 3 and out[100] >= 3
+
+
+def test_quantize_int8_reconstruction_bound_randomized(spark):
+    """Mathematical invariants of the int8 quantizer on random vectors
+    (no fixture pins these): codes stay in [-127, 127], every element
+    reconstructs within half a quantization step (|x - q/s| <= 1/(2s),
+    s = 127/max|x|), the reported rmse equals the per-element math, and
+    an all-zero vector yields NULL scale/q_sum/rmse (documented: NULL,
+    not a division blow-up)."""
+    import math
+
+    import numpy as np
+
+    from data_eng_project_spark.operators.curation import (
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        dim = int(rng.integers(1, 96))
+        scale_mag = 10.0 ** float(rng.uniform(-3, 3))
+        v = rng.normal(size=dim) * scale_mag
+        rows.append((i, [float(x) for x in v]))
+    rows.append((999, [0.0] * 16))  # all-zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+
+    zero = out[999]
+    assert zero["scale"] is None and zero["q_sum"] is None and zero["rmse"] is None
+
+    by_id = dict(rows)
+    for vid, r in out.items():
+        if vid == 999:
+            continue
+        x = np.array(by_id[vid], dtype=np.float32).astype(np.float64)
+        s = 127.0 / np.abs(x).max()
+        q = np.round(x * s)
+        assert np.all(np.abs(q) <= 127), vid
+        # reported scale is the 6dp-rounded s
+        assert abs(r["scale"] - round(s, 6)) < 1e-12, vid
+        assert r["q_sum"] == int(q.sum()), vid
+        # half-step reconstruction bound, with float slack
+        err = np.abs(x - q / s)
+        assert np.all(err <= 0.5 / s * (1 + 1e-9) + 1e-300), vid
+        want_rmse = round(math.sqrt(float(((x - q / s) ** 2).sum()) / len(x)), 6)
+        assert abs(r["rmse"] - want_rmse) < 2e-6, (vid, r["rmse"], want_rmse)
