@@ -1134,8 +1134,9 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.286/0.571/0.311 at sf0.001/0.01/0.1; contract 0.15). The
     # sharp measured values stay pinned in tests/test_operators.py.
     # The whole report runs on a FIXED-SIZE AUDIT SAMPLE (the 10 000
-    # smallest vec_ids — a no-op at sf0.01 and exactly the corpus at
-    # sf0.1): the exact side is corpus² by definition, and the first
+    # smallest vec_ids — a no-op at every graded SF, sf0.1 having
+    # 2 000 vectors; binding only on replica lakes): the exact side is
+    # corpus² by definition, and the first
     # 30× probe of the unsampled form measured 705 s (quadratic,
     # 56 s at 10×). Running semdedup + exact truth on the same bounded
     # sample keeps the subset invariant (precision still provable) and

@@ -2325,3 +2325,22 @@ def test_quantize_int8_reconstruction_bound_randomized(spark):
         assert np.all(err <= 0.5 / s * (1 + 1e-9) + 1e-300), vid
         want_rmse = round(math.sqrt(float(((x - q / s) ** 2).sum()) / len(x)), 6)
         assert abs(r["rmse"] - want_rmse) < 2e-6, (vid, r["rmse"], want_rmse)
+
+
+def test_quantized_topk_agreement_testdata_floor(spark):
+    """Pin the corpus-measured agreement floor so a silent quality
+    regression in the quantizer (or a loosened panel/ranking) cannot
+    pass unnoticed: at sf0.001 every probe's int8 top-10 overlaps the
+    float top-10 in at least 8 of 10 positions, and the panel-wide
+    mean stays >= 9.5/10 (measured 9-10 per probe, mean 9.7)."""
+    from data_eng_project_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["quantized_topk_agreement"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 10
+    overlaps = [r["n_overlap"] for r in rows]
+    assert min(overlaps) >= 8, overlaps
+    assert sum(overlaps) / len(overlaps) >= 9.5, overlaps
