@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from data_eng_project_spark.functions.text import tokens
 from data_eng_project_spark.operators.dedup import _distinct_shingles
+from data_eng_project_spark.operators.similarity import cosine
 
 
 def decontaminate_overlap(
@@ -284,7 +285,9 @@ def quantized_topk_agreement(
     # folds the same doubles, so the cosine operand streams match
     # bit-for-bit).
     coded = vectors.select(
-        F.col(id_col), xs.alias("_xs"), F.transform(xs, lambda x: F.round(x * scale)).alias("_qs")
+        F.col(id_col),
+        xs.alias("_xs"),
+        F.transform(xs, lambda x: F.round(x * scale)).alias("_qs"),
     )
     probes = F.broadcast(
         coded.filter(probe_filter)
@@ -296,8 +299,6 @@ def quantized_topk_agreement(
             F.col("_qs").alias("_pq"),
         )
     )
-    from data_eng_project_spark.operators.similarity import cosine
-
     scored = coded.crossJoin(probes).select(
         "probe_id",
         F.col(id_col).alias("cand_id"),
