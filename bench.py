@@ -128,6 +128,38 @@ def main() -> None:
 
     staged_times = staging.timed_staged_run(spark, sf_dir)
 
+    # Spark-free host-speed probes (round 9): this box shows sustained
+    # zero-load slow bands where every query inflates uniformly, so the
+    # artifact carries its own calibration — compare gemm/pyloop across
+    # rounds to attribute a bench delta to code vs host (anchor values
+    # in BASELINE.md; tools/host_calibration.py is the standalone
+    # version).
+    import numpy as _np
+
+    _rng = _np.random.default_rng(0)
+    _a = _rng.standard_normal((1024, 1024))
+
+    def _calib(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    def _gemm():
+        c = _a
+        for _ in range(4):
+            c = c @ _a
+        float(c[0, 0])
+
+    def _pyloop():
+        acc = 0
+        for i in range(20_000_000):
+            acc += i & 1023
+
+    host_calibration = {"gemm_sec": _calib(_gemm), "pyloop_sec": _calib(_pyloop)}
+
     print(
         json.dumps(
             {
@@ -145,6 +177,7 @@ def main() -> None:
                     **staged_times,
                     "consumers": len(staging.STAGED_CONSUMERS),
                 },
+                "host_calibration": host_calibration,
             }
         )
     )
