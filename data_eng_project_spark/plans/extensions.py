@@ -1262,20 +1262,23 @@ def streaming_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     "audio_fingerprint_match",
     oracle=None,  # The peak track needs |rfft| argmax over every STFT
     # window INCLUDING note-boundary windows mixing two tones — a
-    # faithful SQL replay is a naive DFT over 510 clips × 61 windows ×
-    # 129 bins × 256 samples ≈ 1e9 terms, far past the oracle time
+    # faithful SQL replay is a naive DFT over 510 clips × 125 windows ×
+    # 129 bins × 256 samples ≈ 2e9 terms, far past the oracle time
     # budget (the spectrum/pHash replays stop at ~1e7–1e8). Planted-
     # truth recovery (cropped copies match their originals with
-    # consistent offsets) is asserted in tests/test_multimodal_phash.py
+    # consistent offsets) is asserted in tests/test_multimodal_phash.py;
+    # the contract twin audio_match_accuracy_report grades the same
+    # pipeline end-to-end with an oracle-recomputed probe census.
     tags=("multimodal", "audio", "fingerprint"),
 )
 def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio dedup/content-ID end-to-end: constellation fingerprints
-    (per-STFT-window peak bins paired into (bin, bin, Δt) hashes) for a
+    """Audio dedup/content-ID end-to-end: crop-robust constellation
+    fingerprints (stable-run onset QUADRUPLES — (bin1..bin4, Δt/4
+    triplet) hashes; see operators/multimodal.audio_fingerprints) for a
     deterministic melody catalog, probed with cropped copies of every
-    50th melody — hash equi-join + offset-histogram vote returns each
-    probe's best time-aligned catalog match. The waveform never crosses
-    the join: only ~fanout rows of 16 bytes per window do."""
+    50th melody — hash equi-join + ±1-tolerance offset-histogram vote
+    returns each probe's best time-aligned catalog match. The waveform
+    never crosses the join: only ~n_onsets rows of 20 bytes per clip do."""
     prepare(spark)
     from data_eng_project_spark.operators.multimodal import (
         attach_melody_audio,
