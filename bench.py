@@ -138,6 +138,7 @@ def main() -> None:
 
     _rng = _np.random.default_rng(0)
     _a = _rng.standard_normal((1024, 1024))
+    _b = _rng.standard_normal((1024, 1024))
 
     def _calib(fn, n=3):
         best = float("inf")
@@ -147,10 +148,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
+    # IDENTICAL kernel to tools/host_calibration.py (a @ b with a fixed
+    # second matrix, ×4) so the two artifacts' gemm_sec anchors are the
+    # same workload and BASELINE.md can compare them like for like.
     def _gemm():
         c = _a
         for _ in range(4):
-            c = c @ _a
+            c = c @ _b
         float(c[0, 0])
 
     def _pyloop():

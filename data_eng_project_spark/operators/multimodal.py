@@ -860,8 +860,16 @@ def audio_fingerprints(
       with crop phase (a note boundary lands 6.25 hops later or
       earlier), so exact Δt in the hash split true matches; rounding
       Δt to ``dt_quant``-window buckets makes the hash shift-stable
-      while keeping chance collisions rare (pitch-triple entropy
-      dominates).
+      *probabilistically*, not absolutely: a gap landing exactly on a
+      half-bucket boundary (e.g. 6/4 = 1.5 vs a crop-shifted
+      5/4 = 1.25, under Python round()'s banker's rounding) still
+      quantizes to different buckets and splits that one hash across
+      catalog and probe. Boundary-split hashes are absorbed by the
+      match stage's ±1-window vote tolerance and by the remaining hash
+      mass per clip (quadruple keys mean one split hash costs one vote
+      out of ~n_onsets−3); the six-crop-phase pytest covers the common
+      phases but not every boundary. Chance collisions stay rare
+      regardless (pitch-quadruple entropy dominates).
 
     Anchoring on onsets rather than every window is what makes the
     downstream hash join scale: a window-pair scheme over quantized

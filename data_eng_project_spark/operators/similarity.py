@@ -50,7 +50,16 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # The norm product is nullif-guarded (the quantizer-scale idiom):
+    # an all-zero vector yields NULL — explicitly, in ANSI and non-ANSI
+    # sessions alike, instead of relying on non-ANSI 0/0→NULL (a vanilla
+    # ANSI Spark 4 session would throw DIVIDE_BY_ZERO). Rankings over
+    # this column must order NULLS LAST; threshold filters drop NULL
+    # for free. NB: DuckDB's list_cosine_similarity returns -1.0 for a
+    # zero vector — ranking oracles replay this guarded form instead
+    # (plans/curation.py quantized_topk_agreement) so both engines
+    # agree by construction.
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def brute_force_topk(

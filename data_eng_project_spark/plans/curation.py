@@ -223,9 +223,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM q WHERE vec_id % 50 = 0
             ORDER BY vec_id LIMIT 100
         ), scored AS (
+            -- cosine replayed with the engine's nullif-guarded form
+            -- (NOT list_cosine_similarity, which returns -1.0 for a
+            -- zero vector where the guarded Spark expression yields
+            -- NULL): both engines then rank zero vectors NULLS LAST,
+            -- so the bottom of the ranking agrees by construction.
             SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-                   round(list_cosine_similarity(c.xs, p.xs), 6) AS cf,
-                   round(list_cosine_similarity(c.qs, p.qs), 6) AS cq
+                   round(list_dot_product(c.xs, p.xs) / nullif(
+                       sqrt(list_dot_product(c.xs, c.xs))
+                       * sqrt(list_dot_product(p.xs, p.xs)), 0.0), 6) AS cf,
+                   round(list_dot_product(c.qs, p.qs) / nullif(
+                       sqrt(list_dot_product(c.qs, c.qs))
+                       * sqrt(list_dot_product(p.qs, p.qs)), 0.0), 6) AS cq
             FROM q c CROSS JOIN probes p
         ), tf AS (
             SELECT probe_id, cand_id FROM (

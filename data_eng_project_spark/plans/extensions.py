@@ -1214,9 +1214,14 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible continuous-ingest dedup quality evidence (VERDICT
     r8 task 3): recall of the streaming-maintained LSH index probe —
-    same batch construction as streaming_dedup_index_probe — against
-    the exact bipartite batch-vs-corpus Jaccard join, graded as
-    contract booleans with the exact side fully oracle-recomputed.
+    same shifted-id batch construction as streaming_dedup_index_probe,
+    but CAPPED at the 1000 smallest probe ids (the r9 size-pin rule:
+    an uncapped audit batch grows with the corpus and the recall join
+    becomes its own scale-killer — 576 s at 100× before the cap, 79 s
+    after; the index probe itself stays uncapped because it IS the
+    production query, not the audit) — against the exact bipartite
+    batch-vs-corpus Jaccard join, graded as contract booleans with the
+    exact side fully oracle-recomputed.
     Converts the last trust-the-pytest streaming family into a
     measured, driver-graded accuracy contract."""
     prepare(spark)
