@@ -852,15 +852,18 @@ def ann_recall_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_recall: bool = False,
+    n_planes: int = 16,
+    max_hamming: int = 2,
 ) -> DataFrame:
-    """Measured recall@k of the three sampled-fit ANN methods (IVF, PQ,
-    IVF-PQ) against the exact blocked-GEMM k-NN, as one auditable row
-    per method — the evidence that justifies serving from a sampled
-    quantizer at 100 TB, in the shape a driver can grade (the
-    minhash_accuracy_report pattern: exact-side facts a SQL oracle
-    recomputes independently, plus the measured-recall contract as a
-    boolean; the sketch side itself is not SQL-reproducible and stays
-    observable through the boolean's inputs).
+    """Measured recall@k of the four ANN serving paths (IVF, PQ,
+    IVF-PQ, hyperplane-LSH) against the exact blocked-GEMM k-NN, as one
+    auditable row per method — the evidence that justifies serving from
+    a sampled quantizer / signature index at 100 TB, in the shape a
+    driver can grade (the minhash_accuracy_report pattern: exact-side
+    facts a SQL oracle recomputes independently, plus the
+    measured-recall contract as a boolean; the sketch side itself is
+    not SQL-reproducible and stays observable through the boolean's
+    inputs).
 
     Index semantics, not per-query refits: IVF is fitted ONCE
     (ivf_assign) and PQ is fitted ONCE on the full corpus
@@ -881,9 +884,12 @@ def ann_recall_report(
     |queries|·k exact rows.
 
     Returns (method, n_queries, k, exact_rows, recall_ok), one row per
-    method in {'ivf', 'pq', 'ivfpq'}."""
+    method in {'ivf', 'pq', 'ivfpq', 'lsh'}."""
     spark = vectors.sparkSession
-    contracts = contracts or {"ivf": 0.5, "pq": 0.5, "ivfpq": 0.3}
+    contracts = contracts or {"ivf": 0.5, "pq": 0.5, "ivfpq": 0.3, "lsh": 0.3}
+    unknown = set(contracts) - {"ivf", "pq", "ivfpq", "lsh"}
+    if unknown or not contracts:
+        raise ValueError(f"ann_recall_report: unknown/empty methods: {sorted(unknown)}")
     kk = 1 << nbits
 
     qrows = (
@@ -928,83 +934,162 @@ def ann_recall_report(
         )
         return _topk_per_qid(scored, k).select("qid", F.col(id_col).alias("cid"))
 
+    # Each method computes only when its contract is requested: the
+    # quantizer fits (ivf_assign's k-means, pq_train_encode) are EAGER
+    # pyspark.ml actions, so an uncontracted method would still pay its
+    # fit if built unconditionally. IVF structures serve 'ivf'+'ivfpq';
+    # PQ codebooks serve 'pq'+'ivfpq'.
+    results: dict[str, DataFrame] = {}
+    need_ivf = "ivf" in contracts or "ivfpq" in contracts
+    need_pq = "pq" in contracts or "ivfpq" in contracts
+
     # --- IVF: one fit, one probe table for all queries. ---
-    assigned, centroids = ivf_assign(
-        vectors, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
-    )
-    probe_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (q, int(c))
-                for q, v in sorted(qvecs.items())
-                for c in _probe_clusters(centroids, v, n_probe)
-            ],
-            "qid long, _cluster int",
+    if need_ivf:
+        assigned, centroids = ivf_assign(
+            vectors, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    )
-    ivf_cands = assigned.join(probe_df, "_cluster").select("qid", id_col, vec_col)
-    ivf_res = _exact_rerank(ivf_cands)
+        probe_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (q, int(c))
+                    for q, v in sorted(qvecs.items())
+                    for c in _probe_clusters(centroids, v, n_probe)
+                ],
+                "qid long, _cluster int",
+            )
+        )
+    if "ivf" in contracts:
+        ivf_cands = assigned.join(probe_df, "_cluster").select("qid", id_col, vec_col)
+        results["ivf"] = _exact_rerank(ivf_cands)
 
     # --- PQ: one codebook fit; per-query ADC lookup tables as a
     # broadcast frame (m·2^nbits doubles per query). ---
-    encoded, codebooks = pq_train_encode(
-        vectors, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
-    )
-
-    def _adc_table(query: list[float]) -> list[float]:
-        qn = math.sqrt(sum(x * x for x in query)) or 1.0
-        q = [x / qn for x in query]
-        dsub = len(query) // m
-        flat: list[float] = []
-        for j, book in enumerate(codebooks):
-            qs = q[j * dsub : (j + 1) * dsub]
-            for cent in book:
-                flat.append(sum(a * b for a, b in zip(qs, cent)))
-        return flat
-
-    tables_df = F.broadcast(
-        spark.createDataFrame(
-            [(q, _adc_table(v)) for q, v in sorted(qvecs.items())],
-            "qid long, _tbl array<double>",
-        )
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            "_codes",
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(F.col("_tbl"), (j * kk + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def _adc_shortlist(cands: DataFrame) -> DataFrame:
-        scored = cands.join(tables_df, "qid").select(
-            "qid", id_col, vec_col, adc.alias("_score")
-        )
-        return _topk_per_qid(scored, rerank_factor * k).select(
-            "qid", id_col, vec_col
+    if need_pq:
+        encoded, codebooks = pq_train_encode(
+            vectors, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
         )
 
-    pq_all = encoded.crossJoin(tables_df.select("qid")).select(
-        "qid", id_col, vec_col, "_codes"
-    )
-    pq_res = _exact_rerank(_adc_shortlist(pq_all))
+        def _adc_table(query: list[float]) -> list[float]:
+            qn = math.sqrt(sum(x * x for x in query)) or 1.0
+            q = [x / qn for x in query]
+            dsub = len(query) // m
+            flat: list[float] = []
+            for j, book in enumerate(codebooks):
+                qs = q[j * dsub : (j + 1) * dsub]
+                for cent in book:
+                    flat.append(sum(a * b for a, b in zip(qs, cent)))
+            return flat
+
+        tables_df = F.broadcast(
+            spark.createDataFrame(
+                [(q, _adc_table(v)) for q, v in sorted(qvecs.items())],
+                "qid long, _tbl array<double>",
+            )
+        )
+        adc = F.aggregate(
+            F.zip_with(
+                "_codes",
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(F.col("_tbl"), (j * kk + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+        def _adc_shortlist(cands: DataFrame) -> DataFrame:
+            scored = cands.join(tables_df, "qid").select(
+                "qid", id_col, vec_col, adc.alias("_score")
+            )
+            return _topk_per_qid(scored, rerank_factor * k).select(
+                "qid", id_col, vec_col
+            )
+
+    if "pq" in contracts:
+        pq_all = encoded.crossJoin(tables_df.select("qid")).select(
+            "qid", id_col, vec_col, "_codes"
+        )
+        results["pq"] = _exact_rerank(_adc_shortlist(pq_all))
 
     # --- IVF-PQ: probe the IVF clusters, ADC-score only the survivors
     # from the SAME fitted codebooks, exact-rerank the shortlist. ---
-    ivfpq_cands = (
-        assigned.join(probe_df, "_cluster")
-        .select("qid", id_col)
-        .join(encoded.select(id_col, vec_col, "_codes"), id_col)
-    )
-    ivfpq_res = _exact_rerank(_adc_shortlist(ivfpq_cands))
+    if "ivfpq" in contracts:
+        ivfpq_cands = (
+            assigned.join(probe_df, "_cluster")
+            .select("qid", id_col)
+            .join(encoded.select(id_col, vec_col, "_codes"), id_col)
+        )
+        results["ivfpq"] = _exact_rerank(_adc_shortlist(ivfpq_cands))
 
-    ann = (
-        ivf_res.select(F.lit("ivf").alias("method"), "qid", "cid")
-        .unionByName(pq_res.select(F.lit("pq").alias("method"), "qid", "cid"))
-        .unionByName(ivfpq_res.select(F.lit("ivfpq").alias("method"), "qid", "cid"))
-    )
+    # --- LSH: hyperplane signatures banded exactly like
+    # lsh_bucketed_pairs (bands = max_hamming+1 of n_planes/bands bits;
+    # candidates within Hamming max_hamming share ≥1 exact band), but
+    # BIPARTITE: the |queries| signatures are computed driver-side with
+    # the same left-to-right dot accumulation as signature_bits (bit-
+    # identical double sums) and broadcast as (qid, band, bv) rows, so
+    # the corpus side is one banded equi-join — no per-query loop, no
+    # corpus cross join. Candidates get the same exact cosine rerank
+    # as every other method. ---
+    if "lsh" in contracts:
+        dim = len(next(iter(qvecs.values())))
+        planes = _hyperplanes(dim, n_planes, seed)
+        bands_n = max_hamming + 1
+        width = max(1, n_planes // bands_n)
+        corpus_banded = (
+            vectors.select(
+                id_col, vec_col, signature_bits(vec_col, planes).alias("_sig")
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftright(F.col("_sig"), b * width)
+                                .bitwiseAND(F.lit((1 << width) - 1))
+                                .alias("bv"),
+                            )
+                            for b in range(bands_n)
+                        ]
+                    )
+                ).alias("s"),
+            )
+            .select(id_col, vec_col, "s.band", "s.bv")
+        )
+
+        def _py_sig(v: list[float]) -> int:
+            sig = 0
+            for i, plane in enumerate(planes):
+                d = 0.0
+                for x, p in zip(v, plane):
+                    d += x * p
+                if d >= 0:
+                    sig |= 1 << i
+            return sig
+
+        qband_rows = [
+            (q, b, (_py_sig(v) >> (b * width)) & ((1 << width) - 1))
+            for q, v in sorted(qvecs.items())
+            for b in range(bands_n)
+        ]
+        qbands = F.broadcast(
+            spark.createDataFrame(qband_rows, "qid long, band int, bv long")
+        )
+        lsh_cands = (
+            corpus_banded.join(qbands, ["band", "bv"])
+            .select("qid", id_col, vec_col)
+            .distinct()
+        )
+        results["lsh"] = _exact_rerank(lsh_cands)
+
+    parts = [
+        res.select(F.lit(name).alias("method"), "qid", "cid")
+        for name, res in sorted(results.items())
+    ]
+    ann = parts[0]
+    for p_ in parts[1:]:
+        ann = ann.unionByName(p_)
     ex_stats = exact.agg(
         F.count_distinct(F.col("qid")).cast("bigint").alias("n_queries"),
         F.count(F.lit(1)).cast("bigint").alias("exact_rows"),

@@ -42,110 +42,111 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-9 rotation (VERDICT r8 tasks 1-3 — finish the steady-state
-# refresh, certify the two newborn accuracy contracts). CORRECTNESS_r08
-# graded its full 50-slot window green, taking the cumulative ledger to
-# 241/241 oracle-backed; the oldest remaining driver evidence anywhere
-# is round 3 (27 queries) then round 4 (46). This window:
-#   1. The two queries BORN this round, certified in their birth round
-#      (the ann_recall_report pattern extended to the last two
-#      rows-only families without measured quality evidence):
-#      semdedup_accuracy_report (precision/recall of the
-#      cluster-restricted dup set vs the exact global near-dup set —
-#      precision provably 1.0, recall contract 0.15 under measured
-#      floors 0.286/0.571/0.311 at sf0.001/0.01/0.1) and
-#      streaming_dedup_recall_report (recall of the streaming LSH
-#      index probe vs the exact bipartite batch-vs-corpus Jaccard
-#      join — subset provable, recall contract 0.7 under a measured
-#      1.0 floor at all three SFs).
-#   2. All 27 round-3-latest queries, in registry order — this
-#      completes the refresh VERDICT r8 task 1 asked for: after this
-#      window no query's latest driver evidence predates round 4.
-#   3. The remaining 21 slots: the oldest round-4-latest queries in
-#      registry order (flagship spatial family first). The ~25 r4
-#      rows that do not fit are the natural r10 window head.
-# Round-9 code-change note: the r8 null-safe helper fix's .isin()
-# sweep (VERDICT r8 task 6) was a NEGATIVE RESULT — all 11 package
-# .isin sites are NULL-safe by construction (cluster ids/md5 keys
-# non-null, requested-id filters, SQL-IN-equivalent plan filters
-# whose oracles share the NULL-drop, and dq_report counts NULL
-# predicates as violations by design) — so no re-certs are forced
-# by code changes this round; the two report queries above are the
-# only new lineage.
+# Round-10 rotation (VERDICT r9 tasks 2/4/6 — finish the steady-state
+# rotation invariant, give the one never-graded entry its driver row,
+# certify this round's new/changed lineages). CORRECTNESS_r09 graded
+# its 50-slot window green (246/246 oracle-backed cumulative); the
+# oldest driver evidence anywhere is round 4 (28 queries). This window:
+#   1. New/changed lineage this round, certified in its birth round:
+#      minhash_collapsed_accuracy_report (NEW — the graded accuracy
+#      contract for the dup-heavy production dedup posture: exact
+#      collapsed class-pair count + spurious=0 + measured recall
+#      contract >=0.99, measured 1.0 at sf0.001/0.01/0.1),
+#      ann_recall_report (CHANGED — 4th method row: hyperplane-LSH
+#      top-k graded against the same exact blocked side, so every ANN
+#      serving path carries a measured contract), and
+#      quantized_topk_agreement (CHANGED — zero-vector cosine guard on
+#      both engines: Spark nullif norm product, oracle replays the
+#      guarded form instead of list_cosine_similarity's -1.0).
+#   2. dedup_minhash_lsh_collapsed — the ONLY registry entry never to
+#      appear in any CORRECTNESS window (born r9). Deliberately
+#      rows-only (shares dedup_minhash_lsh's xxhash64 signature path;
+#      rationale at its @register site); its quality evidence is the
+#      new accuracy report above, its collapse stage is the certified
+#      dedup_ngram_jaccard_collapsed contract, and this slot records
+#      the missing driver row.
+#   3. All 28 round-4-latest rows, in registry order — after this
+#      window no query's latest driver evidence predates round 5: the
+#      "every query within ~5 rounds" rotation invariant holds for the
+#      first time.
+#   4. The remaining 18 slots: the oldest round-5-latest queries in
+#      registry order. The ~26 r5 rows that do not fit are the natural
+#      r11 window head.
+# Round-10 code-change note: the shared similarity.cosine helper
+# gained a nullif zero-norm guard this round. On the graded tables the
+# outputs are bit-identical (no zero vectors exist; 0/0 was already
+# NULL under the non-ANSI session) — proven by the strict sf0.01
+# driver audit at HEAD — so no re-certs are forced beyond
+# quantized_topk_agreement, whose ORACLE text changed too.
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. Born this round (the graded-accuracy-companion pattern extended
-    #    to every remaining rows-only family: semdedup, the streaming
-    #    LSH probe, then — in the session-2 continuation — the audio
-    #    constellation match, the zlib quality signal, and the int8
-    #    retrieval-agreement audit):
-    "semdedup_accuracy_report",
-    "streaming_dedup_recall_report",
-    "audio_match_accuracy_report",
-    "compression_roundtrip_report",
+    # 1. New/changed lineage this round:
+    "minhash_collapsed_accuracy_report",
+    "ann_recall_report",
     "quantized_topk_agreement",
-    # 2. All 27 round-3-latest rows, refreshed in registry order:
-    "q22_idle_customers",
-    "window_function_suite",
-    "funnel_conversion",
-    "cohort_retention",
-    "scd2_customer_status",
-    "profile_orders",
-    "null_safe_join_counts",
-    "locf_user_values",
-    "zscore_outlier_events",
-    "sql_api_revenue_report",
-    "histogram_order_prices",
-    "trailing_hour_sum",
-    "market_basket_part_pairs",
-    "source_quality_profile",
-    "repetition_filter_signals",
-    "mixture_sample_by_source",
-    "unigram_lm_quality",
-    "bigram_top_terms",
-    "vocab_profile_by_source",
-    "quality_model_filter",
-    "corpus_clean_pipeline",
-    "dedup_exact",
-    "dedup_clusters",
-    "similarity_topk",
-    "duplicate_span_pairs",
-    "dedup_incremental_batch",
-    "streaming_static_enrich",
-    # 3. The 18 oldest round-4-latest rows, in registry order (the three
-    #    displaced by the session-2 newborns — feature_hash_vectors,
-    #    phrase_search_positional, dataset_split_profile — move to the
-    #    natural r10 window head):
-    "flagship_points_near_sites",
-    "flagship_site_density",
-    "flagship_density_power_corr",
-    "distinct_users",
-    "data_quality_report",
-    "cross_source_dup_matrix",
-    "domain_mixture_weights",
-    "token_fertility_profile",
-    "bigram_lm_quality",
-    "psi_source_drift",
-    "dedup_ngram_jaccard",
-    "embedding_dup_pairs_blocked",
-    "langid_confusion_matrix",
-    "curation_funnel_stats",
-    "kmv_source_similarity",
-    "composed_corpus_pipeline",
-    "cms_term_counts",
-    "doc_novelty_scores",
+    # 2. The never-graded entry records its (deliberately rows-only)
+    #    driver row:
+    "dedup_minhash_lsh_collapsed",
+    # 3. All 28 round-4-latest rows, refreshed in registry order:
+    "feature_hash_vectors",
+    "phrase_search_positional",
+    "dataset_split_profile",
+    "split_leakage_audit",
+    "boilerplate_segments",
+    "cdc_chunk_dedup",
+    "soft_dedup_weights",
+    "mixture_temperature_weights",
+    "dataset_release_pipeline",
+    "hard_negative_mining_blocked",
+    "quality_retention_curve",
+    "dataset_datasheet",
+    "split_shingle_leakage_rate",
+    "temporal_split_user_overlap",
+    "source_token_gini",
+    "split_embedding_drift",
+    "snapshot_diff_orders",
+    "dedup_canonical_keep",
+    "fuzzy_part_name_pairs",
+    "incremental_join_view_update",
+    "dedup_containment_pairs",
+    "dup_graph_triangles",
+    "streaming_hourly_counts",
+    "streaming_drift_monitor",
+    "embedding_health_report",
+    "incremental_rollup_merge",
+    "asof_next_order",
+    "window_funnel_levels",
+    # 4. The 18 oldest round-5-latest rows, in registry order:
+    "approx_distinct_users",
+    "approx_price_quartiles",
+    "cusum_changepoints",
+    "attribution_last_touch",
+    "attribution_first_touch",
+    "log_histogram_quantiles",
+    "chisq_source_lang_independence",
+    "attribution_time_decay",
+    "benford_price_digits",
+    "grouped_value_quartiles",
+    "funnel_time_to_convert",
+    "new_vs_returning_hourly",
+    "order_lead_time_quartiles",
+    "part_supplier_hhi",
+    "weekly_growth_rates",
+    "clv_cohort_curves",
+    "discount_band_effects",
+    "supplier_ship_delay",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every
 # name here must be rows-only by nature with the rationale documented
 # at its @register site; anything else without an oracle is a rotation
-# mistake and _reorder_registry still raises for it. The round-8
-# window is all-oracle (the 11 rows-only-by-nature queries recorded
-# their deliberate rows-only driver evidence in round 7), so the set
-# is empty this round.
-_ROWS_ONLY_SLOTS: set[str] = set()
+# mistake and _reorder_registry still raises for it. This round carries
+# exactly one: the never-graded dedup_minhash_lsh_collapsed records its
+# deliberate rows-only driver row (its graded quality evidence is
+# minhash_collapsed_accuracy_report, certified in the same window).
+_ROWS_ONLY_SLOTS: set[str] = {"dedup_minhash_lsh_collapsed"}
 
 
 def _reorder_registry() -> None:

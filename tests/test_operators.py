@@ -1977,6 +1977,11 @@ def test_ann_recall_report_degenerate_params_give_full_recall(vectors):
         m=4,
         nbits=4,
         rerank_factor=30,
+        # lsh deliberately excluded: banding is candidate-LIMITING by
+        # nature (a neighbor beyond Hamming max_hamming is unreachable
+        # at any rerank width), so no parameter choice degenerates it
+        # to exact k-NN.
+        contracts={"ivf": 0.5, "pq": 0.5, "ivfpq": 0.3},
         include_recall=True,
     ).collect()
     assert len(rows) == 3
@@ -1994,8 +1999,8 @@ def test_ann_recall_report_missing_query_id_raises(vectors):
 def test_ann_recall_report_testdata_floors(spark):
     """Recall floors on the driver's own synthetic embeddings (sf0.001,
     the adversarial no-structure case) — the registered contracts
-    (0.4/0.2/0.2) sit well below these, so the oracle booleans carry
-    real margin."""
+    (0.4/0.2/0.2/0.1) sit well below these, so the oracle booleans
+    carry real margin."""
     from data_eng_project_spark.operators.similarity import ann_recall_report
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -2008,6 +2013,9 @@ def test_ann_recall_report_testdata_floors(spark):
     assert rep["ivf"] >= 0.5
     assert rep["pq"] >= 0.3
     assert rep["ivfpq"] >= 0.25
+    # hyperplane-LSH (16 planes, 3 bands): measured 0.25/0.21/0.34
+    # across sf0.001/0.01/0.1
+    assert rep["lsh"] >= 0.15
 
 
 def test_minhash_lsh_collapsed_classes_and_noop_on_distinct(spark):
