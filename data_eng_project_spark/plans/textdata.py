@@ -409,11 +409,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh_collapsed",
     oracle=None,  # Rows-only for the same documented reason as
-    # dedup_minhash_lsh (xxhash64 signature path; quality graded via
-    # minhash_accuracy_report). The collapse stage itself is the
-    # oracle-certified dedup_ngram_jaccard_collapsed stage, and the
-    # no-op-on-distinct equivalence with dedup_minhash_lsh is asserted
-    # in tests/test_operators.py.
+    # dedup_minhash_lsh (xxhash64 signature path). Quality is
+    # oracle-graded via minhash_collapsed_accuracy_report (r10 —
+    # recall/precision vs the certified exact collapsed twin), the
+    # collapse stage itself is the oracle-certified
+    # dedup_ngram_jaccard_collapsed stage, and the no-op-on-distinct
+    # equivalence with dedup_minhash_lsh is asserted in
+    # tests/test_operators.py.
     tags=("dedup", "minhash", "lsh", "collapsed"),
 )
 def dedup_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
