@@ -95,45 +95,15 @@ def main() -> None:
     #    is the reproducible steady-state number (each sample still
     #    executes the full plan through the noop sink — min discards
     #    interference, never work).
-    for spec in [*headline, *extra]:  # untimed warm-up sweep (JIT/codegen/page cache)
-        try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-        spark.catalog.clearCache()
-    times: dict[str, float] = {}
-    extra_times: dict[str, float] = {}
-    for _sweep in range(3):
-        for spec, sink in [*((s, times) for s in headline), *((s, extra_times) for s in extra)]:
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            prev = sink.get(spec.name)
-            sink[spec.name] = elapsed if prev is None else min(prev, elapsed)
-            # Drop any operator-internal persists so queries don't interfere.
-            spark.catalog.clearCache()
-
-    total = round(sum(times.values()), 3)
-    extra_total = round(sum(extra_times.values()), 3)
-
-    # Staged-pipeline group (VERDICT r4 task 5): the shared near-dup
-    # pair-graph stage is the engine's decisive 100 TB move — one
-    # corpus-scale similarity join feeding five consumers. Capture both
-    # halves in the benchmark record so a regression in either the
-    # build or the consumers' scan-not-recompute property shows up in
-    # BENCH_rN.json, not just prose. Reported OUTSIDE `value` so the
-    # headline total stays comparable across rounds.
-    from data_eng_project_spark.pipelines import staging
-
-    staged_times = staging.timed_staged_run(spark, sf_dir)
-
-    # Spark-free host-speed probes (round 9): this box shows sustained
-    # zero-load slow bands where every query inflates uniformly, so the
-    # artifact carries its own calibration — compare gemm/pyloop across
-    # rounds to attribute a bench delta to code vs host (anchor values
-    # in BASELINE.md; tools/host_calibration.py is the standalone
-    # version).
+    # Regime TRACE (round 10): one cheap Spark-free probe snapshot before
+    # the warm-up and after every timed sweep. The r9 artifact carried a
+    # single end-of-run calibration, which cannot prove the REST of the
+    # run's regime (this box's slow bands shift on ~minute timescales —
+    # a quiet pre-check launch was observed to end with gemm at 20× its
+    # quiet anchor). A 4-point series brackets every sweep: the run is
+    # provably quiet iff every snapshot sits near the quiet anchor in
+    # BASELINE.md (gemm 0.044 / pyloop 0.79). Single-rep probes (~1 s)
+    # — the series detects regime, the final min-of-3 below anchors it.
     import numpy as _np
 
     _rng = _np.random.default_rng(0)
@@ -162,6 +132,57 @@ def main() -> None:
         for i in range(20_000_000):
             acc += i & 1023
 
+    calib_series = [
+        {"at": "pre", "gemm_sec": _calib(_gemm, 1), "pyloop_sec": _calib(_pyloop, 1)}
+    ]
+
+    for spec in [*headline, *extra]:  # untimed warm-up sweep (JIT/codegen/page cache)
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+    times: dict[str, float] = {}
+    extra_times: dict[str, float] = {}
+    for _sweep in range(3):
+        for spec, sink in [*((s, times) for s in headline), *((s, extra_times) for s in extra)]:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            prev = sink.get(spec.name)
+            sink[spec.name] = elapsed if prev is None else min(prev, elapsed)
+            # Drop any operator-internal persists so queries don't interfere.
+            spark.catalog.clearCache()
+        calib_series.append(
+            {
+                "at": f"after_sweep_{_sweep + 1}",
+                "gemm_sec": _calib(_gemm, 1),
+                "pyloop_sec": _calib(_pyloop, 1),
+            }
+        )
+
+    total = round(sum(times.values()), 3)
+    extra_total = round(sum(extra_times.values()), 3)
+
+    # Staged-pipeline group (VERDICT r4 task 5): the shared near-dup
+    # pair-graph stage is the engine's decisive 100 TB move — one
+    # corpus-scale similarity join feeding five consumers. Capture both
+    # halves in the benchmark record so a regression in either the
+    # build or the consumers' scan-not-recompute property shows up in
+    # BENCH_rN.json, not just prose. Reported OUTSIDE `value` so the
+    # headline total stays comparable across rounds.
+    from data_eng_project_spark.pipelines import staging
+
+    staged_times = staging.timed_staged_run(spark, sf_dir)
+
+    # Spark-free host-speed probes (round 9): this box shows sustained
+    # zero-load slow bands where every query inflates uniformly, so the
+    # artifact carries its own calibration — compare gemm/pyloop across
+    # rounds to attribute a bench delta to code vs host (anchor values
+    # in BASELINE.md; tools/host_calibration.py is the standalone
+    # version). Final reading is min-of-3 (the cross-round anchor); the
+    # per-sweep single-rep series above is the regime trace.
     host_calibration = {"gemm_sec": _calib(_gemm), "pyloop_sec": _calib(_pyloop)}
 
     print(
@@ -182,6 +203,7 @@ def main() -> None:
                     "consumers": len(staging.STAGED_CONSUMERS),
                 },
                 "host_calibration": host_calibration,
+                "host_calibration_series": calib_series,
             }
         )
     )
