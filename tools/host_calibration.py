@@ -67,10 +67,27 @@ def main() -> None:
             while f.read(1 << 22):
                 pass
 
+    # Disk-WRITE probe (round 10): the r10 10× sweeps showed the slow
+    # band migrating onto shuffle/spill-heavy queries while gemm/pyloop
+    # sat near their anchors — the band throttles the virtual-disk
+    # WRITE path too, which the CPU and page-cache-read probes cannot
+    # see. 256 MB written + fsync'd to /tmp, then removed.
+    wpath = "/tmp/_host_calib_write_probe"
+    block = b"\xa5" * (1 << 22)
+
+    def write() -> None:
+        with open(wpath, "wb") as f:
+            for _ in range(64):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+        os.remove(wpath)
+
     out = {
         "gemm_sec": _min_of(3, gemm),
         "pyloop_sec": _min_of(3, pyloop),
         "scan_sec": _min_of(3, scan),
+        "write_sec": _min_of(3, write),
         "load_1min": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
     }
