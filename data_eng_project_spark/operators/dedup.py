@@ -81,15 +81,81 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     return toks.select("_id", F.explode(hashed).alias("shingle")).distinct()
 
 
-def _shingle_sets_direct(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+# ------------------------------------------------------ MinHash scheme
+#
+# SQL-replayable MinHash (round 11, converted from xxhash64 seeds —
+# the move that gave dedup_simhash its full DuckDB oracle in r6):
+# ONE md5 per shingle string supplies a 32-bit key (first 8 hex chars,
+# the exact construction the simhash oracle already replays with
+# ``CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)``), reduced mod
+# the Mersenne prime 2³¹−1; the 64 per-seed hashes are then universal
+# hashes h_i(k) = (a_i·k + b_i) mod P over that ONE key — 64
+# multiply-adds instead of 64 fresh string hashes, which answers the
+# old register-site objection that a replayable scheme would cost 64
+# md5 evaluations per shingle on a headline path. Every value stays
+# < P < 2³¹ and every product < 2⁶² — identical, overflow-free
+# arithmetic in Spark longs and DuckDB BIGINTs, so the oracle replays
+# signatures, band buckets, and therefore the exact candidate set.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2³¹ − 1
+
+
+def minhash_uh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash parameters, identical in
+    the Spark plan builders and the generated DuckDB oracle SQL (both
+    call THIS function, so the constants cannot drift). a_i ≠ 0 for all
+    i < P−1 (P is prime and the Knuth multiplier is not a multiple of
+    P), and the pairs are pairwise distinct."""
+    knuth = 2654435761  # Knuth's 2³²/φ multiplicative-hash constant
+    weyl = 1013904223  # Numerical Recipes LCG increment
+    return [
+        ((knuth * (i + 1)) % MINHASH_P, (weyl * (i + 1) + 12345) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def _shingle_sets_direct(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    with_minhash_keys: bool = False,
+) -> DataFrame:
     """(_id, _set sorted array<long>) — per-doc shingle set computed
     entirely row-local (tokenize → shingle → hash → array_distinct →
     array_sort): ZERO shuffles, unlike the explode→distinct→collect_set
     formulation this replaced (which paid two. See _distinct_shingles for
-    the hashed-shingle exactness note.)"""
+    the hashed-shingle exactness note.)
+
+    ``with_minhash_keys`` adds ``_mkeys array<long>``: one md5-derived
+    31-bit key per shingle OCCURRENCE (no distinct — min over a multiset
+    equals min over its set, so MinHash consumers skip that pass), for
+    the SQL-replayable signature scheme (see MINHASH_P note). Exact-
+    verification consumers keep using the collision-safe 64-bit ``_set``;
+    the 31-bit keys only steer candidate generation, where a collision
+    merely adds one verified-and-discarded (or genuinely duplicate)
+    candidate — and the oracle replays the identical collision anyway.
+    Off by default so the plain Jaccard paths don't cache an array they
+    never read."""
     toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
-    hashed = F.transform(shingles_from_tokens("_toks", n), lambda s: F.xxhash64(s))
-    return toks.select("_id", F.array_sort(F.array_distinct(hashed)).alias("_set"))
+    # Materialize the shingle array once: Spark applies no CSE inside
+    # higher-order-function lambdas, so feeding two transforms from an
+    # inline shingle expression would rebuild every shingle twice.
+    shs = toks.select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
+    cols = [
+        F.col("_id"),
+        F.array_sort(
+            F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
+        ).alias("_set"),
+    ]
+    if with_minhash_keys:
+        cols.append(
+            F.transform(
+                "_sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+                % F.lit(MINHASH_P).cast("long"),
+            ).alias("_mkeys")
+        )
+    return shs.select(*cols)
 
 
 def _verified_jaccard(
@@ -318,9 +384,13 @@ def collapse_exact_text_classes(
     )
 
 
-def _attach_class_sizes(pairs: DataFrame, reps: DataFrame, id_col: str) -> DataFrame:
+def _attach_class_sizes(
+    pairs: DataFrame, reps: DataFrame, id_col: str, value_col: str = "jaccard"
+) -> DataFrame:
     """Join both sides' class sizes onto representative pairs and carry
-    the implied member-pair mass arithmetically."""
+    the implied member-pair mass arithmetically. ``value_col`` is the
+    pair metric column to carry through (jaccard for the MinHash/PPJoin
+    variants, hamming for SimHash)."""
     sz = reps.select(id_col, "n_docs")
     return (
         pairs.join(sz.withColumnsRenamed({id_col: "id_a", "n_docs": "n_docs_a"}), "id_a")
@@ -328,7 +398,7 @@ def _attach_class_sizes(pairs: DataFrame, reps: DataFrame, id_col: str) -> DataF
         .select(
             "id_a",
             "id_b",
-            "jaccard",
+            value_col,
             "n_docs_a",
             "n_docs_b",
             (F.col("n_docs_a") * F.col("n_docs_b")).cast("bigint").alias("n_doc_pairs"),
@@ -340,12 +410,25 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """(id, array<long> signature): sig[i] = min over shingles of
-    xxhash64(i, shingle). One shuffle (groupBy id); signature computation
-    is a JVM-side min-aggregate per seed."""
-    sh = _distinct_shingles(df, text_col, id_col, shingle_n)
+    (a_i·k + b_i) mod P with k the md5-derived shingle key (the
+    module's one SQL-replayable MinHash scheme — see MINHASH_P).
+    GroupBy formulation (one shuffle) of the row-local signature pass
+    inside lsh_band_rows; kept for callers that already hold exploded
+    shingle rows."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    key = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P).cast("long")
+    )
+    sh = toks.select(
+        "_id", F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle")
+    ).select("_id", key.alias("_k"))
+    params = minhash_uh_params(num_hashes)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
-        for i in range(num_hashes)
+        F.min(
+            (F.lit(a).cast("long") * F.col("_k") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"_h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     wide = sh.groupBy("_id").agg(*aggs)
     return wide.select(
@@ -357,18 +440,23 @@ def minhash_signatures(
 def lsh_band_rows(
     sets: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """(id, band, bucket) LSH keys from per-doc shingle-set arrays
-    (_shingle_sets_direct output) — the join key of every MinHash-LSH
-    consumer, including the persisted streaming dedup index
-    (streaming/dedup_index.py).
+    """(id, band, bucket) LSH keys from per-doc shingle-key arrays
+    (_shingle_sets_direct(..., with_minhash_keys=True) output) — the
+    join key of every MinHash-LSH consumer, including the persisted
+    streaming dedup index (streaming/dedup_index.py).
 
-    Signatures come straight from the set arrays: sig[i] =
-    min_j xxhash64(i, set[j]) via transform+array_min — per-row array
-    math in codegen, no exploded-index groupBy — then each band of
-    r = num_hashes/bands signature rows collapses to one xxhash64
-    bucket key. Deterministic: fixed seeds, so band rows computed in
-    different jobs / sessions / machines agree (what makes the
-    persisted index mergeable across ingest batches).
+    Signatures come straight from the key arrays: sig[i] =
+    min_j (a_i·k_j + b_i) mod P over the md5-derived shingle keys (the
+    module's SQL-replayable scheme — see MINHASH_P) via
+    transform+array_min — per-row array math in codegen, no
+    exploded-index groupBy — then each band of r = num_hashes/bands
+    signature rows collapses to one bucket key: the '_'-joined decimal
+    rendering of the r values. A string bucket instead of a hashed one
+    costs ~5× the (tiny) index bytes but makes the band equi-join
+    EXACT — no cross-band hash collisions — and lets the DuckDB oracle
+    replay the candidate set verbatim. Deterministic: fixed (a_i, b_i),
+    so band rows computed in different jobs / sessions / machines agree
+    (what makes the persisted index mergeable across ingest batches).
 
     Shingle-less documents (shorter than the shingle width) are dropped:
     an empty set has no MinHash (array_min over nothing is NULL for
@@ -381,12 +469,19 @@ def lsh_band_rows(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sets = sets.filter(F.size("_set") > 0)
+    sets = sets.filter(F.size("_mkeys") > 0)
+    params = minhash_uh_params(num_hashes)
 
-    def _minhash(seed: int) -> F.Column:
+    def _minhash(i: int) -> F.Column:
+        a, b = params[i]
         # NB: the lambda must take exactly one arg — a two-arg lambda
         # would be treated as transform's (element, index) form.
-        return F.array_min(F.transform("_set", lambda s: F.xxhash64(F.lit(seed), s)))
+        return F.array_min(
+            F.transform(
+                "_mkeys",
+                lambda k: (F.lit(a).cast("long") * k + F.lit(b)) % F.lit(MINHASH_P),
+            )
+        )
 
     sig = sets.select(
         F.col("_id").alias("id"),
@@ -399,8 +494,12 @@ def lsh_band_rows(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("signature", b * r + j + 1).cast("string")
+                                for j in range(r)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -435,9 +534,9 @@ def minhash_lsh_pairs(
     # lake scale inputs arrive in many splits and this spread is a no-op
     # cost-wise; locally it is what buys the parallelism.
     sets = _persist_tracked(
-        _shingle_sets_direct(df, text_col, id_col, shingle_n).repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
+        _shingle_sets_direct(
+            df, text_col, id_col, shingle_n, with_minhash_keys=True
+        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     band_rows = lsh_band_rows(sets, num_hashes=num_hashes, bands=bands)
     cand = (
@@ -545,6 +644,34 @@ def simhash_pairs(
         n_bands=4,
         max_hamming=max_hamming,
     )
+
+
+def simhash_pairs_collapsed(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup CLASS pairs: exact-duplicate classes collapsed
+    to min-id representatives BEFORE the quarter-band join — the
+    SimHash twin of minhash_lsh_pairs_collapsed, closing the one
+    pair-family without a dup-heavy posture (VERDICT r10 task 7).
+
+    The exposure is identical to MinHash's: byte-identical documents
+    share every quarter band (Hamming 0), so a duplicate class of k
+    replicas emits C(k,2) verified within-class pairs — a quadratic
+    OUTPUT term no banding can prune. Collapsing first bounds the band
+    join at one representative per distinct content; class sizes ride
+    along arithmetically.
+
+    Returns (id_a, id_b, hamming, n_docs_a, n_docs_b, n_doc_pairs),
+    id_a < id_b (representative ids)."""
+    reps = collapse_exact_text_classes(df, text_col, id_col)
+    pairs = fingerprint_hamming_pairs(
+        simhash(reps, text_col, id_col),
+        "simhash",
+        id_col="id",
+        n_bands=4,
+        max_hamming=max_hamming,
+    )
+    return _attach_class_sizes(pairs, reps, id_col, value_col="hamming")
 
 
 def duplicate_span_pairs(

@@ -295,3 +295,104 @@ def pca_trace_report(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ),
         F.lit(ortho).alias("components_orthonormal"),
     )
+
+
+def pca_projection_agreement_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    squarings: int = 30,
+    seed: int = 11,
+    basis_tol: float = 1e-6,
+    proj_tol: float = 1e-5,
+) -> DataFrame:
+    """Graded agreement contract for the PCA PROJECTION path (VERDICT
+    r10 task 8 — the one rows-only linalg dimension pca_trace_report
+    does not grade): an INDEPENDENT fixed-seed power-iteration
+    eigenbasis (Hotelling deflation; the power step applied via
+    ``squarings`` repeated matrix squarings, i.e. an effective
+    2^squarings plain iterations — the synthetic embeddings are
+    near-isotropic, with adjacent-eigenvalue ratios ~0.999, so plain
+    iteration counts could never converge while C^(2³⁰) isolates the
+    dominant eigenvector to machine precision at 64³·30 driver flops)
+    is fitted on the same covariance and compared against the
+    production eigh basis two ways, one row out —
+
+    - ``basis_agreement_ok``: min over the k components of
+      |cos(eigh_i, power_i)| ≥ 1 − basis_tol. Power iteration and LAPACK
+      eigh share no code path; agreement pins the basis itself.
+    - ``projection_agreement_ok``: the distributed check. Projection is
+      linear, so proj_eigh(x) − proj_power(x) = (x − μ)·(W_e − W_p)ᵀ —
+      ONE centered GEMM pass over the corpus with the difference matrix
+      (reusing the production ``project`` operator, i.e. the exact code
+      path embedding_pca_project ships) bounds the worst per-coordinate
+      disagreement any downstream consumer could observe:
+      max over rows/components |Δpc| ≤ proj_tol · scale, where scale =
+      √λ₁ normalizes the tolerance to the data's own spread (an
+      absolute ε would be trivially loose for tiny embeddings and
+      unmeetably tight for large ones).
+
+    n_vecs / dim / k are oracle-recomputable; the booleans assert the
+    contract (the ann_recall_report / minhash_accuracy_report idiom).
+    Cost: one moment pass + one projection pass; driver state is the
+    d×d covariance — no corpus-sized collect anywhere."""
+    _, mean, cov = _summed_moments(df, vec_col)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()  # (k, d) — production basis
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    # Fixed-seed power-iteration twin with Hotelling deflation — a
+    # genuinely different algorithm (repeated application of C vs
+    # LAPACK tridiagonalization), deterministic by construction. Each
+    # squaring renormalizes by the max |entry| so B^(2^m) never over/
+    # underflows as a matrix; sub-dominant directions underflowing to
+    # exact 0 is the intended limit (B becomes the dominant projector).
+    rng = np.random.default_rng(seed)
+    c = cov.copy()
+    pi_rows = []
+    for _ in range(k):
+        v = rng.standard_normal(cov.shape[0])
+        v /= np.linalg.norm(v)
+        b = c.copy()
+        for _ in range(squarings):
+            m = float(np.abs(b).max())
+            if m == 0.0:  # component space exhausted (rank < k)
+                break
+            b = (b / m) @ (b / m)
+        v = b @ v
+        nv = np.linalg.norm(v)
+        if nv > 0.0:
+            v /= nv
+        lam = float(v @ cov @ v)
+        pi_rows.append(v)
+        c = c - lam * np.outer(v, v)
+    pi = np.stack(pi_rows)
+    for i in range(k):
+        j = int(np.argmax(np.abs(pi[i])))
+        if pi[i, j] < 0:
+            pi[i] = -pi[i]
+
+    min_cos = float(np.min(np.abs(np.sum(comps * pi, axis=1))))
+    basis_ok = bool(min_cos >= 1.0 - basis_tol)
+    scale = float(np.sqrt(max(float(evals[order[0]]), 0.0)))
+
+    diff = project(df, mean, comps - pi, vec_col=vec_col, id_col=id_col)
+    worst = diff.agg(
+        F.max(F.array_max(F.transform("pc", lambda x: F.abs(x)))).alias("_w")
+    )
+    meta = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.max(F.size(vec_col)).cast("bigint").alias("dim"),
+    )
+    return meta.crossJoin(F.broadcast(worst)).select(
+        "n_vecs",
+        "dim",
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(basis_ok).alias("basis_agreement_ok"),
+        (F.col("_w") <= F.lit(proj_tol * scale)).alias("projection_agreement_ok"),
+    )

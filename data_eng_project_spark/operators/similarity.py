@@ -886,10 +886,17 @@ def ann_recall_report(
     Returns (method, n_queries, k, exact_rows, recall_ok), one row per
     method in {'ivf', 'pq', 'ivfpq', 'lsh'}."""
     spark = vectors.sparkSession
-    contracts = contracts or {"ivf": 0.5, "pq": 0.5, "ivfpq": 0.3, "lsh": 0.3}
+    # Validate the caller's value BEFORE defaulting: an explicitly
+    # passed empty dict is a caller error, not a request for the full
+    # default method set (r10 advice — `contracts or {...}` silently
+    # converted {} into all four methods).
+    if contracts is not None and not contracts:
+        raise ValueError("ann_recall_report: contracts must not be empty")
+    if contracts is None:
+        contracts = {"ivf": 0.5, "pq": 0.5, "ivfpq": 0.3, "lsh": 0.3}
     unknown = set(contracts) - {"ivf", "pq", "ivfpq", "lsh"}
-    if unknown or not contracts:
-        raise ValueError(f"ann_recall_report: unknown/empty methods: {sorted(unknown)}")
+    if unknown:
+        raise ValueError(f"ann_recall_report: unknown methods: {sorted(unknown)}")
     kk = 1 << nbits
 
     qrows = (
@@ -1033,6 +1040,14 @@ def ann_recall_report(
         dim = len(next(iter(qvecs.values())))
         planes = _hyperplanes(dim, n_planes, seed)
         bands_n = max_hamming + 1
+        # Integer division drops the trailing n_planes % bands_n bits
+        # from every band — intentional, matching lsh_bucketed_pairs'
+        # banding exactly (the two must agree for the contract to grade
+        # the serving path). The unbanded top bits are computed but
+        # never steer candidate generation; they slightly RAISE band
+        # collision rates vs a full partition, i.e. more candidates,
+        # never fewer — recall can only gain, and the exact rerank
+        # discards the extras.
         width = max(1, n_planes // bands_n)
         corpus_banded = (
             vectors.select(

@@ -42,111 +42,102 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-10 rotation (VERDICT r9 tasks 2/4/6 — finish the steady-state
-# rotation invariant, give the one never-graded entry its driver row,
-# certify this round's new/changed lineages). CORRECTNESS_r09 graded
-# its 50-slot window green (246/246 oracle-backed cumulative); the
-# oldest driver evidence anywhere is round 4 (28 queries). This window:
-#   1. New/changed lineage this round, certified in its birth round:
-#      minhash_collapsed_accuracy_report (NEW — the graded accuracy
-#      contract for the dup-heavy production dedup posture: exact
-#      collapsed class-pair count + spurious=0 + measured recall
-#      contract >=0.99, measured 1.0 at sf0.001/0.01/0.1),
-#      ann_recall_report (CHANGED — 4th method row: hyperplane-LSH
-#      top-k graded against the same exact blocked side, so every ANN
-#      serving path carries a measured contract), and
-#      quantized_topk_agreement (CHANGED — zero-vector cosine guard on
-#      both engines: Spark nullif norm product, oracle replays the
-#      guarded form instead of list_cosine_similarity's -1.0).
-#   2. dedup_minhash_lsh_collapsed — the ONLY registry entry never to
-#      appear in any CORRECTNESS window (born r9). Deliberately
-#      rows-only (shares dedup_minhash_lsh's xxhash64 signature path;
-#      rationale at its @register site); its quality evidence is the
-#      new accuracy report above, its collapse stage is the certified
-#      dedup_ngram_jaccard_collapsed contract, and this slot records
-#      the missing driver row.
-#   3. All 28 round-4-latest rows, in registry order — after this
-#      window no query's latest driver evidence predates round 5: the
-#      "every query within ~5 rounds" rotation invariant holds for the
-#      first time.
-#   4. The remaining 18 slots: the oldest round-5-latest queries in
-#      registry order. The ~26 r5 rows that do not fit are the natural
-#      r11 window head.
-# Round-10 code-change note: the shared similarity.cosine helper
-# gained a nullif zero-norm guard this round. On the graded tables the
-# outputs are bit-identical (no zero vectors exist; 0/0 was already
-# NULL under the non-ANSI session) — proven by the strict sf0.01
-# driver audit at HEAD — so no re-certs are forced beyond
-# quantized_topk_agreement, whose ORACLE text changed too.
+# Round-11 rotation (VERDICT r10 tasks 3/5/8). CORRECTNESS_r10 graded
+# its window 49 green + 1 deliberate no_oracle; cumulative latest-green
+# evidence after r10: oldest anywhere is round 5 (26 queries), then 47
+# round-6 rows. This window:
+#   1. Changed/new lineage this round, certified in its birth round:
+#      dedup_minhash_lsh + dedup_minhash_lsh_collapsed (CONVERTED from
+#      rows-only to FULL REPLAY oracles — the signature scheme is now
+#      one md5 per shingle + 64 universal-hash remixes mod 2³¹−1,
+#      replayable in DuckDB; operators/dedup.MINHASH_P), so no graded
+#      window ever needs to burn a no_oracle slot again;
+#      minhash_collapsed_accuracy_report + streaming_dedup_recall_report
+#      (RE-GRADE — their sketch lineage changed with the scheme; the
+#      recall contracts re-measured green at sf0.001/0.01); and
+#      pca_projection_agreement_report (NEW — fixed-seed
+#      power-iteration twin grading the rows-only PCA projection pair,
+#      r10 task 8); dedup_simhash_collapsed (NEW — the SimHash
+#      dup-heavy posture, r10 task 7, full replay oracle) and
+#      dedup_simhash (RE-GRADE — its oracle text was refactored into
+#      the shared _simhash_oracle_ctes chain; semantics unchanged but
+#      changed oracle text gets a fresh driver row, the
+#      quantized_topk_agreement r10 precedent).
+#   2. All 26 round-5-latest rows, in registry order (includes
+#      minhash_accuracy_report, whose sketch lineage also changed —
+#      double duty). After this window no query's latest driver
+#      evidence predates round 6.
+#   3. The remaining 17 slots: the oldest round-6-latest queries in
+#      registry order. The r6 rows that do not fit are the natural
+#      r12 window head.
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. New/changed lineage this round:
-    "minhash_collapsed_accuracy_report",
-    "ann_recall_report",
-    "quantized_topk_agreement",
-    # 2. The never-graded entry records its (deliberately rows-only)
-    #    driver row:
+    # 1. Changed/new lineage this round:
+    "dedup_minhash_lsh",
     "dedup_minhash_lsh_collapsed",
-    # 3. All 28 round-4-latest rows, refreshed in registry order:
-    "feature_hash_vectors",
-    "phrase_search_positional",
-    "dataset_split_profile",
-    "split_leakage_audit",
-    "boilerplate_segments",
-    "cdc_chunk_dedup",
-    "soft_dedup_weights",
-    "mixture_temperature_weights",
-    "dataset_release_pipeline",
-    "hard_negative_mining_blocked",
-    "quality_retention_curve",
-    "dataset_datasheet",
-    "split_shingle_leakage_rate",
-    "temporal_split_user_overlap",
-    "source_token_gini",
-    "split_embedding_drift",
-    "snapshot_diff_orders",
-    "dedup_canonical_keep",
-    "fuzzy_part_name_pairs",
-    "incremental_join_view_update",
-    "dedup_containment_pairs",
-    "dup_graph_triangles",
-    "streaming_hourly_counts",
-    "streaming_drift_monitor",
-    "embedding_health_report",
-    "incremental_rollup_merge",
-    "asof_next_order",
-    "window_funnel_levels",
-    # 4. The 18 oldest round-5-latest rows, in registry order:
-    "approx_distinct_users",
-    "approx_price_quartiles",
-    "cusum_changepoints",
-    "attribution_last_touch",
-    "attribution_first_touch",
-    "log_histogram_quantiles",
-    "chisq_source_lang_independence",
-    "attribution_time_decay",
-    "benford_price_digits",
-    "grouped_value_quartiles",
-    "funnel_time_to_convert",
-    "new_vs_returning_hourly",
-    "order_lead_time_quartiles",
-    "part_supplier_hhi",
-    "weekly_growth_rates",
-    "clv_cohort_curves",
-    "discount_band_effects",
-    "supplier_ship_delay",
+    "minhash_collapsed_accuracy_report",
+    "streaming_dedup_recall_report",
+    "pca_projection_agreement_report",
+    "dedup_simhash_collapsed",
+    "dedup_simhash",
+    # 2. All 26 round-5-latest rows, refreshed in registry order:
+    "order_status_mix_monthly",
+    "embedding_covariance",
+    "hard_negative_mining",
+    "minhash_accuracy_report",
+    "per_user_value_trend",
+    "event_transition_matrix",
+    "pagerank_dup_docs",
+    "knn_label_propagation",
+    "catalog_manifest",
+    "multimodal_media_meta",
+    "multimodal_frame_samples",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames_raw",
+    "bloom_join_prune_stats",
+    "kanonymize_customer_release",
+    "ldiversity_check",
+    "ewma_user_values",
+    "time_weighted_avg_user",
+    "events_hourly_ohlc",
+    "hour_of_week_profile",
+    "seasonal_anomaly_events",
+    "acf_event_counts",
+    "event_debounce_summary",
+    "bpe_pair_counts",
+    "bpe_word_frequencies",
+    # 3. The 17 oldest round-6-latest rows, in registry order:
+    "window_rank_events",
+    "moving_avg_user_value",
+    "set_ops_intersect",
+    "set_ops_except",
+    "distinct_aggregates",
+    "scalar_kitchen_sink",
+    "array_functions",
+    "cube_order_summary",
+    "semi_join_exists",
+    "scalar_subquery_above_avg",
+    "null_handling_scalars",
+    "percentile_price_quartiles",
+    "pivot_status_by_priority",
+    "unpivot_status_counts",
+    "q4_priority_order_counts",
+    "q12_shipmode_severity",
+    "q14_promo_revenue_pct",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every
 # name here must be rows-only by nature with the rationale documented
 # at its @register site; anything else without an oracle is a rotation
-# mistake and _reorder_registry still raises for it. This round carries
-# exactly one: the never-graded dedup_minhash_lsh_collapsed records its
-# deliberate rows-only driver row (its graded quality evidence is
-# minhash_collapsed_accuracy_report, certified in the same window).
-_ROWS_ONLY_SLOTS: set[str] = {"dedup_minhash_lsh_collapsed"}
+# mistake and _reorder_registry still raises for it. Empty since r11:
+# the MinHash pair was converted to a full replay oracle (VERDICT r10
+# task 3), and the r10 lesson stands — rows-only entries stay OUT of
+# the graded window (their evidence is their graded accuracy
+# contracts + pytest twins, indexed in QUERIES.md).
+_ROWS_ONLY_SLOTS: set[str] = set()
 
 
 def _reorder_registry() -> None:

@@ -926,8 +926,10 @@ def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_accuracy_report",
-    # The MinHash side is sketch-based (xxhash64 seeds — not SQL-
-    # reproducible), but three of its facts ARE independently checkable:
+    # Since r11 the MinHash pair list itself is fully replay-oracled
+    # (dedup_minhash_lsh — md5-derived universal-hash signatures); this
+    # report remains the RECALL grade, the quality dimension a hash
+    # match can't express. Three facts are independently checkable:
     # the exact pair count (recomputed from the n-gram CTE), zero
     # spurious pairs (every LSH candidate is exact-Jaccard-verified
     # before emission, so precision is 1 by construction), and the

@@ -247,3 +247,37 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = kmeans_lloyd(emb, id_col="vec_id", vec_col="embedding", k=8, iters=_KM_ITERS)
     return out.select(F.col("id").alias("vec_id"), "cluster", "dist2")
+
+
+@register(
+    "pca_projection_agreement_report",
+    # Graded contract for the rows-only PCA PROJECTION pair (VERDICT
+    # r10 task 8): pca_trace_report grades the moments/eigensum; this
+    # row grades the basis and the projection itself via a fixed-seed
+    # power-iteration twin (an independent algorithm — see
+    # operators/linalg.pca_projection_agreement_report). The oracle
+    # recomputes n_vecs/dim exactly and asserts the agreement booleans.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(max(len(embedding)) AS BIGINT) AS dim,
+               CAST(4 AS BIGINT) AS k,
+               TRUE AS basis_agreement_ok,
+               TRUE AS projection_agreement_ok
+        FROM embeddings
+    """,
+    tags=("linalg", "embedding", "pca", "evaluation"),
+)
+def pca_projection_agreement_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible PCA projection evidence: eigh basis vs fixed-seed
+    power-iteration twin — basis cosine + distributed worst-coordinate
+    projection agreement (one centered GEMM with the difference
+    matrix), completing the graded-contract coverage of the rows-only
+    PCA family (embedding_pca_scree / embedding_pca_project)."""
+    prepare(spark)
+    from data_eng_project_spark.operators.linalg import (
+        pca_projection_agreement_report,
+    )
+
+    return pca_projection_agreement_report(
+        load_table(spark, sf_dir, "embeddings"), k=4
+    )

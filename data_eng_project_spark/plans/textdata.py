@@ -273,6 +273,51 @@ def _ngram_ctes(src: str = "documents") -> str:
 
 _NGRAM_CTES = _ngram_ctes()
 
+
+def _minhash_lsh_oracle(src: str = "documents", num_hashes: int = 64, bands: int = 16) -> str:
+    """Full-replay MinHash-LSH oracle body (r11 — converted from
+    rows-only the same way dedup_simhash was in r6): recompute every
+    signature value min((a_i·k + b_i) mod P) over the md5-derived
+    31-bit shingle keys — the (a_i, b_i) literals are inlined from the
+    SAME minhash_uh_params() call the Spark plan uses, so the two
+    engines cannot drift — assemble each band's '_'-joined bucket
+    string, equi-join bands for the exact candidate set, and intersect
+    with the exact-Jaccard `pairs` CTE. Produces the WITH body + final
+    SELECT of (id_a, id_b, jaccard); collapsed callers prepend their
+    class CTEs and append the class-size joins."""
+    from data_eng_project_spark.operators.dedup import MINHASH_P, minhash_uh_params
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    params = minhash_uh_params(num_hashes)
+    mins = ",\n                   ".join(
+        f"min(({a} * k + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""{_ngram_ctes(src)}, mk AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                       % {MINHASH_P} AS k
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM mk GROUP BY doc_id
+        ), bnd AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bnd x JOIN bnd y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+        )"""
+
 # Shared connected-components closure over the `pairs` CTE (symmetrized
 # edges + recursive reachability) — ONE definition for every oracle that
 # labels near-dup components (dedup_clusters, dedup_canonical_keep,
@@ -381,14 +426,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # Deliberately rows-only: the xxhash64 shingle keys are
-    # shared with the PPJoin inverted index and the persisted streaming
-    # dedup index, and the md5 conversion that gave dedup_simhash its
-    # full replay oracle would here cost 64 md5 evaluations per shingle
-    # on a HEADLINE path (vs simhash's one per token). Recall is
-    # oracle-graded instead via minhash_accuracy_report (exact-count +
-    # recall contract), and candidate exactness vs exact Jaccard is
-    # asserted in tests/.
+    # Full deterministic replay (r11, VERDICT r10 task 3 — converted
+    # from rows-only): the signature scheme is now ONE md5 per shingle
+    # + 64 universal-hash remixes mod 2³¹−1 (operators/dedup.MINHASH_P),
+    # which kills the old objection (64 md5s per shingle on a headline
+    # path) and lets DuckDB recompute signatures, band buckets, and the
+    # exact candidate set. The oracle intersects that candidate set
+    # with the exact-Jaccard pairs — precisely what the operator emits.
+    # Recall stays separately graded via minhash_accuracy_report.
+    oracle=f"""
+        WITH {_minhash_lsh_oracle("documents")}
+        SELECT p.id_a, p.id_b, p.jaccard
+        FROM pairs p JOIN cand USING (id_a, id_b)
+    """,
     headline=True,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -408,14 +458,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_collapsed",
-    oracle=None,  # Rows-only for the same documented reason as
-    # dedup_minhash_lsh (xxhash64 signature path). Quality is
-    # oracle-graded via minhash_collapsed_accuracy_report (r10 —
-    # recall/precision vs the certified exact collapsed twin), the
-    # collapse stage itself is the oracle-certified
-    # dedup_ngram_jaccard_collapsed stage, and the no-op-on-distinct
-    # equivalence with dedup_minhash_lsh is asserted in
-    # tests/test_operators.py.
+    # Full deterministic replay (r11 — see dedup_minhash_lsh): the
+    # collapse stage replays as the certified normalized-md5 class
+    # GROUP BY, the banded candidate set replays from the md5-derived
+    # universal-hash signatures over representatives only, and the
+    # class sizes join back arithmetically. Quality stays separately
+    # graded via minhash_collapsed_accuracy_report.
+    oracle=f"""
+        WITH cls AS (
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), documents_r AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN cls USING (doc_id)
+        ), {_minhash_lsh_oracle("documents_r")}
+        SELECT p.id_a, p.id_b, p.jaccard,
+               ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+               CAST(ca.n_docs * cb.n_docs AS BIGINT) AS n_doc_pairs
+        FROM pairs p
+        JOIN cand USING (id_a, id_b)
+        JOIN cls ca ON ca.doc_id = p.id_a
+        JOIN cls cb ON cb.doc_id = p.id_b
+    """,
     tags=("dedup", "minhash", "lsh", "collapsed"),
 )
 def dedup_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,8 +504,9 @@ def dedup_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_collapsed_accuracy_report",
     # Graded accuracy contract for dedup_minhash_lsh_collapsed (VERDICT
-    # r9 task 4): the sketch side stays xxhash64 (not SQL-replayable,
-    # same documented rationale as dedup_minhash_lsh), but its three
+    # r9 task 4). Since r11 the collapsed pair list itself is fully
+    # replay-oracled (md5-derived universal-hash signatures); this
+    # report remains the RECALL grade. Its three
     # checkable facts are oracle-graded exactly like
     # minhash_accuracy_report's — the exact COLLAPSED class-pair count
     # (recomputed from the collapse + n-gram CTEs, i.e. the certified
@@ -512,26 +579,20 @@ def minhash_collapsed_accuracy_report(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register(
-    "dedup_simhash",
-    # Full deterministic replay (r5 VERDICT item 4 — converted from
-    # rows-only): the token hash is md5 split into two 32-bit halves
-    # (operators/dedup.simhash), so the oracle recomputes every
-    # per-(doc, bit) ±1 sign sum, assembles each fingerprint as a
-    # 64-char bitstring, and verifies Hamming ≤ 3 with bit_count(xor)
-    # over ALL pairs — the O(n²) oracle baseline for the operator's
-    # pigeonhole band join (which examines only band-collision
-    # candidates; the 4-band split is exact for Hamming ≤ 3, so the two
-    # must agree pair-for-pair).
-    oracle=r"""
-        WITH tok AS (
+def _simhash_oracle_ctes(src: str = "documents") -> str:
+    """The shared SimHash replay chain over a (doc_id, text) source —
+    per-(doc, bit) ±1 md5-half sign sums → 64-bit fingerprints as
+    bitstrings → all-pairs Hamming ≤ 3 (`sim_pairs`). `documents` for
+    dedup_simhash, the collapsed-representatives CTE for
+    dedup_simhash_collapsed."""
+    return rf"""tok AS (
             SELECT doc_id,
                    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
                    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
             FROM (
                 SELECT doc_id,
                        unnest(string_split_regex(trim(text), '\s+')) AS tok
-                FROM documents
+                FROM {src}
             )
         ), sgn AS (
             SELECT doc_id, b,
@@ -547,11 +608,29 @@ def minhash_collapsed_accuracy_report(spark: SparkSession, sf_dir: str) -> DataF
                    CAST(string_agg(CAST(bit AS VARCHAR), '' ORDER BY b DESC)
                         AS BIT) AS s
             FROM sgn GROUP BY doc_id
-        )
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-               CAST(bit_count(xor(a.s, c.s)) AS INT) AS hamming
-        FROM fp a JOIN fp c ON a.doc_id < c.doc_id
-        WHERE bit_count(xor(a.s, c.s)) <= 3
+        ), sim_pairs AS (
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, c.s)) AS INT) AS hamming
+            FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+            WHERE bit_count(xor(a.s, c.s)) <= 3
+        )"""
+
+
+@register(
+    "dedup_simhash",
+    # Full deterministic replay (r5 VERDICT item 4 — converted from
+    # rows-only): the token hash is md5 split into two 32-bit halves
+    # (operators/dedup.simhash), so the oracle recomputes every
+    # per-(doc, bit) ±1 sign sum, assembles each fingerprint as a
+    # 64-char bitstring, and verifies Hamming ≤ 3 with bit_count(xor)
+    # over ALL pairs — the O(n²) oracle baseline for the operator's
+    # pigeonhole band join (which examines only band-collision
+    # candidates; the 4-band split is exact for Hamming ≤ 3, so the two
+    # must agree pair-for-pair). r11: CTE chain shared with
+    # dedup_simhash_collapsed via _simhash_oracle_ctes (same text).
+    oracle=f"""
+        WITH {_simhash_oracle_ctes("documents")}
+        SELECT id_a, id_b, hamming FROM sim_pairs
     """,
     tags=("dedup", "simhash"),
 )
@@ -560,6 +639,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole candidate join."""
     prepare(spark)
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_simhash_collapsed",
+    # Full deterministic replay (r11, VERDICT r10 task 7): the SimHash
+    # twin of dedup_minhash_lsh_collapsed — collapse replays as the
+    # certified normalized-md5 class GROUP BY, fingerprints/pairs via
+    # the shared SimHash chain over representatives, class sizes join
+    # back arithmetically.
+    oracle=f"""
+        WITH cls AS (
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), documents_r AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN cls USING (doc_id)
+        ), {_simhash_oracle_ctes("documents_r")}
+        SELECT p.id_a, p.id_b, p.hamming,
+               ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+               CAST(ca.n_docs * cb.n_docs AS BIGINT) AS n_doc_pairs
+        FROM sim_pairs p
+        JOIN cls ca ON ca.doc_id = p.id_a
+        JOIN cls cb ON cb.doc_id = p.id_b
+    """,
+    tags=("dedup", "simhash", "collapsed"),
+)
+def dedup_simhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLASS pairs (Hamming ≤ 3): exact-duplicate
+    classes collapsed to min-id representatives before the quarter-band
+    join — the dup-heavy production posture for the SimHash family
+    (byte-identical replicas share every band, so plain simhash_pairs
+    carries the same quadratic within-class OUTPUT term the MinHash
+    path measured at 100× dup-heavy; see operators/dedup.py)."""
+    prepare(spark)
+    return D.simhash_pairs_collapsed(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
 
 
 # ------------------------------------------------------------- similarity

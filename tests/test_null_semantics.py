@@ -96,6 +96,10 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
     assert rows[1] is None
     assert abs(rows[2] - 1.0) < 1e-12
     # Under ANSI (the vanilla driver session) the guard must still hold.
+    # Restore whatever the shared session fixture had, not a hard-coded
+    # "false" (r10 advice: a literal would leak config if the fixture
+    # ever defaults ANSI on).
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         rows = {
@@ -104,4 +108,4 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
         }
         assert rows[1] is None
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)

@@ -284,7 +284,7 @@ def test_lsh_band_rows_drop_shingleless_docs(spark):
         [(0, "a b"), (1, "x"), (2, "one two three four five six")],
         "doc_id long, text string",
     )
-    sets = _shingle_sets_direct(docs, "text", "doc_id", 3)
+    sets = _shingle_sets_direct(docs, "text", "doc_id", 3, with_minhash_keys=True)
     ids = {r.id for r in lsh_band_rows(sets).select("id").distinct().collect()}
     assert ids == {2}
 
@@ -2067,6 +2067,51 @@ def test_minhash_lsh_collapsed_classes_and_noop_on_distinct(spark):
     assert set(col) == set(plain) and len(plain) > 0
     for k, p in col.items():
         assert p.jaccard == plain[k]
+        assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
+
+
+def test_simhash_pairs_collapsed_classes_and_noop_on_distinct(spark):
+    """The SimHash twin of the collapse (r11): duplicate classes
+    collapse to min-id representatives before the quarter-band join;
+    on an all-distinct corpus the pairs equal plain simhash_pairs with
+    all class sizes 1."""
+    from data_eng_project_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_collapsed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " again"  # one reinforcing token: Hamming 2 from base
+    other = "completely different content about spark shuffle partitions"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),
+            (3, "  " + base.replace(" ", "  ")),
+            (4, near),
+            (5, near + " "),
+            (6, other),
+        ],
+        "doc_id long, text string",
+    )
+    rows = simhash_pairs_collapsed(docs, "text", "doc_id").collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 4) in got, got
+    r = got[(1, 4)]
+    assert (r.n_docs_a, r.n_docs_b, r.n_doc_pairs) == (3, 2, 6)
+
+    distinct = docs.filter(F.col("doc_id").isin(1, 4, 6))
+    plain = {
+        (p.id_a, p.id_b): p.hamming
+        for p in simhash_pairs(distinct, "text", "doc_id").collect()
+    }
+    col = {
+        (p.id_a, p.id_b): p
+        for p in simhash_pairs_collapsed(distinct, "text", "doc_id").collect()
+    }
+    assert set(col) == set(plain) and len(plain) > 0
+    for k, p in col.items():
+        assert p.hamming == plain[k]
         assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
 
 

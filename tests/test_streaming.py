@@ -405,7 +405,9 @@ def test_streaming_dedup_index_build_probe_and_replay(spark, tmp_path):
     assert n_batches >= 2  # really was incremental
 
     # (1) streamed index == one-shot band rows over the same corpus
-    batch_rows = lsh_band_rows(_shingle_sets_direct(docs, "text", "doc_id", 3))
+    batch_rows = lsh_band_rows(
+        _shingle_sets_direct(docs, "text", "doc_id", 3, with_minhash_keys=True)
+    )
     streamed = {(r["id"], r["band"], r["bucket"]) for r in idx.collect()}
     oneshot = {(r["id"], r["band"], r["bucket"]) for r in batch_rows.collect()}
     assert streamed == oneshot
