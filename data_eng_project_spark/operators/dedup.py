@@ -521,10 +521,12 @@ def minhash_lsh_pairs(
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
     Pipeline: signatures → slice into ``bands`` bands of r = k/bands rows
-    → band-hash → equi-join on (band, hash) for candidates → exact
-    n-gram Jaccard on the candidates only. At 100 TB the band-bucket join
-    replaces the all-pairs comparison; bucket skew (boilerplate shingles)
-    is handled by AQE skew-join.
+    → '_'-joined bucket string → equi-join on (band, bucket) for
+    candidates → exact n-gram Jaccard on the candidates only. At 100 TB
+    the band-bucket join replaces the all-pairs comparison; bucket skew
+    (boilerplate shingles) is handled by AQE skew-join. The whole chain
+    is SQL-replayable (see MINHASH_P), which is what backs the
+    dedup_minhash_lsh full-replay oracle.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
