@@ -2070,6 +2070,44 @@ def test_minhash_lsh_collapsed_classes_and_noop_on_distinct(spark):
         assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
 
 
+def test_minhash_signatures_match_band_row_formulation(spark):
+    """The module's two signature formulations — minhash_signatures'
+    exploded-groupBy and lsh_band_rows' row-local transform+array_min —
+    must produce identical signatures for the same corpus (same
+    md5-derived keys, same universal-hash params), so the persisted
+    index and any groupBy-path consumer can never disagree. Reconstruct
+    each band bucket from minhash_signatures and compare with
+    lsh_band_rows' buckets exactly."""
+    from data_eng_project_spark.operators.dedup import (
+        _shingle_sets_direct,
+        lsh_band_rows,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(docs, "text", "doc_id", num_hashes=64).collect()
+    }
+    rows = lsh_band_rows(
+        _shingle_sets_direct(docs, "text", "doc_id", 3, with_minhash_keys=True),
+        num_hashes=64,
+        bands=16,
+    ).collect()
+    assert {r["id"] for r in rows} == set(sig)
+    for r in rows:
+        b, vals = r["band"], sig[r["id"]]
+        expect = "_".join(str(vals[b * 4 + j]) for j in range(4))
+        assert r["bucket"] == expect
+
+
 def test_simhash_pairs_collapsed_classes_and_noop_on_distinct(spark):
     """The SimHash twin of the collapse (r11): duplicate classes
     collapse to min-id representatives before the quarter-band join;
