@@ -445,50 +445,50 @@ def lsh_band_rows(
     join key of every MinHash-LSH consumer, including the persisted
     streaming dedup index (streaming/dedup_index.py).
 
-    Signatures come straight from the key arrays: sig[i] =
-    min_j (a_i·k_j + b_i) mod P over the md5-derived shingle keys (the
-    module's SQL-replayable scheme — see MINHASH_P) via
-    transform+array_min — per-row array math in codegen, no
-    exploded-index groupBy — then each band of r = num_hashes/bands
-    signature rows collapses to one bucket key: the '_'-joined decimal
-    rendering of the r values. A string bucket instead of a hashed one
-    costs ~5× the (tiny) index bytes but makes the band equi-join
-    EXACT — no cross-band hash collisions — and lets the DuckDB oracle
-    replay the candidate set verbatim. Deterministic: fixed (a_i, b_i),
-    so band rows computed in different jobs / sessions / machines agree
-    (what makes the persisted index mergeable across ingest batches).
+    Signatures: sig[i] = min_j (a_i·k_j + b_i) mod P over the
+    md5-derived shingle keys (the module's SQL-replayable scheme — see
+    MINHASH_P), computed as explode(_mkeys) → ONE hash aggregate with
+    64 min() columns. The r11 A/B replaced the earlier
+    transform+array_min row-local form with this: higher-order-function
+    lambdas evaluate INTERPRETED per element, so 64 HOF transforms per
+    row lost ~25-35% end-to-end to the whole-stage-codegen min
+    aggregate, which also pays its groupBy shuffle almost nothing
+    (map-side partial aggregation ships 64 longs per doc — corpus-size
+    independent). Each band of r = num_hashes/bands signature values
+    then collapses to one bucket key: the '_'-joined decimal rendering
+    of the r values. A string bucket instead of a hashed one costs ~5×
+    the (tiny) index bytes but makes the band equi-join EXACT — no
+    cross-band hash collisions — and lets the DuckDB oracle replay the
+    candidate set verbatim. Deterministic: fixed (a_i, b_i), so band
+    rows computed in different jobs / sessions / machines agree (what
+    makes the persisted index mergeable across ingest batches);
+    equality with the minhash_signatures formulation is pytest-pinned.
 
-    Shingle-less documents (shorter than the shingle width) are dropped:
-    an empty set has no MinHash (array_min over nothing is NULL for
-    every seed), so every such doc would share one identical
-    null-derived bucket per band and the downstream band equi-join
-    would go quadratic in their count — millions of <n-token docs in a
-    dirty corpus → ~E²/2 candidates, all discarded by verification
-    anyway. They can never match anything (Jaccard with ∅ is 0), so
-    dropping them changes no verified output.
+    Shingle-less documents (shorter than the shingle width) are dropped
+    (explode of their empty key array yields no rows): an empty set has
+    no MinHash, so every such doc would otherwise share one identical
+    degenerate bucket per band and the downstream band equi-join would
+    go quadratic in their count — millions of <n-token docs in a dirty
+    corpus → ~E²/2 candidates, all discarded by verification anyway.
+    They can never match anything (Jaccard with ∅ is 0), so dropping
+    them changes no verified output.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sets = sets.filter(F.size("_mkeys") > 0)
     params = minhash_uh_params(num_hashes)
-
-    def _minhash(i: int) -> F.Column:
-        a, b = params[i]
-        # NB: the lambda must take exactly one arg — a two-arg lambda
-        # would be treated as transform's (element, index) form.
-        return F.array_min(
-            F.transform(
-                "_mkeys",
-                lambda k: (F.lit(a).cast("long") * k + F.lit(b)) % F.lit(MINHASH_P),
-            )
-        )
-
-    sig = sets.select(
-        F.col("_id").alias("id"),
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature"),
+    # explode(_mkeys) drops empty arrays by itself — the shingle-less
+    # documents never reach the aggregate.
+    keys = sets.select("_id", F.explode("_mkeys").alias("_k"))
+    sig = keys.groupBy("_id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("long") * F.col("_k") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"_h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
     )
     return sig.select(
-        "id",
+        F.col("_id").alias("id"),
         F.explode(
             F.array(
                 *[
@@ -497,7 +497,7 @@ def lsh_band_rows(
                         F.concat_ws(
                             "_",
                             *[
-                                F.element_at("signature", b * r + j + 1).cast("string")
+                                F.col(f"_h{b * r + j}").cast("string")
                                 for j in range(r)
                             ],
                         ).alias("bucket"),
