@@ -105,6 +105,37 @@ def main() -> None:
     # provably quiet iff every snapshot sits near the quiet anchor in
     # BASELINE.md (gemm 0.044 / pyloop 0.79). Single-rep probes (~1 s)
     # — the series detects regime, the final min-of-3 below anchors it.
+    # CPU-steal trace (round 11 — the band's measured ROOT CAUSE): the
+    # host is a VM whose hypervisor steals CPU under wide parallelism
+    # (14% of a 32-process burn measured directly; ~15% of historical
+    # busy jiffies per /proc/stat), while single-thread probes see
+    # little steal because the host has headroom for one core. That is
+    # exactly why idle-time canaries read quiet minutes before a
+    # 32-thread Spark run lands 1.5× slow (BASELINE.md r11 note), and
+    # why loadavg never saw anything. Sample /proc/stat at every
+    # calibration snapshot and gate quiet_regime on the measured steal
+    # share of each interval — the only signal here that observes the
+    # contention at the width Spark actually runs.
+    def _cpu_jiffies() -> tuple[int, int] | None:
+        try:
+            f = open("/proc/stat").readline().split()
+            vals = [int(x) for x in f[1:9]]
+            return sum(vals), vals[7]  # (total jiffies, steal jiffies)
+        except (OSError, ValueError, IndexError):
+            return None  # non-Linux: steal trace unavailable
+
+    _steal_prev = _cpu_jiffies()
+
+    def _steal_pct_since_prev() -> float | None:
+        nonlocal _steal_prev
+        cur = _cpu_jiffies()
+        if cur is None or _steal_prev is None:
+            _steal_prev = cur
+            return None
+        dt, ds = cur[0] - _steal_prev[0], cur[1] - _steal_prev[1]
+        _steal_prev = cur
+        return round(100.0 * ds / dt, 2) if dt > 0 else None
+
     import numpy as _np
 
     _rng = _np.random.default_rng(0)
@@ -139,7 +170,12 @@ def main() -> None:
     # anchor it is compared against (could false-flag a quiet run).
     _gemm()
     calib_series = [
-        {"at": "pre", "gemm_sec": _calib(_gemm, 1), "pyloop_sec": _calib(_pyloop, 1)}
+        {
+            "at": "pre",
+            "gemm_sec": _calib(_gemm, 1),
+            "pyloop_sec": _calib(_pyloop, 1),
+            "steal_pct_since_prev": _steal_pct_since_prev(),
+        }
     ]
 
     for spec in [*headline, *extra]:  # untimed warm-up sweep (JIT/codegen/page cache)
@@ -165,6 +201,10 @@ def main() -> None:
                 "at": f"after_sweep_{_sweep + 1}",
                 "gemm_sec": _calib(_gemm, 1),
                 "pyloop_sec": _calib(_pyloop, 1),
+                # steal share of THIS sweep's interval — the jiffies
+                # window since the previous snapshot brackets exactly
+                # the queries timed in between.
+                "steal_pct_since_prev": _steal_pct_since_prev(),
             }
         )
 
@@ -191,20 +231,34 @@ def main() -> None:
     # per-sweep single-rep series above is the regime trace.
     host_calibration = {"gemm_sec": _calib(_gemm), "pyloop_sec": _calib(_pyloop)}
 
-    # quiet_regime is derived from the in-run calibration SERIES, not
+    # quiet_regime is derived from the in-run measurements, not
     # load-average (r10 lesson: the slow band shows zero load, so the
     # old load-gate let two consecutive in-band artifacts self-label
     # quiet while their own series read gemm at up to 75× the anchor).
-    # Thresholds ≈ 2× the quiet anchors in BASELINE.md (gemm 0.0434,
-    # pyloop 0.789): every snapshot — before, between sweeps, and the
-    # final min-of-3 — must sit in the quiet band for the run to claim
-    # the label.
-    QUIET_GEMM, QUIET_PYLOOP = 0.09, 0.95
-    quiet_regime = all(
-        s["gemm_sec"] <= QUIET_GEMM and s["pyloop_sec"] <= QUIET_PYLOOP
-        for s in calib_series
-    ) and host_calibration["gemm_sec"] <= QUIET_GEMM and (
-        host_calibration["pyloop_sec"] <= QUIET_PYLOOP
+    # Two conditions, both required:
+    # 1. Calibration thresholds ≈ 2× the quiet anchors in BASELINE.md
+    #    (gemm 0.0434, pyloop 0.789) at every snapshot.
+    # 2. Hypervisor steal ≤ 2% in every inter-snapshot interval — the
+    #    r11 root-cause measurement: the band IS demand-sensitive CPU
+    #    steal (14% of a 32-way burn), which single-thread calibration
+    #    kernels under-observe because the host keeps headroom for one
+    #    core. A run whose own sweeps executed under steal is banded
+    #    regardless of how quiet the probes read. Missing /proc/stat
+    #    (non-Linux) leaves the steal terms None and falls back to the
+    #    calibration-only gate.
+    QUIET_GEMM, QUIET_PYLOOP, QUIET_STEAL_PCT = 0.09, 0.95, 2.0
+    quiet_regime = (
+        all(
+            s["gemm_sec"] <= QUIET_GEMM and s["pyloop_sec"] <= QUIET_PYLOOP
+            for s in calib_series
+        )
+        and host_calibration["gemm_sec"] <= QUIET_GEMM
+        and host_calibration["pyloop_sec"] <= QUIET_PYLOOP
+        and all(
+            s["steal_pct_since_prev"] <= QUIET_STEAL_PCT
+            for s in calib_series
+            if s["steal_pct_since_prev"] is not None
+        )
     )
 
     print(
