@@ -33,6 +33,16 @@ import time
 import numpy as np
 
 
+def _burn(_: int) -> int:
+    """2-second busy loop — module-level so multiprocessing can pickle
+    it (the steal-under-load probe maps it across every core)."""
+    t_end = time.time() + 2
+    x = 0
+    while time.time() < t_end:
+        x += 1
+    return x
+
+
 def _min_of(n: int, fn) -> float:
     best = float("inf")
     for _ in range(n):
@@ -83,11 +93,33 @@ def main() -> None:
             os.fsync(f.fileno())
         os.remove(wpath)
 
+    # Steal-under-load probe (round 11 — the band's measured root
+    # cause, BASELINE.md): %CPU the hypervisor steals from a 2-second
+    # full-width busy burn, from /proc/stat jiffy deltas. The
+    # single-thread probes above under-observe this because the host
+    # keeps headroom for one core but not for all of them; this is the
+    # signal that actually predicts whether a 32-thread Spark run will
+    # land in the quiet band. None on non-Linux.
+    def steal_under_load() -> float | None:
+        try:
+            before = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+        except (OSError, ValueError):
+            return None
+        import multiprocessing as mp
+
+        with mp.Pool(os.cpu_count()) as pool:
+            pool.map(_burn, range(os.cpu_count()))
+        after = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+        d = [y - x for x, y in zip(before, after)]
+        total = sum(d)
+        return round(100.0 * d[7] / total, 2) if total > 0 else None
+
     out = {
         "gemm_sec": _min_of(3, gemm),
         "pyloop_sec": _min_of(3, pyloop),
         "scan_sec": _min_of(3, scan),
         "write_sec": _min_of(3, write),
+        "steal_under_load_pct": steal_under_load(),
         "load_1min": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
     }
