@@ -16,8 +16,9 @@ Five strategies, each a pure DataFrame composition designed to scale:
                          by exact Hamming distance.
 - embedding_dup_pairs  : see operators/similarity.py (cosine threshold).
 
-Everything is built-in expressions (xxhash64, transform, aggregate,
-explode) — no Python in the hot path.
+Everything is built-in expressions (xxhash64 for exact-verify set keys,
+md5 + universal-hash arithmetic for the SQL-replayable MinHash scheme,
+transform, aggregate, explode) — no Python in the hot path.
 """
 
 from __future__ import annotations
