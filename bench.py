@@ -184,6 +184,19 @@ def main() -> None:
         except Exception:
             pass
         spark.catalog.clearCache()
+    # Reset the steal baseline AFTER the warm-up loop (r12, ADVICE): without
+    # this snapshot the pre→after_sweep_1 jiffies window spans the untimed
+    # warm-up too, so steal that hit only the warm-up would false-flag a run
+    # whose timed sweeps were clean. post_warmup's own steal reading covers
+    # the warm-up interval (recorded, but excluded from the quiet gate).
+    calib_series.append(
+        {
+            "at": "post_warmup",
+            "gemm_sec": _calib(_gemm, 1),
+            "pyloop_sec": _calib(_pyloop, 1),
+            "steal_pct_since_prev": _steal_pct_since_prev(),
+        }
+    )
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for _sweep in range(3):
@@ -230,6 +243,19 @@ def main() -> None:
     # version). Final reading is min-of-3 (the cross-round anchor); the
     # per-sweep single-rep series above is the regime trace.
     host_calibration = {"gemm_sec": _calib(_gemm), "pyloop_sec": _calib(_pyloop)}
+    # Final steal sample (r12, ADVICE): the min-of-3 host_calibration above
+    # is thresholded by the quiet gate but was previously outside the steal
+    # trace. This interval brackets the staged-pipeline run plus the final
+    # calibration, closing the trace over every measurement the artifact
+    # reports.
+    calib_series.append(
+        {
+            "at": "post_calibration",
+            "gemm_sec": host_calibration["gemm_sec"],
+            "pyloop_sec": host_calibration["pyloop_sec"],
+            "steal_pct_since_prev": _steal_pct_since_prev(),
+        }
+    )
 
     # quiet_regime is derived from the in-run measurements, not
     # load-average (r10 lesson: the slow band shows zero load, so the
@@ -246,7 +272,19 @@ def main() -> None:
     #    regardless of how quiet the probes read. Missing /proc/stat
     #    (non-Linux) leaves the steal terms None and falls back to the
     #    calibration-only gate.
+    # Steal is gated only on intervals that bracket MEASURED work (the three
+    # timed sweeps and the staged+final-calibration window) — "pre" spans
+    # process startup and "post_warmup" spans the untimed warm-up sweep, so
+    # steal landing only there cannot taint any reported number (r12,
+    # ADVICE). Calibration point-probes still gate at every snapshot: they
+    # detect the band regime itself, which is time-local.
     QUIET_GEMM, QUIET_PYLOOP, QUIET_STEAL_PCT = 0.09, 0.95, 2.0
+    STEAL_GATED_ATS = {
+        "after_sweep_1",
+        "after_sweep_2",
+        "after_sweep_3",
+        "post_calibration",
+    }
     quiet_regime = (
         all(
             s["gemm_sec"] <= QUIET_GEMM and s["pyloop_sec"] <= QUIET_PYLOOP
@@ -257,7 +295,7 @@ def main() -> None:
         and all(
             s["steal_pct_since_prev"] <= QUIET_STEAL_PCT
             for s in calib_series
-            if s["steal_pct_since_prev"] is not None
+            if s["at"] in STEAL_GATED_ATS and s["steal_pct_since_prev"] is not None
         )
     )
 

@@ -413,9 +413,10 @@ def minhash_signatures(
     """(id, array<long> signature): sig[i] = min over shingles of
     (a_i·k + b_i) mod P with k the md5-derived shingle key (the
     module's one SQL-replayable MinHash scheme — see MINHASH_P).
-    GroupBy formulation (one shuffle) of the row-local signature pass
-    inside lsh_band_rows; kept for callers that already hold exploded
-    shingle rows."""
+    Same explode→groupBy min-aggregate form as lsh_band_rows (the r11
+    A/B winner); the two differ only in input: this one shingles raw
+    text itself, lsh_band_rows consumes pre-built _mkeys arrays.
+    Equality of the two formulations is pytest-pinned."""
     toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     key = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")

@@ -372,9 +372,16 @@ def pca_projection_agreement_report(
         pi_rows.append(v)
         c = c - lam * np.outer(v, v)
     pi = np.stack(pi_rows)
+    # Align each twin component's sign to the PRODUCTION basis directly
+    # (r12, ADVICE): independent argmax(|entry|) canonicalization on both
+    # sides can pick opposite flips when a component's two largest-
+    # magnitude coordinates are near-tied with opposite signs, making
+    # comps−pi ≈ 2v and spuriously failing projection_agreement_ok even
+    # when the bases agree. basis_agreement_ok uses |cos|, so the twin's
+    # independence as a CHECK is unaffected — only the difference-matrix
+    # construction needs a common sign convention.
     for i in range(k):
-        j = int(np.argmax(np.abs(pi[i])))
-        if pi[i, j] < 0:
+        if float(comps[i] @ pi[i]) < 0:
             pi[i] = -pi[i]
 
     min_cos = float(np.min(np.abs(np.sum(comps * pi, axis=1))))

@@ -2071,9 +2071,10 @@ def test_minhash_lsh_collapsed_classes_and_noop_on_distinct(spark):
 
 
 def test_minhash_signatures_match_band_row_formulation(spark):
-    """The module's two signature formulations — minhash_signatures'
-    exploded-groupBy and lsh_band_rows' row-local transform+array_min —
-    must produce identical signatures for the same corpus (same
+    """The module's two signature formulations — minhash_signatures
+    (shingles raw text itself) and lsh_band_rows (consumes pre-built
+    _mkeys arrays), both explode→groupBy min-aggregates since the r11
+    A/B — must produce identical signatures for the same corpus (same
     md5-derived keys, same universal-hash params), so the persisted
     index and any groupBy-path consumer can never disagree. Reconstruct
     each band bucket from minhash_signatures and compare with
