@@ -1,0 +1,51 @@
+#!/bin/bash
+# r12 quiet-bench watcher: poll the host; when a 32-wide steal-under-load
+# probe reads <=1% AND the single-thread canaries sit at the quiet anchor,
+# launch bench.py immediately. Keep the attempt ledger either way — the
+# artifact's own steal-gated quiet_regime flag is the only thing trusted
+# (r11 lesson: quiet instants exist, quiet 4-minute windows may not).
+#
+# Respects /tmp/builder_busy: touch it while running heavy foreground work
+# (pytest sweeps, scale probes) so the watcher neither wastes an attempt
+# under self-inflicted load nor pollutes the foreground measurement.
+cd /root/repo || exit 1
+LEDGER=/tmp/r12_bench_attempts.log
+echo "watcher start $(date +%H:%M:%S)" >> "$LEDGER"
+for try in $(seq 1 500); do
+  if [ -e /tmp/builder_busy ]; then sleep 30; continue; fi
+  LOAD=$(python3 -c "import os; print(os.getloadavg()[0])")
+  BUSY=$(python3 -c "print(1 if $LOAD > 1.5 else 0)")
+  if [ "$BUSY" = "1" ]; then sleep 45; continue; fi
+  C=$(python3 tools/host_calibration.py 2>/dev/null)
+  read -r G P S <<<"$(echo "$C" | python3 -c "
+import json,sys
+d=json.load(sys.stdin)
+print(d['gemm_sec'], d['pyloop_sec'], d.get('steal_under_load_pct'))")"
+  echo "probe try=$try $(date +%H:%M:%S) gemm=$G pyloop=$P steal32=$S load=$LOAD" >> "$LEDGER"
+  OK=$(python3 -c "
+s = $S if '$S' != 'None' else 99.0
+print(1 if $G < 0.065 and $P < 0.90 and s <= 1.0 else 0)")
+  if [ "$OK" != "1" ]; then sleep 60; continue; fi
+  if [ -e /tmp/builder_busy ]; then continue; fi
+  echo "TRIGGER try=$try $(date +%H:%M:%S) — launching bench" >> "$LEDGER"
+  python3 bench.py 2>/dev/null | tail -1 > /tmp/bench_r12_try$try.json
+  python3 - <<PY >> "$LEDGER"
+import json
+d = json.load(open("/tmp/bench_r12_try$try.json"))
+s = d["host_calibration_series"]
+print("attempt try=$try total=%s quiet_regime=%s max_gemm=%.3f steals=%s" % (
+    d["value"], d["quiet_regime"],
+    max(x["gemm_sec"] for x in s),
+    [x["steal_pct_since_prev"] for x in s]))
+PY
+  if python3 -c "
+import json,sys
+sys.exit(0 if json.load(open('/tmp/bench_r12_try$try.json'))['quiet_regime'] else 1)"; then
+    cp /tmp/bench_r12_try$try.json /tmp/bench_r12_quiet.json
+    echo "QUIET ARTIFACT LANDED try=$try $(date +%H:%M:%S)" >> "$LEDGER"
+    exit 0
+  fi
+  sleep 120
+done
+echo "watcher exhausted $(date +%H:%M:%S)" >> "$LEDGER"
+exit 1
