@@ -905,6 +905,34 @@ def ngram_containment_pairs(
     return verified
 
 
+def ngram_containment_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment near-dup pairs with EXACT-DUPLICATE CLASSES COLLAPSED
+    FIRST — the fourth pair family to get the collapse-first posture
+    (after exact-Jaccard, MinHash-LSH, and SimHash; VERDICT r11 task 6).
+
+    The dup-heavy probe shows the same quadratic-OUTPUT failure mode as
+    the other three: at 10× byte-identical replicas the plain operator
+    reads ~40 s (every class of k identical docs has containment 1.0 on
+    all C(k,2) within-class pairs, and the prefix filter prunes nothing
+    for identical sets — they share every prefix shingle), and no
+    candidate pruning can save a contract whose OUTPUT is quadratic in
+    class size. Collapse exact classes to their min-id representative,
+    run the prefix-filtered containment join over distinct contents
+    only, carry class sizes arithmetically.
+
+    Returns (id_a, id_b, containment, n_docs_a, n_docs_b, n_doc_pairs),
+    id_a < id_b (representative ids)."""
+    reps = collapse_exact_text_classes(df, text_col, id_col)
+    pairs = ngram_containment_pairs(reps, text_col, id_col, n=n, threshold=threshold)
+    return _attach_class_sizes(pairs, reps, id_col, value_col="containment")
+
+
 def fingerprint_hamming_pairs(
     fp: DataFrame,
     fp_col: str,

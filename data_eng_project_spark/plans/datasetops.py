@@ -42,6 +42,7 @@ from data_eng_project_spark.plans.registry import register
 from data_eng_project_spark.plans.textdata import (
     _COMPONENT_CTES,
     _NGRAM_CTES,
+    _ngram_ctes,
     JACCARD_THRESHOLD,
 )
 from data_eng_project_spark.session import prepare
@@ -608,6 +609,52 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=_CONTAINMENT_T
+    )
+
+
+@register(
+    "dedup_containment_pairs_collapsed",
+    # Full replay, the dedup_ngram_jaccard_collapsed idiom: the collapse
+    # CTE reproduces collapse_exact_text_classes (md5 of the normalized
+    # text, min-id representative), the n-gram CTE chain re-runs over
+    # representatives only, and the final SELECT applies the containment
+    # ratio + class-size arithmetic.
+    oracle=f"""
+        WITH cls AS (
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), documents_r AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN cls USING (doc_id)
+        ), {_ngram_ctes("documents_r")}
+        SELECT c.id_a, c.id_b, c.containment,
+               ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+               CAST(ca.n_docs * cb.n_docs AS BIGINT) AS n_doc_pairs
+        FROM (
+            SELECT id_a, id_b,
+                   round(i / least(na.n, nb.n), 6) AS containment
+            FROM inter
+            JOIN sz na ON na.doc_id = id_a
+            JOIN sz nb ON nb.doc_id = id_b
+            WHERE round(i / least(na.n, nb.n), 6) >= {_CONTAINMENT_T}
+        ) c
+        JOIN cls ca ON ca.doc_id = c.id_a
+        JOIN cls cb ON cb.doc_id = c.id_b
+    """,
+    tags=("datasetops", "dedup", "containment", "collapsed"),
+)
+def dedup_containment_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup CLASS pairs: exact-duplicate classes collapse
+    to their min-id representative first, then the prefix-filtered
+    containment join runs over representatives only — the collapse-first
+    posture the dup-heavy probes mandated for every pair family
+    (operators/dedup.ngram_containment_pairs_collapsed)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs_collapsed(
         docs, "text", "doc_id", n=3, threshold=_CONTAINMENT_T
     )
 

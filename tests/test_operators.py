@@ -2154,6 +2154,59 @@ def test_simhash_pairs_collapsed_classes_and_noop_on_distinct(spark):
         assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
 
 
+def test_containment_pairs_collapsed_classes_and_noop_on_distinct(spark):
+    """The containment twin of the collapse (r12, the fourth pair family
+    to get the posture): duplicate classes collapse to min-id
+    representatives before the prefix-filtered containment join; on an
+    all-distinct corpus the pairs equal plain ngram_containment_pairs
+    with all class sizes 1."""
+    from data_eng_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_collapsed,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "alpha beta gamma delta epsilon"  # wholly contained in long
+    other = "completely different words about spark shuffle partition plans"
+    docs = spark.createDataFrame(
+        [
+            (1, long),
+            (2, long.upper()),
+            (3, "  " + long.replace(" ", "  ")),
+            (4, short),
+            (5, short + " "),
+            (6, other),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs_collapsed(
+        docs, "text", "doc_id", n=3, threshold=0.8
+    ).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 4) in got, got
+    r = got[(1, 4)]
+    assert r.containment == 1.0
+    assert (r.n_docs_a, r.n_docs_b, r.n_doc_pairs) == (3, 2, 6)
+
+    distinct = docs.filter(F.col("doc_id").isin(1, 4, 6))
+    plain = {
+        (p.id_a, p.id_b): p.containment
+        for p in ngram_containment_pairs(
+            distinct, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    col = {
+        (p.id_a, p.id_b): p
+        for p in ngram_containment_pairs_collapsed(
+            distinct, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    assert set(col) == set(plain) and len(plain) > 0
+    for k, p in col.items():
+        assert p.containment == plain[k]
+        assert (p.n_docs_a, p.n_docs_b, p.n_doc_pairs) == (1, 1, 1)
+
+
 def test_semdedup_accuracy_report_counts_match_components(vectors):
     """The report's counts must equal the ones computed directly from
     its two constituent operators (semdedup flags, exact all-pairs dup
