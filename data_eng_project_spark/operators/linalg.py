@@ -306,6 +306,7 @@ def pca_projection_agreement_report(
     seed: int = 11,
     basis_tol: float = 1e-6,
     proj_tol: float = 1e-5,
+    eval_tol: float = 1e-6,
 ) -> DataFrame:
     """Graded agreement contract for the PCA PROJECTION path (VERDICT
     r10 task 8 — the one rows-only linalg dimension pca_trace_report
@@ -322,6 +323,14 @@ def pca_projection_agreement_report(
     - ``basis_agreement_ok``: min over the k components of
       |cos(eigh_i, power_i)| ≥ 1 − basis_tol. Power iteration and LAPACK
       eigh share no code path; agreement pins the basis itself.
+    - ``eigenvalue_agreement_ok`` (r12, VERDICT r11 task 7 — extends
+      the contract to the SCREE dimension embedding_pca_scree reports):
+      max over the k components of |λ_eigh,i − ρ_i| ≤ eval_tol · λ₁,
+      where ρ_i = vᵢᵀ C vᵢ is the power twin's Rayleigh quotient
+      against the ORIGINAL covariance (deflation keeps vᵢ orthogonal to
+      the earlier components, so ρ_i estimates the same λ_i). Grades
+      the eigenvalue SPECTRUM the scree table publishes, not just the
+      basis directions.
     - ``projection_agreement_ok``: the distributed check. Projection is
       linear, so proj_eigh(x) − proj_power(x) = (x − μ)·(W_e − W_p)ᵀ —
       ONE centered GEMM pass over the corpus with the difference matrix
@@ -355,6 +364,7 @@ def pca_projection_agreement_report(
     rng = np.random.default_rng(seed)
     c = cov.copy()
     pi_rows = []
+    rayleigh = []
     for _ in range(k):
         v = rng.standard_normal(cov.shape[0])
         v /= np.linalg.norm(v)
@@ -370,6 +380,7 @@ def pca_projection_agreement_report(
             v /= nv
         lam = float(v @ cov @ v)
         pi_rows.append(v)
+        rayleigh.append(lam)
         c = c - lam * np.outer(v, v)
     pi = np.stack(pi_rows)
     # Align each twin component's sign to the PRODUCTION basis directly
@@ -386,6 +397,9 @@ def pca_projection_agreement_report(
 
     min_cos = float(np.min(np.abs(np.sum(comps * pi, axis=1))))
     basis_ok = bool(min_cos >= 1.0 - basis_tol)
+    lam_eigh = np.array([max(float(evals[j]), 0.0) for j in order])
+    lam1 = max(float(lam_eigh[0]), np.finfo(np.float64).tiny)
+    eig_ok = bool(np.max(np.abs(lam_eigh - np.array(rayleigh))) <= eval_tol * lam1)
     scale = float(np.sqrt(max(float(evals[order[0]]), 0.0)))
 
     diff = project(df, mean, comps - pi, vec_col=vec_col, id_col=id_col)
@@ -401,5 +415,6 @@ def pca_projection_agreement_report(
         "dim",
         F.lit(k).cast("bigint").alias("k"),
         F.lit(basis_ok).alias("basis_agreement_ok"),
+        F.lit(eig_ok).alias("eigenvalue_agreement_ok"),
         (F.col("_w") <= F.lit(proj_tol * scale)).alias("projection_agreement_ok"),
     )

@@ -42,91 +42,87 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-11 rotation (VERDICT r10 tasks 3/5/8). CORRECTNESS_r10 graded
-# its window 49 green + 1 deliberate no_oracle; cumulative latest-green
-# evidence after r10: oldest anywhere is round 5 (26 queries), then 47
-# round-6 rows. This window:
+# Round-12 rotation (VERDICT r11 task 2). CORRECTNESS_r11 graded its
+# window 50 green / 0 fail — the first all-oracle-backed window;
+# cumulative latest-green evidence after r11: oldest anywhere is
+# round 6 (30 queries), then 26 round-7 rows. This window:
 #   1. Changed/new lineage this round, certified in its birth round:
-#      dedup_minhash_lsh + dedup_minhash_lsh_collapsed (CONVERTED from
-#      rows-only to FULL REPLAY oracles — the signature scheme is now
-#      one md5 per shingle + 64 universal-hash remixes mod 2³¹−1,
-#      replayable in DuckDB; operators/dedup.MINHASH_P), so no graded
-#      window ever needs to burn a no_oracle slot again;
-#      minhash_collapsed_accuracy_report + streaming_dedup_recall_report
-#      (RE-GRADE — their sketch lineage changed with the scheme; the
-#      recall contracts re-measured green at sf0.001/0.01); and
-#      pca_projection_agreement_report (NEW — fixed-seed
-#      power-iteration twin grading the rows-only PCA projection pair,
-#      r10 task 8); dedup_simhash_collapsed (NEW — the SimHash
-#      dup-heavy posture, r10 task 7, full replay oracle) and
-#      dedup_simhash (RE-GRADE — its oracle text was refactored into
-#      the shared _simhash_oracle_ctes chain; semantics unchanged but
-#      changed oracle text gets a fresh driver row, the
-#      quantized_topk_agreement r10 precedent).
-#   2. All 26 round-5-latest rows, in registry order (includes
-#      minhash_accuracy_report, whose sketch lineage also changed —
-#      double duty). After this window no query's latest driver
-#      evidence predates round 6.
-#   3. The remaining 17 slots: the oldest round-6-latest queries in
-#      registry order. The r6 rows that do not fit are the natural
-#      r12 window head.
+#      dedup_containment_pairs_collapsed (NEW — the fourth pair family
+#      to get the collapse-first posture after the dup-heavy probe
+#      measured the plain containment join's quadratic-output blowup,
+#      r11 task 6; full replay oracle reusing the
+#      dedup_ngram_jaccard_collapsed collapse-CTE idiom) and
+#      pca_projection_agreement_report (RE-GRADE — the contract was
+#      WIDENED with eigenvalue_agreement_ok, the Rayleigh-quotient
+#      spectrum check extending graded coverage to the scree dimension,
+#      r11 task 7; its twin also gained direct sign alignment to the
+#      production basis, the r11 ADVICE fix).
+#   2. All 30 round-6-latest rows, in registry order (the r11 window's
+#      declared r12 head). After this window no query's latest driver
+#      evidence predates round 7.
+#   3. The remaining 18 slots: the oldest round-7-latest queries in
+#      registry order. The 8 r7 rows that do not fit
+#      (crossmodal_dup_consensus, bm25_search, label_centroids,
+#      hybrid_search, kmv_distinct_ngrams, streaming_interval_join,
+#      streaming_dedup_events, customer_nation_region) are the natural
+#      r13 window head.
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
     # 1. Changed/new lineage this round:
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_collapsed",
-    "minhash_collapsed_accuracy_report",
-    "streaming_dedup_recall_report",
+    "dedup_containment_pairs_collapsed",
     "pca_projection_agreement_report",
-    "dedup_simhash_collapsed",
-    "dedup_simhash",
-    # 2. All 26 round-5-latest rows, refreshed in registry order:
-    "order_status_mix_monthly",
-    "embedding_covariance",
-    "hard_negative_mining",
-    "minhash_accuracy_report",
-    "per_user_value_trend",
-    "event_transition_matrix",
-    "pagerank_dup_docs",
-    "knn_label_propagation",
-    "catalog_manifest",
-    "multimodal_media_meta",
-    "multimodal_frame_samples",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames_raw",
-    "bloom_join_prune_stats",
-    "kanonymize_customer_release",
-    "ldiversity_check",
-    "ewma_user_values",
-    "time_weighted_avg_user",
-    "events_hourly_ohlc",
-    "hour_of_week_profile",
-    "seasonal_anomaly_events",
-    "acf_event_counts",
-    "event_debounce_summary",
-    "bpe_pair_counts",
-    "bpe_word_frequencies",
-    # 3. The 17 oldest round-6-latest rows, in registry order:
-    "window_rank_events",
-    "moving_avg_user_value",
-    "set_ops_intersect",
-    "set_ops_except",
-    "distinct_aggregates",
-    "scalar_kitchen_sink",
-    "array_functions",
-    "cube_order_summary",
-    "semi_join_exists",
-    "scalar_subquery_above_avg",
-    "null_handling_scalars",
-    "percentile_price_quartiles",
-    "pivot_status_by_priority",
-    "unpivot_status_counts",
-    "q4_priority_order_counts",
-    "q12_shipmode_severity",
-    "q14_promo_revenue_pct",
+    # 2. All 30 round-6-latest rows, refreshed in registry order:
+    "nation_market_share",
+    "q2_max_order_per_customer",
+    "top_supplier_per_nation",
+    "q13_order_count_distribution",
+    "q16_parts_never_ordered",
+    "join_fanout_hotspots",
+    "interpolate_user_values",
+    "q17_small_quantity_revenue",
+    "q20_top_part_family_suppliers",
+    "collocation_lift_scores",
+    "vocab_growth_curve",
+    "similarity_ann_lsh",
+    "multimodal_audio_spectrum",
+    "minhash_band_planning",
+    "label_centroid_similarity",
+    "dup_graph_bfs_hops",
+    "er_sorted_neighborhood",
+    "dup_graph_common_neighbors",
+    "session_path_trigrams",
+    "table_checksum_buckets",
+    "multimodal_resize_raw",
+    "multimodal_phash_dups",
+    "streaming_heavy_hitters",
+    "video_scene_cuts",
+    "zorder_layout_stats",
+    "zorder_pruning_ratio",
+    "kmeans_embedding_clusters",
+    "holt_linear_event_trend",
+    "xcorr_event_types",
+    "rollup_retraction_merge",
+    # 3. The 18 oldest round-7-latest rows, in registry order:
+    "q1_pricing_summary",
+    "q5_region_supplier_revenue",
+    "events_hourly_rollup",
+    "full_outer_activity_reconciliation",
+    "events_hourly_gapfill",
+    "q21_sole_late_suppliers",
+    "decontaminate_ngram_overlap",
+    "embedding_quantize_int8",
+    "streaming_sessionize",
+    "pii_detect_redact",
+    "lang_id_heuristic",
+    "text_quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "winnowing_fingerprints",
+    "dedup_ngram_jaccard_collapsed",
+    "embedding_dup_pairs",
+    "tfidf_top_terms",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every

@@ -1091,7 +1091,9 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_index_probe",
-    oracle=None,  # LSH sketch path (seeded xxhash64) — exactness asserted
+    oracle=None,  # LSH sketch path (md5-derived universal-hash
+    # signatures since r11 — operators/dedup.MINHASH_P) buried inside a
+    # Structured Streaming foreachBatch build — exactness asserted
     # against planted perturbed copies in tests/test_streaming.py
     tags=("streaming", "dedup", "lsh", "index"),
 )
@@ -1142,8 +1144,10 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_recall_report",
-    # The probe side (banded MinHash-LSH over seeded xxhash64) is not
-    # SQL-reproducible — that's why streaming_dedup_index_probe is
+    # The probe side (banded MinHash-LSH — md5-derived universal-hash
+    # signatures since r11, but built through a Structured Streaming
+    # foreachBatch job whose index/probe orchestration DuckDB cannot
+    # replay) is why streaming_dedup_index_probe stays
     # rows-only — but the report's ground-truth side IS: the oracle
     # independently reconstructs the probe batch (every 20th doc,
     # ' probeword' appended, +10M ids) and recomputes the exact

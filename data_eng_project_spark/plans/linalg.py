@@ -262,6 +262,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(len(embedding)) AS BIGINT) AS dim,
                CAST(4 AS BIGINT) AS k,
                TRUE AS basis_agreement_ok,
+               TRUE AS eigenvalue_agreement_ok,
                TRUE AS projection_agreement_ok
         FROM embeddings
     """,
@@ -269,10 +270,11 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pca_projection_agreement_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible PCA projection evidence: eigh basis vs fixed-seed
-    power-iteration twin — basis cosine + distributed worst-coordinate
-    projection agreement (one centered GEMM with the difference
-    matrix), completing the graded-contract coverage of the rows-only
-    PCA family (embedding_pca_scree / embedding_pca_project)."""
+    power-iteration twin — basis cosine + eigenvalue spectrum (Rayleigh
+    quotients, the r12 scree-dimension extension) + distributed
+    worst-coordinate projection agreement (one centered GEMM with the
+    difference matrix), completing the graded-contract coverage of the
+    rows-only PCA family (embedding_pca_scree / embedding_pca_project)."""
     prepare(spark)
     from data_eng_project_spark.operators.linalg import (
         pca_projection_agreement_report,

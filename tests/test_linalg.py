@@ -197,8 +197,10 @@ def test_pca_projection_agreement_report_contract(spark, sf_dir):
     """The r11 graded contract: the fixed-seed power-iteration twin
     (repeated matrix squaring — the synthetic embeddings' adjacent
     eigenvalue ratios are ~0.999, beyond any plain iteration count)
-    must agree with the eigh basis to machine precision, so both
-    booleans are TRUE and the metadata matches the table."""
+    must agree with the eigh basis to machine precision, so all three
+    booleans are TRUE (basis directions, eigenvalue spectrum via
+    Rayleigh quotients — the r12 scree-dimension extension — and the
+    distributed projection) and the metadata matches the table."""
     from data_eng_project_spark.operators.linalg import (
         pca_projection_agreement_report,
     )
@@ -209,7 +211,13 @@ def test_pca_projection_agreement_report_contract(spark, sf_dir):
     assert row.dim == 64
     assert row.k == 4
     assert row.basis_agreement_ok
+    assert row.eigenvalue_agreement_ok
     assert row.projection_agreement_ok
+    # Wiring negative: an impossible tolerance must flip ONLY the
+    # eigenvalue boolean (|λ−ρ| ≥ 0 can never meet a negative bound).
+    bad = pca_projection_agreement_report(emb, k=4, eval_tol=-1.0).collect()[0]
+    assert not bad.eigenvalue_agreement_ok
+    assert bad.basis_agreement_ok
 
 
 def test_pca_projection_agreement_detects_wrong_basis(spark):
