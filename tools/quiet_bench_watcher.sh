@@ -43,6 +43,22 @@ import json,sys
 sys.exit(0 if json.load(open('/tmp/bench_r12_try$try.json'))['quiet_regime'] else 1)"; then
     cp /tmp/bench_r12_try$try.json /tmp/bench_r12_quiet.json
     echo "QUIET ARTIFACT LANDED try=$try $(date +%H:%M:%S)" >> "$LEDGER"
+    # Quiet re-anchors owed since r10/r11 (VERDICT r11 task 4): run the
+    # converted-MinHash and 4-method-ANN scale rows inside the same quiet
+    # window, bracketed by calibration probes so the rows are labelable.
+    for probe in \
+      "10 /tmp/scale_probe_x10 dedup_minhash_lsh" \
+      "30 /tmp/scale_probe_x30 dedup_minhash_lsh" \
+      "10 /tmp/scale_probe_x10 ann_recall_report" \
+      "30 /tmp/scale_probe_x30 ann_recall_report"; do
+      C2=$(python3 tools/host_calibration.py 2>/dev/null)
+      echo "reanchor pre-calib: $C2" >> "$LEDGER"
+      set -- $probe
+      python3 tools/scale_probe.py "$1" "$2" "$3" 2>/dev/null | tail -1 >> "$LEDGER"
+    done
+    C2=$(python3 tools/host_calibration.py 2>/dev/null)
+    echo "reanchor post-calib: $C2" >> "$LEDGER"
+    echo "REANCHORS DONE $(date +%H:%M:%S)" >> "$LEDGER"
     exit 0
   fi
   sleep 120
