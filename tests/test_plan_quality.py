@@ -190,6 +190,12 @@ def test_pii_scan_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_containment_collapsed_no_cartesian_no_python(spark):
+    plan = _plan(spark, "dedup_containment_pairs_collapsed")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_duplicate_spans_no_cartesian(spark):
     plan = _plan(spark, "duplicate_span_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
