@@ -24,7 +24,7 @@ print(d['gemm_sec'], d['pyloop_sec'], d.get('steal_under_load_pct'))")"
   echo "probe try=$try $(date +%H:%M:%S) gemm=$G pyloop=$P steal32=$S load=$LOAD" >> "$LEDGER"
   OK=$(python3 -c "
 s = $S if '$S' != 'None' else 99.0
-print(1 if $G < 0.065 and $P < 0.95 and s <= 1.0 else 0)")
+print(1 if $G < 0.09 and $P < 0.95 and s <= 2.0 else 0)")
   if [ "$OK" != "1" ]; then sleep 60; continue; fi
   if [ -e /tmp/builder_busy ]; then continue; fi
   echo "TRIGGER try=$try $(date +%H:%M:%S) — launching bench" >> "$LEDGER"
