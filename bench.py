@@ -199,6 +199,11 @@ def main() -> None:
     )
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
+    # Which sweep produced each query's reported min — the basis of the
+    # per-min quiet gate below (r12): min-of-3 already discards
+    # interference, so the honest question is not "was the whole run
+    # clean" but "was the sweep each REPORTED number came from clean".
+    min_sweep: dict[str, int] = {}
     for _sweep in range(3):
         for spec, sink in [*((s, times) for s in headline), *((s, extra_times) for s in extra)]:
             t0 = time.perf_counter()
@@ -206,7 +211,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
             prev = sink.get(spec.name)
-            sink[spec.name] = elapsed if prev is None else min(prev, elapsed)
+            if prev is None or elapsed < prev:
+                sink[spec.name] = elapsed
+                min_sweep[spec.name] = _sweep + 1
             # Drop any operator-internal persists so queries don't interfere.
             spark.catalog.clearCache()
         calib_series.append(
@@ -272,31 +279,61 @@ def main() -> None:
     #    regardless of how quiet the probes read. Missing /proc/stat
     #    (non-Linux) leaves the steal terms None and falls back to the
     #    calibration-only gate.
-    # Steal is gated only on intervals that bracket MEASURED work (the three
-    # timed sweeps and the staged+final-calibration window) — "pre" spans
-    # process startup and "post_warmup" spans the untimed warm-up sweep, so
-    # steal landing only there cannot taint any reported number (r12,
-    # ADVICE). Calibration point-probes still gate at every snapshot: they
-    # detect the band regime itself, which is time-local.
+    # Quiet gating, r12 semantics. min-of-3 per query means the artifact's
+    # REPORTED numbers each come from exactly one sweep; what certifies a
+    # number is that ITS sweep was clean (bracketing steal ≤ 2%, both
+    # boundary calibration probes at the quiet anchors), not that every
+    # minute of the run was. On this host steal arrives in minute-scale
+    # bursts (BASELINE.md r11 root-cause), so the old all-intervals gate
+    # demanded a 4-minute steal-free window that direct measurement shows
+    # rarely exists — while a run whose three sweeps each contain SOME
+    # clean queries can still pin every reported min inside clean
+    # brackets. Steal only ever inflates a measurement (conservative
+    # direction), so a min taken from a clean sweep is an honest
+    # steady-state reading regardless of what other sweeps saw.
+    # `fully_quiet_run` preserves the stricter r11 semantics (every
+    # snapshot + every measured interval clean) for cross-round
+    # comparison; the staged group and the final min-of-3 anchor are
+    # bracketed by the post_calibration interval in BOTH gates.
     QUIET_GEMM, QUIET_PYLOOP, QUIET_STEAL_PCT = 0.09, 0.95, 2.0
-    STEAL_GATED_ATS = {
-        "after_sweep_1",
-        "after_sweep_2",
-        "after_sweep_3",
-        "post_calibration",
-    }
-    quiet_regime = (
-        all(
-            s["gemm_sec"] <= QUIET_GEMM and s["pyloop_sec"] <= QUIET_PYLOOP
-            for s in calib_series
+    snap = {s["at"]: s for s in calib_series}
+
+    def _snap_quiet(at: str) -> bool:
+        s = snap.get(at)
+        return (
+            s is not None
+            and s["gemm_sec"] <= QUIET_GEMM
+            and s["pyloop_sec"] <= QUIET_PYLOOP
         )
+
+    def _interval_clean(at: str) -> bool:
+        s = snap.get(at)
+        if s is None:
+            return False
+        st = s["steal_pct_since_prev"]
+        return st is None or st <= QUIET_STEAL_PCT
+
+    _SWEEP_BOUNDS = {1: "post_warmup", 2: "after_sweep_1", 3: "after_sweep_2"}
+    sweep_clean = {
+        i: (
+            _interval_clean(f"after_sweep_{i}")
+            and _snap_quiet(_SWEEP_BOUNDS[i])
+            and _snap_quiet(f"after_sweep_{i}")
+        )
+        for i in (1, 2, 3)
+    }
+    tail_clean = (
+        _interval_clean("post_calibration")
         and host_calibration["gemm_sec"] <= QUIET_GEMM
         and host_calibration["pyloop_sec"] <= QUIET_PYLOOP
-        and all(
-            s["steal_pct_since_prev"] <= QUIET_STEAL_PCT
-            for s in calib_series
-            if s["at"] in STEAL_GATED_ATS and s["steal_pct_since_prev"] is not None
-        )
+    )
+    quiet_regime = (
+        all(sweep_clean[min_sweep[n]] for n in {**times, **extra_times})
+        and tail_clean
+    )
+    fully_quiet_run = all(_snap_quiet(s["at"]) for s in calib_series) and all(
+        _interval_clean(at)
+        for at in ("after_sweep_1", "after_sweep_2", "after_sweep_3", "post_calibration")
     )
 
     print(
@@ -309,6 +346,9 @@ def main() -> None:
                 "sf": sf_val,
                 "load_1min_at_start": round(load_at_start, 2),
                 "quiet_regime": quiet_regime,
+                "fully_quiet_run": fully_quiet_run,
+                "min_sweep": min_sweep,
+                "sweep_clean": {str(k): v for k, v in sweep_clean.items()},
                 "headline_set_version": 2,
                 "extended_queries": extra_times,
                 "extended_total": extra_total,
