@@ -19,6 +19,79 @@ import time
 from data_eng_project_spark.plans import REGISTRY
 from data_eng_project_spark.session import get_session
 
+# Quiet anchors ≈ 2× the measured quiet-host values (gemm 0.0434,
+# pyloop 0.789 — BASELINE.md); steal per the r11 root-cause measurement.
+QUIET_GEMM, QUIET_PYLOOP, QUIET_STEAL_PCT = 0.09, 0.95, 2.0
+
+
+def derive_quiet_flags(
+    calib_series: list[dict],
+    host_calibration: dict,
+    min_sweep: dict[str, int],
+) -> tuple[bool, bool, dict[int, bool]]:
+    """Quiet gating, r12 semantics (pure function — pinned by
+    tests/test_bench_gate.py). min-of-3 per query means the artifact's
+    REPORTED numbers each come from exactly one sweep; what certifies a
+    number is that ITS sweep was clean (bracketing steal ≤ 2%, both
+    boundary calibration probes at the quiet anchors), not that every
+    minute of the run was. On this host steal arrives in minute-scale
+    bursts (BASELINE.md r11 root-cause), so the r11 all-intervals gate
+    demanded a 4-minute steal-free window that direct measurement shows
+    rarely exists — while a run whose three sweeps each contain SOME
+    clean queries can still pin every reported min inside clean
+    brackets. Steal only ever inflates a measurement (conservative
+    direction), so a min taken from a clean sweep is an honest
+    steady-state reading regardless of what other sweeps saw.
+
+    Returns (quiet_regime, fully_quiet_run, sweep_clean):
+    - quiet_regime: every reported min came from a clean sweep AND the
+      tail interval (staged group + final min-of-3 anchor) was clean.
+    - fully_quiet_run: the stricter r11 semantics — every snapshot at
+      the anchors and every measured interval steal-clean.
+    - sweep_clean: per-sweep cleanliness, recorded in the artifact.
+    Missing /proc/stat (non-Linux) leaves steal None → that term
+    passes and the gate falls back to calibration-only.
+    """
+    snap = {s["at"]: s for s in calib_series}
+
+    def _snap_quiet(at: str) -> bool:
+        s = snap.get(at)
+        return (
+            s is not None
+            and s["gemm_sec"] <= QUIET_GEMM
+            and s["pyloop_sec"] <= QUIET_PYLOOP
+        )
+
+    def _interval_clean(at: str) -> bool:
+        s = snap.get(at)
+        if s is None:
+            return False
+        st = s["steal_pct_since_prev"]
+        return st is None or st <= QUIET_STEAL_PCT
+
+    _sweep_bounds = {1: "post_warmup", 2: "after_sweep_1", 3: "after_sweep_2"}
+    sweep_clean = {
+        i: (
+            _interval_clean(f"after_sweep_{i}")
+            and _snap_quiet(_sweep_bounds[i])
+            and _snap_quiet(f"after_sweep_{i}")
+        )
+        for i in (1, 2, 3)
+    }
+    tail_clean = (
+        _interval_clean("post_calibration")
+        and host_calibration["gemm_sec"] <= QUIET_GEMM
+        and host_calibration["pyloop_sec"] <= QUIET_PYLOOP
+    )
+    quiet_regime = (
+        all(sweep_clean[s] for s in min_sweep.values()) and tail_clean
+    )
+    fully_quiet_run = all(_snap_quiet(s["at"]) for s in calib_series) and all(
+        _interval_clean(at)
+        for at in ("after_sweep_1", "after_sweep_2", "after_sweep_3", "post_calibration")
+    )
+    return quiet_regime, fully_quiet_run, sweep_clean
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -279,61 +352,12 @@ def main() -> None:
     #    regardless of how quiet the probes read. Missing /proc/stat
     #    (non-Linux) leaves the steal terms None and falls back to the
     #    calibration-only gate.
-    # Quiet gating, r12 semantics. min-of-3 per query means the artifact's
-    # REPORTED numbers each come from exactly one sweep; what certifies a
-    # number is that ITS sweep was clean (bracketing steal ≤ 2%, both
-    # boundary calibration probes at the quiet anchors), not that every
-    # minute of the run was. On this host steal arrives in minute-scale
-    # bursts (BASELINE.md r11 root-cause), so the old all-intervals gate
-    # demanded a 4-minute steal-free window that direct measurement shows
-    # rarely exists — while a run whose three sweeps each contain SOME
-    # clean queries can still pin every reported min inside clean
-    # brackets. Steal only ever inflates a measurement (conservative
-    # direction), so a min taken from a clean sweep is an honest
-    # steady-state reading regardless of what other sweeps saw.
-    # `fully_quiet_run` preserves the stricter r11 semantics (every
-    # snapshot + every measured interval clean) for cross-round
-    # comparison; the staged group and the final min-of-3 anchor are
-    # bracketed by the post_calibration interval in BOTH gates.
-    QUIET_GEMM, QUIET_PYLOOP, QUIET_STEAL_PCT = 0.09, 0.95, 2.0
-    snap = {s["at"]: s for s in calib_series}
-
-    def _snap_quiet(at: str) -> bool:
-        s = snap.get(at)
-        return (
-            s is not None
-            and s["gemm_sec"] <= QUIET_GEMM
-            and s["pyloop_sec"] <= QUIET_PYLOOP
-        )
-
-    def _interval_clean(at: str) -> bool:
-        s = snap.get(at)
-        if s is None:
-            return False
-        st = s["steal_pct_since_prev"]
-        return st is None or st <= QUIET_STEAL_PCT
-
-    _SWEEP_BOUNDS = {1: "post_warmup", 2: "after_sweep_1", 3: "after_sweep_2"}
-    sweep_clean = {
-        i: (
-            _interval_clean(f"after_sweep_{i}")
-            and _snap_quiet(_SWEEP_BOUNDS[i])
-            and _snap_quiet(f"after_sweep_{i}")
-        )
-        for i in (1, 2, 3)
-    }
-    tail_clean = (
-        _interval_clean("post_calibration")
-        and host_calibration["gemm_sec"] <= QUIET_GEMM
-        and host_calibration["pyloop_sec"] <= QUIET_PYLOOP
-    )
-    quiet_regime = (
-        all(sweep_clean[min_sweep[n]] for n in {**times, **extra_times})
-        and tail_clean
-    )
-    fully_quiet_run = all(_snap_quiet(s["at"]) for s in calib_series) and all(
-        _interval_clean(at)
-        for at in ("after_sweep_1", "after_sweep_2", "after_sweep_3", "post_calibration")
+    # Quiet gating, r12 semantics — see derive_quiet_flags (module level,
+    # pure, unit-pinned): quiet_regime certifies every REPORTED min came
+    # from a clean sweep + a clean tail; fully_quiet_run preserves the
+    # stricter r11 all-intervals semantics for cross-round comparison.
+    quiet_regime, fully_quiet_run, sweep_clean = derive_quiet_flags(
+        calib_series, host_calibration, min_sweep
     )
 
     print(
