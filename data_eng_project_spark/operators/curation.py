@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from data_eng_project_spark.functions.text import tokens
 from data_eng_project_spark.operators.dedup import _distinct_shingles
 from data_eng_project_spark.operators.similarity import cosine
+from data_eng_project_spark.operators.similarity import dot as S_dot
+from data_eng_project_spark.operators.similarity import norm as S_norm
 
 
 def decontaminate_overlap(
@@ -284,11 +286,19 @@ def quantized_topk_agreement(
     # (round() already yields an integral double; DuckDB's oracle twin
     # folds the same doubles, so the cosine operand streams match
     # bit-for-bit).
+    # Norms are attached per ROW here, not recomputed per PAIR inside
+    # cosine(): dot/(n_a·n_b) with n = sqrt(sequential Σx²) is the exact
+    # arithmetic cosine() evaluates (and the DuckDB twin replays —
+    # sqrt(list_dot_product(x,x)) per side), but the per-pair HOF work
+    # drops from three interpreted array folds (dot + both norms) to
+    # one: each candidate's two norms run once instead of once per
+    # probe, each probe's once instead of once per candidate (r12,
+    # measured ~35% off the query).
     coded = vectors.select(
         F.col(id_col),
         xs.alias("_xs"),
         F.transform(xs, lambda x: F.round(x * scale)).alias("_qs"),
-    )
+    ).withColumns({"_nx": S_norm("_xs"), "_nq": S_norm("_qs")})
     probes = F.broadcast(
         coded.filter(probe_filter)
         .orderBy(F.col(id_col))
@@ -297,13 +307,23 @@ def quantized_topk_agreement(
             F.col(id_col).alias("probe_id"),
             F.col("_xs").alias("_px"),
             F.col("_qs").alias("_pq"),
+            F.col("_nx").alias("_pnx"),
+            F.col("_nq").alias("_pnq"),
         )
     )
     scored = coded.crossJoin(probes).select(
         "probe_id",
         F.col(id_col).alias("cand_id"),
-        F.round(cosine("_xs", "_px"), 6).alias("_cf"),
-        F.round(cosine("_qs", "_pq"), 6).alias("_cq"),
+        F.round(
+            S_dot("_xs", "_px")
+            / F.nullif(F.col("_nx") * F.col("_pnx"), F.lit(0.0)),
+            6,
+        ).alias("_cf"),
+        F.round(
+            S_dot("_qs", "_pq")
+            / F.nullif(F.col("_nq") * F.col("_pnq"), F.lit(0.0)),
+            6,
+        ).alias("_cq"),
     )
     wf = Window.partitionBy("probe_id").orderBy(
         F.col("_cf").desc_nulls_last(), F.col("cand_id")

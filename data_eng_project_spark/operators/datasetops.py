@@ -508,6 +508,7 @@ def distributed_rank_select(
     image=None,
     n_buckets: int = 64,
     out_col: str = "_selected",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The VALUE at ascending rank ``target_col`` (1-based) of
     ``order_col`` within each group — exact median/quantile selection —
@@ -520,12 +521,20 @@ def distributed_rank_select(
     through one task; WindowGroupLimit cannot help a mid-rank
     predicate). Ties share a bucket by construction, so the selected
     value is deterministic with no tie-break column (tied ranks are
-    arbitrary; the value at any rank is not). ``targets`` holds one row
-    per group: (*partition_cols, target_col); groups whose target is
-    out of range select nothing.
+    arbitrary; the value at any rank is not). ``targets`` may hold
+    SEVERAL rows per group (e.g. a lo- and a hi-percentile rank tagged
+    by a ``passthrough_cols`` column, r12): the bucketing, counts and
+    offsets — the bulk of the plan — are shared across all of a group's
+    targets instead of re-derived per call; only the one-bucket sort
+    duplicates, and only when two targets land in the same bucket (the
+    rank window partitions by target + passthrough so coinciding
+    targets stay independent). Groups whose target is out of range
+    select nothing. ``passthrough_cols`` name extra ``targets`` columns
+    carried verbatim onto the matching output row.
 
-    Returns (*partition_cols, out_col)."""
+    Returns (*partition_cols, *passthrough_cols, out_col)."""
     parts = list(partition_cols)
+    thru = list(passthrough_cols)
     b = _bucketed_by_order(df, order_col, image=image, n_buckets=n_buckets)
     sizes = b.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     offsets = _bucket_base_offsets(sizes, "_bkt", "_n", group_cols=parts)
@@ -538,16 +547,18 @@ def distributed_rank_select(
             _join_nullsafe(sizes, offsets, [*parts, "_bkt"]), targets, parts
         )
         .filter((F.col("_off") < t) & (t <= F.col("_off") + F.col("_n")))
-        .select(*parts, "_bkt", "_off", t.alias("_t"))
+        .select(*parts, "_bkt", "_off", t.alias("_t"), *thru)
     )
     cand = _join_nullsafe(b, sel, [*parts, "_bkt"], broadcast=True)
     rn = F.row_number().over(
-        Window.partitionBy(*parts, "_bkt").orderBy(F.col(order_col).asc())
+        Window.partitionBy(*parts, "_bkt", "_t", *thru).orderBy(
+            F.col(order_col).asc()
+        )
     )
     return (
         cand.withColumn("_rn", rn)
         .filter(F.col("_off") + F.col("_rn") == F.col("_t"))
-        .select(*parts, F.col(order_col).alias(out_col))
+        .select(*parts, *thru, F.col(order_col).alias(out_col))
     )
 
 
@@ -664,14 +675,39 @@ def winsorize_group_stats(
     cut_t = vtype.simpleString() if isinstance(vtype, DecimalType) else "bigint"
     s = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
     sizes = s.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    cuts = None
-    for pct, out in ((lo_pct, "lo_cut"), (hi_pct, "hi_cut")):
-        t = sizes.select(
-            "_g", (F.expr(f"((_n - 1) * {int(pct)}) div 100") + 1).alias("_target")
-        )
-        sel = distributed_rank_select(s, "_v", ["_g"], t, out_col=out)
-        sel = sel.select("_g", F.col(out).cast(cut_t).alias(out))
-        cuts = sel if cuts is None else _join_nullsafe(cuts, sel, ["_g"])
+    # ONE multi-target rank selection for both percentiles (r12): the
+    # lo and hi ranks ride in as two tagged target rows per group, so
+    # the bucketing pass, the per-(group, bucket) counts and the offset
+    # arithmetic — the bulk of the plan — run once instead of once per
+    # cut (the old per-cut loop re-derived all three, including a
+    # second percentile_approx sketch over the data).
+    targets = sizes.select(
+        "_g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.expr(f"((_n - 1) * {int(pct)}) div 100") + 1).alias(
+                            "_target"
+                        ),
+                        F.lit(out).alias("_w"),
+                    )
+                    for pct, out in ((lo_pct, "lo_cut"), (hi_pct, "hi_cut"))
+                ]
+            )
+        ).alias("_s"),
+    ).select("_g", "_s._target", "_s._w")
+    sel = distributed_rank_select(
+        s, "_v", ["_g"], targets, out_col="_cut", passthrough_cols=("_w",)
+    )
+    cuts = sel.groupBy("_g").agg(
+        F.max(F.when(F.col("_w") == "lo_cut", F.col("_cut")))
+        .cast(cut_t)
+        .alias("lo_cut"),
+        F.max(F.when(F.col("_w") == "hi_cut", F.col("_cut")))
+        .cast(cut_t)
+        .alias("hi_cut"),
+    )
     clamped = F.greatest(
         F.col("lo_cut"), F.least(F.col("_v").cast(cut_t), F.col("hi_cut"))
     )

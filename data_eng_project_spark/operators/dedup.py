@@ -63,6 +63,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the (unique) doc id to the session's shuffle
+    width BEFORE heavy per-row shingle/hash projections.
+
+    Placement is the point: a repartition applied *after* the projection
+    leaves the per-row work below the exchange, pinned to however many
+    tasks the scan produced (ONE for the single-row-group bench files —
+    measured: the whole tokenize→shingle→md5 pass of dedup_minhash_lsh
+    ran single-threaded in the r11 plans), and an ENSURE_REQUIREMENTS
+    exchange upstream gets AQE-coalesced to ~one partition at small
+    sizes, which re-serializes the narrow work even when a shuffle
+    already sits between scan and projection (the collapsed variants).
+    Hashing the unique id (a) skips the local sort a round-robin
+    repartition pays (sortBeforeRepartition), (b) cannot skew, and
+    (c) lets every downstream per-id aggregate/window reuse the
+    partitioning instead of paying its own exchange. Width = the
+    session's shuffle width (locally cores; a cluster sets
+    spark.sql.shuffle.partitions to O(2-3x total cores)), so the spread
+    is exactly as scale-adaptive as every other shuffle in the plan.
+    """
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — non-numeric/unset: fall back to cores
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index building block.
 
@@ -77,7 +105,8 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
 
     Tokenizes in its own projection so the split runs once per row (see
     shingles_from_tokens performance note)."""
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
+    toks = src.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     hashed = F.transform(shingles_from_tokens("_toks", n), lambda s: F.xxhash64(s))
     return toks.select("_id", F.explode(hashed).alias("shingle")).distinct()
 
@@ -136,8 +165,15 @@ def _shingle_sets_direct(
     merely adds one verified-and-discarded (or genuinely duplicate)
     candidate — and the oracle replays the identical collision anyway.
     Off by default so the plain Jaccard paths don't cache an array they
-    never read."""
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    never read.
+
+    The input is hash-spread on the id first (_spread_by_id): the
+    shingle/hash projections are the most expensive per-row work in the
+    module, and without the spread they execute at the parallelism of
+    whatever sits below — one scan task on single-split files, ~one
+    AQE-coalesced partition after the collapse aggregate."""
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
+    toks = src.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     # Materialize the shingle array once: Spark applies no CSE inside
     # higher-order-function lambdas, so feeding two transforms from an
     # inline shingle expression would rebuild every shingle twice.
@@ -261,19 +297,27 @@ def ngram_jaccard_pairs(
         ),
     )
     # Two prefix lengths per doc: the probing prefix (role x, the larger
-    # of a pair) and the shorter indexing prefix (role y). Every doc
-    # appears in both projections; the join's role condition — y strictly
-    # smaller, ties broken by id — assigns each unordered pair exactly
-    # one (x, y) orientation, so no distinct() is needed beyond the
-    # count groupBy.
-    probe = ranked.filter(
-        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select(
+    # of a pair) and the shorter indexing prefix (role y). The indexing
+    # prefix is a SUBSET of the probing prefix (idx_frac ≥ t for t ≤ 1),
+    # so the probing prefix is computed and persisted ONCE and both join
+    # sides read the cache — without this each side re-ran the whole
+    # freq aggregate + frequency join + per-doc rank window from the
+    # sets cache (the r12 before-plan shows the Exchange→Sort→Window
+    # chain twice). Every doc appears in both projections; the join's
+    # role condition — y strictly smaller, ties broken by id — assigns
+    # each unordered pair exactly one (x, y) orientation, so no
+    # distinct() is needed beyond the count groupBy.
+    pref = _persist_tracked(
+        ranked.filter(
+            F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        ).select("_id", "shingle", "_n", "_rank")
+    )
+    probe = pref.select(
         F.col("_id").alias("_idx"), "shingle",
         F.col("_n").alias("_na"), F.col("_rank").alias("_ra"),
     )
     idx_frac = 2.0 * threshold / (1.0 + threshold)
-    index = ranked.filter(
+    index = pref.filter(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(idx_frac) * F.col("_n")) + 1
     ).select(
         F.col("_id").alias("_idy"), "shingle",
@@ -417,7 +461,8 @@ def minhash_signatures(
     A/B winner); the two differ only in input: this one shingles raw
     text itself, lsh_band_rows consumes pre-built _mkeys arrays.
     Equality of the two formulations is pytest-pinned."""
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
+    toks = src.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     key = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
         % F.lit(MINHASH_P).cast("long")
@@ -532,17 +577,28 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # NB: repartition before the signature pass — the set build is narrow,
-    # so a small input file would otherwise pin the heavy per-row hash
-    # work (num_hashes × |set| per doc) to the scan's few partitions. At
-    # lake scale inputs arrive in many splits and this spread is a no-op
-    # cost-wise; locally it is what buys the parallelism.
+    # The input spread now happens INSIDE _shingle_sets_direct, BEFORE
+    # the tokenize/shingle/hash projections (r12: the old trailing
+    # .repartition sat ABOVE them in the plan, so the heaviest per-row
+    # work in the query — one md5 + one xxhash64 per shingle occurrence
+    # — ran at the scan's parallelism: ONE task on the single-row-group
+    # bench files; the exchange only spread the already-computed
+    # arrays). Hash-partitioning on _id also lets the signature
+    # aggregate below reuse the partitioning instead of paying its own
+    # shuffle, and the exchange moves (id, text) — fewer bytes than the
+    # (_set, _mkeys) arrays the old placement shuffled.
     sets = _persist_tracked(
-        _shingle_sets_direct(
-            df, text_col, id_col, shingle_n, with_minhash_keys=True
-        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+        _shingle_sets_direct(df, text_col, id_col, shingle_n, with_minhash_keys=True)
     )
-    band_rows = lsh_band_rows(sets, num_hashes=num_hashes, bands=bands)
+    # Persist the band rows too: the band-bucket self-join consumes them
+    # on BOTH sides, and with the signature aggregate now exchange-free
+    # there is no shuffle stage for AQE to reuse between the two sides —
+    # without this cache each side recomputed the explode + 64-way min
+    # aggregate from the sets cache (visible twice in the r12
+    # before-plan). 16 small rows per doc; corpus-linear.
+    band_rows = _persist_tracked(
+        lsh_band_rows(sets, num_hashes=num_hashes, bands=bands)
+    )
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), on=["band", "bucket"])
@@ -605,8 +661,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     cheap for codegen.
     """
     m = F.md5(F.col("tok"))
+    # Spread before the explode: one md5 per token occurrence plus the
+    # 64 conditional partial sums below are the query's CPU, and both
+    # run below the groupBy exchange — at the scan's parallelism unless
+    # spread (see _spread_by_id). Hash-partitioning on the id also lets
+    # the 64-sum aggregate skip its exchange entirely.
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
     tok = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        src.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
         .withColumn("_hi", F.conv(F.substring(m, 1, 8), 16, 10).cast("long"))
         .withColumn("_lo", F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
     )
@@ -762,8 +824,13 @@ def ngram_jaccard_pairs_bipartite(
             )
         ),
     )
-    prefix = ranked.filter(
-        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    # Persisted: pa and pb both derive from this frame, and without the
+    # cache each side re-ran the union + frequency aggregate + rank
+    # window (same fix as ngram_jaccard_pairs' probing prefix).
+    prefix = _persist_tracked(
+        ranked.filter(
+            F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
     )
     pa = prefix.filter(F.col("_side") == 0).select(
         F.col("_id").alias("id_a"), "shingle",

@@ -28,6 +28,11 @@ def _funnel_stage_times(ev: DataFrame):
     of the stage event STRICTLY AFTER the user's previous-stage time;
     three groupBys chained by equi-joins on user_id, so every stage
     shuffles on the same key and AQE reuses the partitioning."""
+    # NB (r12): although v and c fan out into several consumers, do NOT
+    # localCheckpoint them — each stage ends in a groupBy exchange that
+    # Spark's exchange reuse already dedupes across consumers at
+    # runtime, and a checkpoint replaces that free reuse with a forced
+    # RDD materialization (measured +40% on funnel_conversion).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

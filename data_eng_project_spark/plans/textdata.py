@@ -1231,6 +1231,14 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("_vid"), "embedding"),
         F.col("doc_id") == F.col("_vid"),
     ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
+    # withcos feeds both the min/max bounds aggregate and the fusion
+    # projection, and unlike per_doc it does not end in an exchange
+    # Spark could reuse across the two consumers — the lazy checkpoint
+    # runs the BM25-join + per-doc HOF cosine once (r12; per_doc itself
+    # deliberately NOT checkpointed: its groupBy exchange is already
+    # deduped by exchange reuse, and a forced materialization measured
+    # slower on the same-shaped funnel stages).
+    withcos = withcos.localCheckpoint(eager=False)
     bounds = withcos.agg(
         F.min("bm25").alias("bmin"),
         F.max("bm25").alias("bmax"),

@@ -906,7 +906,9 @@ def test_release_dedup_caches_unpersists(spark, near_dup_docs):
     batch = near_dup_docs.filter(F.col("doc_id") >= 3)
     corpus = near_dup_docs.filter(F.col("doc_id") < 3)
     ngram_jaccard_pairs_bipartite(corpus, batch, "text", "doc_id").collect()
-    assert len(_PERSISTED) == 2
+    # corpus sets + batch sets + the shared prefix frame (r12: persisted
+    # so pa/pb stop re-running the union+freq+rank chain twice)
+    assert len(_PERSISTED) == 3
     cached = list(_PERSISTED)
     release_dedup_caches()
     assert not _PERSISTED
