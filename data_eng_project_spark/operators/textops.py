@@ -149,11 +149,17 @@ def winnowing_fingerprints(
         f"i -> array_min(slice(_hs, i, {w})))"
     )
     return (
-        # repartition: ~1 md5 per character of text is heavy per-row work;
-        # without it a single-split input file pins the whole corpus to
-        # one task (no-op at lake scale, decisive on local small files).
-        df.select(F.col(id_col), norm.alias("_t"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # Spread FIRST, by hash of the id: ~1 md5 per character of text
+        # is heavy per-row work, and with the exchange above any of it a
+        # single-split input file pins that work to one task (no-op at
+        # lake scale, decisive on local small files). Hashing the id
+        # skips the whole-input local sort a keyless round-robin
+        # repartition pays (sortBeforeRepartition), and placing the
+        # regexp normalization AFTER the exchange parallelizes it too
+        # (r12: both previously ran in the scan task).
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), norm.alias("_t"))
         .select(F.col(id_col), grams.alias("_hs"))
         .select(F.col(id_col), F.array_sort(F.array_distinct(wins)).alias("fps"))
     )

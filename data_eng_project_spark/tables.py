@@ -89,7 +89,7 @@ def scan_task_count(sf_dir: str, name: str) -> int:
 
 
 def rebalance_if_unsplittable(
-    df: DataFrame, sf_dir: str, name: str, spark: SparkSession
+    df: DataFrame, sf_dir: str, name: str, spark: SparkSession, key: str | None = None
 ) -> DataFrame:
     """Repartition a fact scan ONLY when its file layout pins it to fewer
     tasks than half the session's cores — the single-row-group /
@@ -100,13 +100,24 @@ def rebalance_if_unsplittable(
     parallelizes natively. The driver's small-SF benchmark tables are
     single-file single-row-group, which would otherwise serialize every
     map-side partial aggregate onto one core while 31 idle — there the
-    one round-robin exchange (narrow columns, post-pushdown rows) buys
-    back the machine. Decision happens at plan-build time from local
-    parquet footer metadata — no Spark job, no data read.
+    one exchange (narrow columns, post-pushdown rows) buys back the
+    machine. Decision happens at plan-build time from local parquet
+    footer metadata — no Spark job, no data read.
+
+    Pass ``key`` (a high-cardinality column) to spread by HASH instead
+    of round-robin: a keyless repartition(n) first pays a local sort of
+    its entire input in the scan task (sortBeforeRepartition, on by
+    default since SPARK-23207, so retried tasks reproduce the same
+    row-to-partition assignment) — measured 35% of q1's runtime.
+    Hash-partitioning needs no such sort because the assignment is
+    deterministic by value, and a ~uniform key (an order key: ~5000
+    distinct values per partition here) cannot skew.
     """
+    from pyspark.sql import functions as F
+
     from data_eng_project_spark.session import default_parallelism
 
     cores = default_parallelism()
     if scan_task_count(sf_dir, name) < max(cores // 2, 2):
-        return df.repartition(cores)
+        return df.repartition(cores, F.col(key)) if key else df.repartition(cores)
     return df

@@ -101,9 +101,21 @@ def test_range_join_is_equi_join_not_cross(spark):
 )
 def test_single_table_queries_have_no_shuffle_beyond_agg(spark, name):
     """Single-table scan+agg queries should contain at most the one
-    aggregation exchange (plus AQE reads) — no stray repartitions."""
+    aggregation exchange (plus AQE reads) — no stray repartitions.
+
+    The deliberate unsplittable-input rebalance is exempt: it prints as
+    a hashpartitioning exchange since r12 (keyed spread skips the
+    whole-input local sort round-robin pays), tagged REPARTITION_BY_NUM
+    rather than ENSURE_REQUIREMENTS, so count only the latter."""
     plan = _plan(spark, name)
-    assert plan.count("Exchange hashpartitioning") <= 1
+    ensure = sum(
+        "hashpartitioning" in line
+        for line in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in line
+    )
+    assert ensure <= 1
+    # and never more than the one rebalance beyond it
+    assert plan.count("Exchange hashpartitioning") <= ensure + 1
 
 
 def test_q7_pushdown_and_broadcast(spark):
@@ -637,6 +649,14 @@ _UNAGG_WINDOW_SCALE_KEYS = {
 # rewrite that changes the window shape makes the entry STALE instead of
 # silently re-waiving the new shape.
 _UNAGG_WINDOW_ALLOWLIST = {
+    "asof_latest_order": (
+        ("_k",),
+        "asof_join's union-merge window keys on _k = the join key, here "
+        "o_custkey/user_id — a per-entity scale key under an internal "
+        "alias. Unaggregated since r12: the right side feeds raw orders "
+        "(the payload-struct tie-break reproduces max(o_orderkey) "
+        "without the pre-aggregate's exchange)",
+    ),
     "corpus_shuffle_order": (
         ("bucket",),
         "shuffle_order's own md5 bucket: uniform hash → ~rows/n_buckets "
