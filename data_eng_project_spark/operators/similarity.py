@@ -124,9 +124,15 @@ def all_pairs_above_blocked(
     import pandas as pd
 
     spark = vectors.sparkSession
+    # No double-cast before the block replication: the replicated frame
+    # is shuffled ~(n_blocks+1)/2× per row, so it ships the source dtype
+    # (array<float> for raw embeddings — half the bytes of the widened
+    # form) and the exact float64 widening happens in numpy after the
+    # stack instead. float32→float64 is value-exact, so cosines are
+    # bit-identical either way (A/B-verified row-identical at sf0.1).
     blk = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
     bp = spark.createDataFrame(
@@ -153,8 +159,8 @@ def all_pairs_above_blocked(
         b = a if same else pdf[pdf["side"] == "b"]
         if len(a) == 0 or len(b) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        A = np.stack(a["vec"].to_numpy())
-        B = A if same else np.stack(b["vec"].to_numpy())
+        A = np.stack(a["vec"].to_numpy()).astype(np.float64, copy=False)
+        B = A if same else np.stack(b["vec"].to_numpy()).astype(np.float64, copy=False)
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B if same else B / np.linalg.norm(B, axis=1, keepdims=True)
         C = An @ (An if same else Bn).T
@@ -685,16 +691,20 @@ def knn_join_blocked(
         if exclude_match_col is not None
         else F.lit(None).cast("string")
     )
+    # Source dtype rides the replication shuffle (array<float> is half
+    # the widened form's bytes; mixed float/double sides still widen in
+    # the union, exactly as before); the value-exact float64 widening
+    # happens in numpy after the stack — see all_pairs_above_blocked.
     qb = queries.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("_qb"),
         F.lit("q").alias("side"),
         tag.alias("tag"),
     )
     cb = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("_cb"),
         F.lit("c").alias("side"),
         tag.alias("tag"),
@@ -717,8 +727,8 @@ def knn_join_blocked(
         c = pdf[pdf["side"] == "c"]
         if len(q) == 0 or len(c) == 0:
             return pd.DataFrame({"qid": [], "cid": [], "cosine": []})
-        Q = np.stack(q["vec"].to_numpy())
-        C = np.stack(c["vec"].to_numpy())
+        Q = np.stack(q["vec"].to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(c["vec"].to_numpy()).astype(np.float64, copy=False)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         S = Qn @ Cn.T

@@ -2145,7 +2145,16 @@ def _bm25_scored_frame(docs: DataFrame, terms: list[str]) -> DataFrame:
     bm25_search (pure ranking), hybrid_search (min-max fusion) and
     rrf_hybrid_search (rank fusion); expression-identical to the SQL
     oracles of all three."""
-    tok = docs.select(
+    # Filter null ids BEFORE tokenizing: hybrid/rrf join per_doc to the
+    # embeddings table on doc_id, and the planner pushes that join's
+    # IsNotNull(doc_id) into the per-doc branch only — leaving the
+    # corpus-stats branch (g below) with a *different* subtree, which
+    # defeats ReuseExchange and tokenizes the whole corpus twice.
+    # Filtering here makes both consumers' subtrees byte-identical, so
+    # the per-doc TF exchange is built once and g reads the reused copy
+    # (ids are non-null in every source table; the oracles see the same
+    # rows either way — verified hash-identical).
+    tok = docs.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).filter(F.col("term") != "")
     per_doc = tok.groupBy("doc_id").agg(
