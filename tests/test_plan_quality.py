@@ -860,3 +860,34 @@ def test_accuracy_report_audit_inputs_are_size_pinned(spark):
         assert "TakeOrderedAndProject" in plan, (
             f"{name}: audit-input size pin (orderBy+limit) missing from plan"
         )
+
+
+def test_gemm_block_shuffles_ship_source_floats(spark):
+    """r12: the blocked-GEMM operators must NOT widen embeddings to
+    array<double> before the block replication — the replicated frame is
+    the engine's most-amplified shuffle (~(n_blocks+1)/2x per row), so it
+    ships the source array<float> and the value-exact float64 widening
+    happens in numpy after the stack. A `cast(... as array<double>)`
+    reappearing below the Arrow stage doubles those shuffle bytes back."""
+    for name in ("embedding_dup_pairs_blocked", "knn_label_propagation"):
+        plan = _plan(spark, name)
+        assert "FlatMapGroupsInPandas" in plan, f"{name}: Arrow GEMM stage missing"
+        assert "as array<double>" not in plan, (
+            f"{name}: embeddings widened to double before the block shuffle"
+        )
+
+
+def test_bm25_corpus_tokenized_once(spark):
+    """r12: the corpus-stats aggregate of the BM25 frame must reuse the
+    per-doc TF exchange instead of re-tokenizing the corpus. The two
+    consumer subtrees are identical only because _bm25_scored_frame
+    filters null doc_ids BEFORE tokenizing (the embeddings equi-join in
+    hybrid/rrf pushes IsNotNull into one branch otherwise); AQE then
+    dedupes the exchange at runtime — so assert on the EXECUTED plan."""
+    df = REGISTRY["bm25_search"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "corpus-stats branch rebuilt the per-doc TF exchange — "
+        "the corpus is being tokenized twice"
+    )
