@@ -1161,6 +1161,7 @@ def soft_dedup_weights(
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Soft dedup: instead of dropping near-duplicates, weight every
     document by 1/|its duplicate cluster| so each duplicate *family*
@@ -1179,7 +1180,13 @@ def soft_dedup_weights(
     """
     from data_eng_project_spark.operators.clusters import connected_components
 
-    comps = connected_components(pairs)
+    # Pass ``components`` (an (id, comp) frame) when a materialized
+    # component artifact exists — e.g. the staged dup_components parquet
+    # (pipelines/staging.py), which the canonical-keep consumer already
+    # shares; recomputing the O(diameter)-round propagation per consumer
+    # multiplies the one iterative job in this family by the consumer
+    # count (r12).
+    comps = components if components is not None else connected_components(pairs)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("_csize"))
     assigned = comps.join(sizes, on="comp").select(
         F.col("id").alias("_cid"), F.col("comp").alias("_comp"), "_csize"
