@@ -360,6 +360,18 @@ def main() -> None:
         calib_series, host_calibration, min_sweep
     )
 
+    # Effective-parallelism fields (r13, VERDICT r12 "next round" #1):
+    # PERF_r12 flagged `suspect_cpus_ignored` because nothing in this
+    # JSON showed what width the run actually executed at — the harness
+    # honored $SPARK_GRAFT_CPUS (session.get_session builds
+    # master=local[n] and sizes shuffle partitions from it) but the
+    # driver's scaling probe could not see that. Record the *session's
+    # own* values, read back from the live context, not the env var.
+    try:
+        shuffle_parts: int | str = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — non-numeric conf: record raw
+        shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions", "?")
+
     print(
         json.dumps(
             {
@@ -368,6 +380,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                "cpus_effective": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": shuffle_parts,
                 "load_1min_at_start": round(load_at_start, 2),
                 "quiet_regime": quiet_regime,
                 "fully_quiet_run": fully_quiet_run,

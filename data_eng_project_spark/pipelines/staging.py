@@ -183,13 +183,20 @@ STAGED_CONSUMERS = (
 )
 
 
-def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict:
     """Time the staged pair-graph path in a FRESH throwaway stage dir:
     cold build (pair graph + components materialization) then the five
     warm consumers reading the stage. Returns
-    {"cold_build_sec": ..., "warm_consumers_sec": ...}. Restores
-    $SPARK_GRAFT_STAGE_DIR and removes the temp dir on exit; unknown
-    consumer names raise (a silent skip would report a fake speedup)."""
+    {"cold_build_sec": ..., "warm_consumers_sec": ...,
+     "consumer_sec": {name: sec}} — the per-consumer split is the r13
+    observability fix (VERDICT r12: the r12 artifact only recorded the
+    group total, so a claimed per-consumer win could not be checked
+    against the driver's own run). ``warm_consumers_sec`` keeps its
+    exact r12 meaning (one wall-clock interval over the loop) for
+    cross-round comparability; per-consumer values are timed inside it.
+    Restores $SPARK_GRAFT_STAGE_DIR and removes the temp dir on exit;
+    unknown consumer names raise (a silent skip would report a fake
+    speedup)."""
     import time
 
     from data_eng_project_spark.plans import REGISTRY
@@ -200,6 +207,7 @@ def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     stage_dir = tempfile.mkdtemp(prefix="staged_bench_")
     prev = os.environ.get("SPARK_GRAFT_STAGE_DIR")
     os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_dir
+    per_consumer: dict[str, float] = {}
     try:
         t0 = time.perf_counter()
         for build in (near_dup_pairs, dup_components):
@@ -208,9 +216,11 @@ def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         for name in STAGED_CONSUMERS:
+            tq = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            per_consumer[name] = round(time.perf_counter() - tq, 3)
             spark.catalog.clearCache()
         warm = round(time.perf_counter() - t0, 3)
     finally:
@@ -219,7 +229,11 @@ def timed_staged_run(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         else:
             os.environ["SPARK_GRAFT_STAGE_DIR"] = prev
         shutil.rmtree(stage_dir, ignore_errors=True)
-    return {"cold_build_sec": cold, "warm_consumers_sec": warm}
+    return {
+        "cold_build_sec": cold,
+        "warm_consumers_sec": warm,
+        "consumer_sec": per_consumer,
+    }
 
 
 def dup_components(

@@ -155,3 +155,18 @@ def test_stage_key_tracks_same_module_helpers(sf_dir, tmp_path):
     assert staging.stage_path("k", sf_dir, _ops=(op_a,), n=3) != staging.stage_path(
         "k", sf_dir, _ops=(op_b,), n=3
     )
+
+
+def test_timed_staged_run_reports_per_consumer_seconds(spark, sf_dir, stage_dir):
+    """r13 observability contract (VERDICT r12 #1): the staged timing
+    must expose one wall-clock figure PER consumer, keyed exactly by
+    STAGED_CONSUMERS, alongside the r12-compatible group totals — the
+    fields BENCH_r13.json forwards so the driver can corroborate
+    per-consumer claims."""
+    out = staging.timed_staged_run(spark, sf_dir)
+    assert set(out) == {"cold_build_sec", "warm_consumers_sec", "consumer_sec"}
+    assert set(out["consumer_sec"]) == set(staging.STAGED_CONSUMERS)
+    assert all(v >= 0 for v in out["consumer_sec"].values())
+    # The group interval covers the per-consumer intervals (plus the
+    # clearCache calls between them), never the other way around.
+    assert out["warm_consumers_sec"] >= sum(out["consumer_sec"].values()) - 0.01
