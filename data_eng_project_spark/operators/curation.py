@@ -1158,7 +1158,7 @@ def cross_split_leakage(
 
 def soft_dedup_weights(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     components: DataFrame | None = None,
@@ -1180,12 +1180,24 @@ def soft_dedup_weights(
     """
     from data_eng_project_spark.operators.clusters import connected_components
 
-    # Pass ``components`` (an (id, comp) frame) when a materialized
-    # component artifact exists — e.g. the staged dup_components parquet
+    # Exactly ONE of ``pairs`` / ``components`` (r13, ADVICE r12): pass
+    # ``components`` (an (id, comp) frame) when a materialized component
+    # artifact exists — e.g. the staged dup_components parquet
     # (pipelines/staging.py), which the canonical-keep consumer already
     # shares; recomputing the O(diameter)-round propagation per consumer
     # multiplies the one iterative job in this family by the consumer
-    # count (r12).
+    # count (r12). The caller owns the derivation invariant: a supplied
+    # components frame must be the connected components OF the pair
+    # graph this corpus' dedup detector produces (the staged path keys
+    # the artifact by corpus dir + parameters + producing-operator
+    # source fingerprint, so a mismatched artifact cannot be served as
+    # current — see staging.dup_components_path). Accepting both inputs
+    # made ``pairs`` silently dead when components was passed, hiding
+    # exactly that mismatch risk.
+    if (pairs is None) == (components is None):
+        raise ValueError(
+            "soft_dedup_weights: pass exactly one of pairs= or components="
+        )
     comps = components if components is not None else connected_components(pairs)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("_csize"))
     assigned = comps.join(sizes, on="comp").select(

@@ -659,6 +659,15 @@ def winsorize_group_stats(
     winsorized_mean)."""
     from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
+    # Validate percentiles at entry (r13, ADVICE r12): an out-of-range
+    # cut used to yield a NULL that greatest/least silently SKIP — the
+    # output degraded to a partially-clamped mean instead of failing
+    # (the old per-cut inner join dropped the group, also silent).
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError(
+            f"winsorize_group_stats: need 0 <= lo_pct <= hi_pct <= 100, "
+            f"got lo_pct={lo_pct}, hi_pct={hi_pct}"
+        )
     vtype = df.schema[value_col].dataType
     if isinstance(vtype, (DoubleType, FloatType)):
         # Mirroring _bucket_base_offsets: the exact-integer-rank /

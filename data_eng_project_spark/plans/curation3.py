@@ -270,15 +270,17 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mixture planner."""
     prepare(spark)
     from data_eng_project_spark.operators.curation import soft_dedup_weights
-    from data_eng_project_spark.pipelines.staging import dup_components, near_dup_pairs
+    from data_eng_project_spark.pipelines.staging import dup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
     # Consume the STAGED components (shared with dedup_canonical_keep)
     # instead of re-running the iterative propagation per query — the
     # weight family's only iterative job now runs once per corpus (r12).
+    # The stage key embeds the same (corpus, n, threshold, operator
+    # fingerprint) this query would hand the pairs builder, so the
+    # components-only call carries the derivation invariant (r13).
     comps = dup_components(spark, sf_dir, n=3, threshold=JACCARD_THRESHOLD)
-    return soft_dedup_weights(docs, pairs, components=comps)
+    return soft_dedup_weights(docs, components=comps)
 
 
 @register(

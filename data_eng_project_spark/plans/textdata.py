@@ -1238,12 +1238,16 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
     # withcos feeds both the min/max bounds aggregate and the fusion
     # projection, and unlike per_doc it does not end in an exchange
-    # Spark could reuse across the two consumers — the lazy checkpoint
-    # runs the BM25-join + per-doc HOF cosine once (r12; per_doc itself
-    # deliberately NOT checkpointed: its groupBy exchange is already
-    # deduped by exchange reuse, and a forced materialization measured
-    # slower on the same-shaped funnel stages).
-    withcos = withcos.localCheckpoint(eager=False)
+    # Spark could reuse across the two consumers — the cache runs the
+    # BM25-join + per-doc HOF cosine once (r12; per_doc itself
+    # deliberately NOT cached: its groupBy exchange is already deduped
+    # by exchange reuse, and a forced materialization measured slower
+    # on the same-shaped funnel stages). persist(), NOT localCheckpoint
+    # (r13, VERDICT r12 #4): checkpointing truncates lineage, so on a
+    # real cluster an executor loss after materialization kills the
+    # query instead of recomputing — the dedup operators' fan-out
+    # caches already use persist() for the identical pattern.
+    withcos = withcos.persist()
     bounds = withcos.agg(
         F.min("bm25").alias("bmin"),
         F.max("bm25").alias("bmax"),
@@ -2265,13 +2269,16 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scored = _bm25_scored_frame(docs, ["spark", "merge", "window"])
     query = _query_vec_column(emb)
+    # persist(), not localCheckpoint — same §5 recoverability posture as
+    # hybrid_search (r13): the fan-out into the two rank frames reuses
+    # the one materialization either way, but persist keeps lineage.
     withcos = (
         scored.join(
             emb.select(F.col("vec_id").alias("_vid"), "embedding"),
             F.col("doc_id") == F.col("_vid"),
         )
         .select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     rb = distributed_order_rank(
         withcos.select("doc_id", "bm25"), "bm25", ["doc_id"],
