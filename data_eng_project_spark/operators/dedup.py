@@ -173,6 +173,7 @@ def _shingle_sets_direct(
     id_col: str,
     n: int,
     with_minhash_keys: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(_id, _set sorted array<long>) — per-doc shingle set computed
     entirely row-local (tokenize → shingle → hash → array_distinct →
@@ -195,18 +196,29 @@ def _shingle_sets_direct(
     shingle/hash projections are the most expensive per-row work in the
     module, and without the spread they execute at the parallelism of
     whatever sits below — one scan task on single-split files, ~one
-    AQE-coalesced partition after the collapse aggregate."""
-    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
-    toks = src.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    AQE-coalesced partition after the collapse aggregate.
+
+    ``carry_cols`` (r13): extra metadata columns carried verbatim
+    through the spread + projections into the output — the collapsed
+    variants pass ("n_docs",) so the class size their collapse
+    aggregate ALREADY computed rides the sets cache (8 bytes/row)
+    instead of being re-aggregated from the source corpus once per
+    attach join (two extra corpus scans in the r12 shape)."""
+    keep = [F.col(c) for c in carry_cols]
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col), *keep), id_col)
+    toks = src.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"), *keep
+    )
     # Materialize the shingle array once: Spark applies no CSE inside
     # higher-order-function lambdas, so feeding two transforms from an
     # inline shingle expression would rebuild every shingle twice.
-    shs = toks.select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
+    shs = toks.select("_id", shingles_from_tokens("_toks", n).alias("_sh"), *keep)
     cols = [
         F.col("_id"),
         F.array_sort(
             F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
         ).alias("_set"),
+        *keep,
     ]
     if with_minhash_keys:
         cols.append(
@@ -308,6 +320,15 @@ def ngram_jaccard_pairs(
     DuckDB oracle computes).
     """
     sets = _persist_tracked(_shingle_sets_direct(df, text_col, id_col, n))
+    return _ppjoin_pairs_from_sets(sets, threshold)
+
+
+def _ppjoin_pairs_from_sets(sets: DataFrame, threshold: float) -> DataFrame:
+    """The PPJoin candidate generation + exact verification over an
+    already-persisted (_id, _set) frame — see ngram_jaccard_pairs for
+    the filter derivations. Factored out (r13) so the collapsed variant
+    can build ONE sets cache carrying its class metadata and feed both
+    this join and the class-size attach from it."""
     # Re-derive the exploded index from the cached sets (narrow, no extra
     # shuffle) carrying the set size inline — no separate sizes join.
     sh = sets.select(
@@ -416,10 +437,21 @@ def ngram_jaccard_pairs_collapsed(
 
     Returns (id_a, id_b, jaccard, n_docs_a, n_docs_b, n_doc_pairs) with
     id_a < id_b (representative ids).
+
+    Plan shape (r13, VERDICT r12 #2): ONE sets cache serves both the
+    similarity join and the class-size attach — the collapse aggregate
+    already computes n_docs, so it rides the cache as 8 bytes/row
+    (carry_cols) instead of being re-aggregated from the source corpus
+    once per attach side (the r12 shape paid two extra corpus scans +
+    two metadata aggregates + two broadcast builds per query).
     """
     reps = collapse_exact_text_classes(df, text_col, id_col)
-    pairs = ngram_jaccard_pairs(reps, text_col, id_col, n=n, threshold=threshold)
-    return _attach_class_sizes(pairs, collapse_class_sizes(df, text_col, id_col), id_col)
+    sets = _persist_tracked(
+        _shingle_sets_direct(reps, text_col, id_col, n, carry_cols=("n_docs",))
+    )
+    pairs = _ppjoin_pairs_from_sets(sets, threshold)
+    sizes = sets.select(F.col("_id").alias(id_col), "n_docs")
+    return _attach_class_sizes(pairs, sizes, id_col)
 
 
 def _normalized_content_fp(text_col: str):
@@ -482,7 +514,11 @@ def collapse_class_sizes(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     text — the §8 "decide with small rows" split. The r12 plan executed
     the full struct-min chain once per _attach_class_sizes join (twice
     per collapsed query) beyond the cached copy the similarity join
-    reads; both of those now run this metadata aggregate."""
+    reads. The collapsed queries have since gone one step further and
+    carry n_docs through their one persisted sets/fingerprint cache
+    (carry_cols — no corpus re-scan at all), so this helper is the
+    standalone formulation for callers that need class sizes without
+    building shingle sets."""
     return (
         df.groupBy(_normalized_content_fp(text_col).alias("_fp"))
         .agg(
@@ -499,9 +535,9 @@ def _attach_class_sizes(
     """Join both sides' class sizes onto representative pairs and carry
     the implied member-pair mass arithmetically. ``sizes`` is any frame
     carrying (id_col, n_docs) per representative — the collapsed
-    operators pass collapse_class_sizes' metadata-only aggregate (r13;
-    passing the text-bearing collapse_exact_text_classes output still
-    works but re-runs its corpus-text SortAggregate once per join).
+    operators project it off their one persisted sets/fingerprint cache
+    (n_docs rides as carry_cols metadata; r13), so the attach joins read
+    the cache instead of re-aggregating class sizes from the corpus.
     ``value_col`` is the pair metric column to carry through (jaccard
     for the MinHash/PPJoin variants, hamming for SimHash)."""
     sz = sizes.select(id_col, "n_docs")
@@ -658,6 +694,16 @@ def minhash_lsh_pairs(
     sets = _persist_tracked(
         _shingle_sets_direct(df, text_col, id_col, shingle_n, with_minhash_keys=True)
     )
+    return _lsh_pairs_from_sets(sets, num_hashes, bands, threshold)
+
+
+def _lsh_pairs_from_sets(
+    sets: DataFrame, num_hashes: int, bands: int, threshold: float
+) -> DataFrame:
+    """Band-bucket candidate join + exact verification over an already-
+    persisted (_id, _set, _mkeys) frame — factored out (r13) so the
+    collapsed variant can feed both this join and its class-size attach
+    from ONE cache."""
     # Persist the band rows too: the band-bucket self-join consumes them
     # on BOTH sides, and with the signature aggregate now exchange-free
     # there is no shuffle stage for AQE to reuse between the two sides —
@@ -702,22 +748,35 @@ def minhash_lsh_pairs_collapsed(
     over distinct contents only, and carry class sizes arithmetically.
 
     Returns (id_a, id_b, jaccard, n_docs_a, n_docs_b, n_doc_pairs),
-    id_a < id_b (representative ids)."""
+    id_a < id_b (representative ids).
+
+    Like ngram_jaccard_pairs_collapsed (r13): one sets cache carries
+    n_docs for both the banded join and the class-size attach — no
+    re-aggregation of class sizes from the source corpus."""
     reps = collapse_exact_text_classes(df, text_col, id_col)
-    pairs = minhash_lsh_pairs(
-        reps,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        threshold=threshold,
+    sets = _persist_tracked(
+        _shingle_sets_direct(
+            reps, text_col, id_col, shingle_n,
+            with_minhash_keys=True, carry_cols=("n_docs",),
+        )
     )
-    return _attach_class_sizes(pairs, collapse_class_sizes(df, text_col, id_col), id_col)
+    pairs = _lsh_pairs_from_sets(sets, num_hashes, bands, threshold)
+    sizes = sets.select(F.col("_id").alias(id_col), "n_docs")
+    return _attach_class_sizes(pairs, sizes, id_col)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, simhash long): sign-aggregated token-hash bits.
+    ``carry_cols``: per-id metadata columns carried through the
+    aggregate via min() (constant within an id, so min is the value) —
+    the collapsed variant passes ("n_docs",) so class sizes ride the
+    fingerprint frame instead of a separate corpus aggregate (r13).
 
     Implementation: explode tokens, one md5 per token split into two
     32-bit halves (the engine's one hash — and, unlike xxhash64,
@@ -734,9 +793,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     # run below the groupBy exchange — at the scan's parallelism unless
     # spread (see _spread_by_id). Hash-partitioning on the id also lets
     # the 64-sum aggregate skip its exchange entirely.
-    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col)), id_col)
+    keep = [F.col(c) for c in carry_cols]
+    src = _spread_by_id(df.select(F.col(id_col), F.col(text_col), *keep), id_col)
     tok = (
-        src.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        src.select(
+            F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"), *keep
+        )
         .withColumn("_hi", F.conv(F.substring(m, 1, 8), 16, 10).cast("long"))
         .withColumn("_lo", F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
     )
@@ -749,14 +811,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         *[
             F.sum(F.when(_hbit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
             for b in range(bits)
-        ]
+        ],
+        *[F.min(c).alias(c) for c in carry_cols],
     )
     fp = None
     for b in range(bits):
         bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return sums.select("id", fp.alias("simhash"))
+    return sums.select("id", fp.alias("simhash"), *carry_cols)
 
 
 def simhash_pairs(
@@ -796,18 +859,23 @@ def simhash_pairs_collapsed(
     along arithmetically.
 
     Returns (id_a, id_b, hamming, n_docs_a, n_docs_b, n_doc_pairs),
-    id_a < id_b (representative ids)."""
+    id_a < id_b (representative ids).
+
+    Like ngram_jaccard_pairs_collapsed (r13): the fingerprint frame
+    carries n_docs (24 bytes/row metadata, persisted) so the band join
+    and the class-size attach read ONE cache — no separate class-size
+    aggregate re-scanning the corpus per attach side."""
     reps = collapse_exact_text_classes(df, text_col, id_col)
+    fps = _persist_tracked(simhash(reps, text_col, id_col, carry_cols=("n_docs",)))
     pairs = fingerprint_hamming_pairs(
-        simhash(reps, text_col, id_col),
+        fps,
         "simhash",
         id_col="id",
         n_bands=4,
         max_hamming=max_hamming,
     )
-    return _attach_class_sizes(
-        pairs, collapse_class_sizes(df, text_col, id_col), id_col, value_col="hamming"
-    )
+    sizes = fps.select(F.col("id").alias(id_col), "n_docs")
+    return _attach_class_sizes(pairs, sizes, id_col, value_col="hamming")
 
 
 def duplicate_span_pairs(
@@ -1003,6 +1071,14 @@ def ngram_containment_pairs(
     Returns (id_a, id_b, containment), id_a < id_b.
     """
     sets = _persist_tracked(_shingle_sets_direct(df, text_col, id_col, n))
+    return _containment_pairs_from_sets(sets, threshold)
+
+
+def _containment_pairs_from_sets(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered containment join + exact verification over an
+    already-persisted (_id, _set) frame — factored out (r13) so the
+    collapsed variant can feed both this join and its class-size attach
+    from ONE cache."""
     prefix_len = (
         F.size("_set")
         - F.ceil(F.lit(float(threshold)) * F.size("_set")).cast("int")
@@ -1064,12 +1140,17 @@ def ngram_containment_pairs_collapsed(
     only, carry class sizes arithmetically.
 
     Returns (id_a, id_b, containment, n_docs_a, n_docs_b, n_doc_pairs),
-    id_a < id_b (representative ids)."""
+    id_a < id_b (representative ids).
+
+    Like ngram_jaccard_pairs_collapsed (r13): one sets cache carries
+    n_docs for both the containment join and the class-size attach."""
     reps = collapse_exact_text_classes(df, text_col, id_col)
-    pairs = ngram_containment_pairs(reps, text_col, id_col, n=n, threshold=threshold)
-    return _attach_class_sizes(
-        pairs, collapse_class_sizes(df, text_col, id_col), id_col, value_col="containment"
+    sets = _persist_tracked(
+        _shingle_sets_direct(reps, text_col, id_col, n, carry_cols=("n_docs",))
     )
+    pairs = _containment_pairs_from_sets(sets, threshold)
+    sizes = sets.select(F.col("_id").alias(id_col), "n_docs")
+    return _attach_class_sizes(pairs, sizes, id_col, value_col="containment")
 
 
 def fingerprint_hamming_pairs(

@@ -208,6 +208,30 @@ def test_containment_collapsed_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_ngram_jaccard_collapsed",
+        "dedup_minhash_lsh_collapsed",
+        "dedup_simhash_collapsed",
+        "dedup_containment_pairs_collapsed",
+    ],
+)
+def test_collapsed_attach_reads_cache_not_corpus(spark, name):
+    """r13 (VERDICT r12 #2): class-size attachment must ride the one
+    persisted fingerprint/sets cache (n_docs carried as metadata), not
+    re-aggregate class sizes from the source corpus per attach join.
+    The r12 shape's re-aggregation had the unique plan signature
+    ``partial_min(doc_id#...)`` — a bare min(id) over a fresh corpus
+    scan — distinct from the representative collapse's
+    ``partial_min(struct(doc_id, ...))`` which legitimately remains
+    (once, inside the cache build). Its absence pins the one-cache
+    attach shape for all four collapsed families."""
+    plan = _plan(spark, name)
+    assert "partial_min(doc_id#" not in plan
+    assert "n_docs" in plan  # class sizes ride the cached frame
+
+
 def test_duplicate_spans_no_cartesian(spark):
     plan = _plan(spark, "duplicate_span_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
