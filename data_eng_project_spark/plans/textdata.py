@@ -1237,17 +1237,18 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("_vid"),
     ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
     # withcos feeds both the min/max bounds aggregate and the fusion
-    # projection, and unlike per_doc it does not end in an exchange
-    # Spark could reuse across the two consumers — the cache runs the
-    # BM25-join + per-doc HOF cosine once (r12; per_doc itself
-    # deliberately NOT cached: its groupBy exchange is already deduped
-    # by exchange reuse, and a forced materialization measured slower
-    # on the same-shaped funnel stages). persist(), NOT localCheckpoint
-    # (r13, VERDICT r12 #4): checkpointing truncates lineage, so on a
-    # real cluster an executor loss after materialization kills the
-    # query instead of recomputing — the dedup operators' fan-out
-    # caches already use persist() for the identical pattern.
-    withcos = withcos.persist()
+    # projection — and deliberately carries NO materialization (r13,
+    # measured): the expensive subtree (tokenize + per-doc TF groupBy +
+    # corpus-stats) ends in exchanges AQE dedupes at runtime
+    # (ReusedExchange, pinned by test_bm25_corpus_tokenized_once), so
+    # the only work the two consumers duplicate is the post-exchange
+    # broadcast probe + HOF cosine map stage. Alternated min-of-6 A/B
+    # at sf0.1: no-cache 0.955 s ~= localCheckpoint 0.900 s, while
+    # persist() read 1.099 s (InMemoryRelation's columnar build costs
+    # more than the duplicated map work) — and unlike localCheckpoint,
+    # recomputation keeps the plan fault-tolerant on a real cluster
+    # (§5: an executor loss replays lineage instead of killing the
+    # query).
     bounds = withcos.agg(
         F.min("bm25").alias("bmin"),
         F.max("bm25").alias("bmax"),
@@ -2269,17 +2270,18 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scored = _bm25_scored_frame(docs, ["spark", "merge", "window"])
     query = _query_vec_column(emb)
-    # persist(), not localCheckpoint — same §5 recoverability posture as
-    # hybrid_search (r13): the fan-out into the two rank frames reuses
-    # the one materialization either way, but persist keeps lineage.
-    withcos = (
-        scored.join(
-            emb.select(F.col("vec_id").alias("_vid"), "embedding"),
-            F.col("doc_id") == F.col("_vid"),
-        )
-        .select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
-        .persist()
-    )
+    # No materialization of the fan-out frame — same measured call as
+    # hybrid_search (r13): the heavy tokenize/TF exchanges are deduped
+    # by AQE ReusedExchange across both rank pipelines, so a cache only
+    # saves the post-exchange cosine map stage. Alternated min-of-6 A/B
+    # at sf0.1: no-cache 2.110 s vs persist() 2.861 s vs DISK_ONLY
+    # 3.307 s (localCheckpoint read 1.581 s but truncates lineage —
+    # non-fault-tolerant on a real cluster, §5). Recompute is the
+    # fastest shape that keeps the plan replayable.
+    withcos = scored.join(
+        emb.select(F.col("vec_id").alias("_vid"), "embedding"),
+        F.col("doc_id") == F.col("_vid"),
+    ).select("doc_id", "bm25", S.cosine("embedding", query).alias("cos"))
     rb = distributed_order_rank(
         withcos.select("doc_id", "bm25"), "bm25", ["doc_id"],
         descending=True, out_col="rank_bm25",
