@@ -42,87 +42,89 @@ from data_eng_project_spark.plans import tokenize  # noqa: E402,F401
 # the graded window covers the brief and contains only oracle-backed
 # queries. Everything else keeps its import order after position 50.
 #
-# Round-12 rotation (VERDICT r11 task 2). CORRECTNESS_r11 graded its
-# window 50 green / 0 fail — the first all-oracle-backed window;
-# cumulative latest-green evidence after r11: oldest anywhere is
-# round 6 (30 queries), then 26 round-7 rows. This window:
-#   1. Changed/new lineage this round, certified in its birth round:
-#      dedup_containment_pairs_collapsed (NEW — the fourth pair family
-#      to get the collapse-first posture after the dup-heavy probe
-#      measured the plain containment join's quadratic-output blowup,
-#      r11 task 6; full replay oracle reusing the
-#      dedup_ngram_jaccard_collapsed collapse-CTE idiom) and
-#      pca_projection_agreement_report (RE-GRADE — the contract was
-#      WIDENED with eigenvalue_agreement_ok, the Rayleigh-quotient
-#      spectrum check extending graded coverage to the scree dimension,
-#      r11 task 7; its twin also gained direct sign alignment to the
-#      production basis, the r11 ADVICE fix).
-#   2. All 30 round-6-latest rows, in registry order (the r11 window's
-#      declared r12 head). After this window no query's latest driver
-#      evidence predates round 7.
-#   3. The remaining 18 slots: the oldest round-7-latest queries in
-#      registry order. The 8 r7 rows that do not fit
-#      (crossmodal_dup_consensus, bm25_search, label_centroids,
-#      hybrid_search, kmv_distinct_ngrams, streaming_interval_join,
-#      streaming_dedup_events, customer_nation_region) are the natural
-#      r13 window head.
+# Round-13 rotation (VERDICT r12 task 8). CORRECTNESS_r12 graded its
+# window 50 green / 0 fail; cumulative latest-green evidence after r12:
+# oldest anywhere is round 7 (exactly the 8 queries the r12 rotation
+# declared as this round's natural head). This window:
+#   1. The 8 round-7-latest queries — crossmodal_dup_consensus,
+#      bm25_search, label_centroids, hybrid_search, kmv_distinct_ngrams,
+#      streaming_interval_join, streaming_dedup_events,
+#      customer_nation_region. bm25/hybrid also carry this round's
+#      rewrite (search fan-out cache dropped, r13) and r12's
+#      tokenize-once exchange reuse, so the head doubles as fresh driver
+#      evidence for both optimization rounds' boldest search changes.
+#   2. Changed-lineage queries from the two optimization rounds,
+#      certified on their rewritten form: asof_latest_order (r12 dropped
+#      its right-side pre-aggregate — the one r12 rewrite the judge
+#      flagged as not yet driver-confirmed), rrf_hybrid_search (r13
+#      cache drop), winsorize_length_bounds (r13 percentile-bounds
+#      validation at the operator seam), the four collapsed dedup
+#      variants (r13 carry_cols rewrite: ONE sets/fingerprint cache
+#      serves both the similarity join and the class-size attach), and
+#      soft_dedup_weights (r12 staged-components consumption + r13
+#      pairs/components exclusivity guard).
+#   3. The remaining 34 slots: the oldest round-8-latest queries in
+#      registry order. After this window no query's latest driver
+#      evidence predates round 8 (the 12 r8 rows that do not fit —
+#      upsert_new_rows .. bpe_roundtrip_report — are the natural r14
+#      window head).
 # Earlier rounds' queries stay covered every session by
 # tests/test_oracle_parity.py (sf0.001) + tools/driver_audit.py --all
 # (strict sf0.01 mirror).
 _GRADED_WINDOW = [
-    # 1. Changed/new lineage this round:
-    "dedup_containment_pairs_collapsed",
-    "pca_projection_agreement_report",
-    # 2. All 30 round-6-latest rows, refreshed in registry order:
-    "nation_market_share",
-    "q2_max_order_per_customer",
-    "top_supplier_per_nation",
-    "q13_order_count_distribution",
-    "q16_parts_never_ordered",
-    "join_fanout_hotspots",
-    "interpolate_user_values",
-    "q17_small_quantity_revenue",
-    "q20_top_part_family_suppliers",
-    "collocation_lift_scores",
-    "vocab_growth_curve",
-    "similarity_ann_lsh",
-    "multimodal_audio_spectrum",
-    "minhash_band_planning",
-    "label_centroid_similarity",
-    "dup_graph_bfs_hops",
-    "er_sorted_neighborhood",
-    "dup_graph_common_neighbors",
-    "session_path_trigrams",
-    "table_checksum_buckets",
-    "multimodal_resize_raw",
-    "multimodal_phash_dups",
-    "streaming_heavy_hitters",
-    "video_scene_cuts",
-    "zorder_layout_stats",
-    "zorder_pruning_ratio",
-    "kmeans_embedding_clusters",
-    "holt_linear_event_trend",
-    "xcorr_event_types",
-    "rollup_retraction_merge",
-    # 3. The 18 oldest round-7-latest rows, in registry order:
-    "q1_pricing_summary",
-    "q5_region_supplier_revenue",
-    "events_hourly_rollup",
-    "full_outer_activity_reconciliation",
-    "events_hourly_gapfill",
-    "q21_sole_late_suppliers",
-    "decontaminate_ngram_overlap",
-    "embedding_quantize_int8",
-    "streaming_sessionize",
-    "pii_detect_redact",
-    "lang_id_heuristic",
-    "text_quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "winnowing_fingerprints",
+    # 1. The round-7-latest head (includes this round's search rewrites):
+    "crossmodal_dup_consensus",
+    "bm25_search",
+    "label_centroids",
+    "hybrid_search",
+    "kmv_distinct_ngrams",
+    "streaming_interval_join",
+    "streaming_dedup_events",
+    "customer_nation_region",
+    # 2. r12/r13 changed-lineage queries, certified on the rewritten form:
+    "rrf_hybrid_search",
+    "asof_latest_order",
+    "winsorize_length_bounds",
     "dedup_ngram_jaccard_collapsed",
-    "embedding_dup_pairs",
-    "tfidf_top_terms",
+    "dedup_minhash_lsh_collapsed",
+    "dedup_simhash_collapsed",
+    "dedup_containment_pairs_collapsed",
+    "soft_dedup_weights",
+    # 3. The 34 oldest round-8-latest rows, in registry order:
+    "q3_top_unshipped_orders",
+    "rollup_order_status",
+    "sessionize_events",
+    "topk_customers_by_spend",
+    "grouping_sets_revenue",
+    "conditional_aggregation",
+    "stratified_sample_deterministic",
+    "q18_large_orders",
+    "q15_top_revenue_suppliers",
+    "salted_join_supplier_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_item_customers",
+    "q19_disjunctive_predicates",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "pareto_customer_revenue",
+    "mad_outlier_summary",
+    "rfm_segments",
+    "pack_sequences_chunked",
+    "length_trim_percentile",
+    "export_shard_manifest",
+    "chunk_assembly_plan",
+    "embedding_dup_pairs_collapsed",
+    "corpus_shuffle_order",
+    "pps_sample_by_source",
+    "quality_quantile_normalize",
+    "chunk_documents_overlap",
+    "er_entity_groups",
+    "priority_sample_by_source",
+    "split_exact_quota",
+    "streaming_asof_enrich",
+    "pca_trace_report",
+    "orders_not_in_ledger",
 ]
 
 # Queries allowed inside the graded window WITHOUT an oracle. Every
